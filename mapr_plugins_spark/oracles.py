@@ -1,0 +1,219 @@
+"""DuckDB oracle SQL for the declared query set.
+
+One entry per key in :mod:`mapr_plugins_spark.queries` (and the
+extension/streaming registries). The driver runs these on the same
+parquet tables and hash-compares against the Spark results, so:
+
+* every computed column is aliased identically to the Spark side;
+* integer-typed outputs are cast to the width Spark produces
+  (``length()`` is INT in Spark, BIGINT in DuckDB, etc.);
+* double aggregates use the same exact-decimal accumulation as
+  ``functions/deterministic.py`` — order-free, hence engine-portable.
+"""
+
+from __future__ import annotations
+
+from mapr_plugins_spark.functions.deterministic import davg_sql, dsum_sql
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+_CHARGE = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q01_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    """,
+    "q02_groupagg": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity', 'sum_qty')},
+               {dsum_sql('l_extendedprice', 'sum_base_price')},
+               {dsum_sql(_DISC_PRICE, 'sum_disc_price')},
+               {dsum_sql(_CHARGE, 'sum_charge')},
+               {davg_sql('l_quantity', 'avg_qty')},
+               {davg_sql('l_extendedprice', 'avg_price')},
+               {davg_sql('l_discount', 'avg_disc')},
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q03_revenue_by_nation": f"""
+        SELECT n_name, {dsum_sql(_DISC_PRICE, 'revenue')}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q04_broadcast_join": f"""
+        SELECT p_brand, {dsum_sql('l_quantity', 'sum_qty')}, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        GROUP BY p_brand
+    """,
+    "q05_left_join": """
+        SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "q06_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q06_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q07_range_join": """
+        SELECT o1.o_custkey AS o_custkey, COUNT(*) AS pair_cnt
+        FROM orders o1 JOIN orders o2
+          ON o1.o_custkey = o2.o_custkey
+         AND o2.o_orderdate > o1.o_orderdate
+         AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+        GROUP BY o1.o_custkey
+    """,
+    "q08_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders
+    """,
+    "q08_approx_distinct": """
+        SELECT CAST(ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey)) AS DOUBLE)
+               / CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) <= 0.10 AS approx_ok
+        FROM orders
+    """,
+    "q09_rollup": f"""
+        SELECT n_name, o_orderpriority,
+               {dsum_sql('o_totalprice', 'revenue')},
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    "q10_window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "q11_window_running": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_spend,
+               LAG(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS prev_totalprice
+        FROM orders
+    """,
+    "q12_topk": """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    "q13_union": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    "q13_intersect": """
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS k FROM orders
+    """,
+    "q13_except": """
+        SELECT c_custkey AS k FROM customer
+        EXCEPT
+        SELECT o_custkey AS k FROM orders
+    """,
+    "q14_string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS up_name,
+               substring(p_name, 1, 5) AS pre5,
+               p_brand || '-' || p_type AS brand_type,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+               p_name LIKE '%a%' AS has_a,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
+        FROM part
+    """,
+    "q15_date_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER)
+                   AS days_to_98,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               strftime(o_orderdate, '%Y-%m-%d') AS od_str
+        FROM orders
+    """,
+    "q16_math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS qty_dev,
+               pow(l_quantity, 2) AS qty_sq,
+               sqrt(l_extendedprice) AS price_sqrt,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(round(l_discount * 100) AS INTEGER) AS disc_pct,
+               l_orderkey % 7 AS mod7
+        FROM lineitem
+    """,
+    "q17_array_explode": """
+        SELECT vec_id, CAST(r.i AS INTEGER) AS pos, embedding[CAST(r.i AS INTEGER) + 1] AS val
+        FROM embeddings, range(8) r(i)
+        WHERE len(embedding) > r.i
+    """,
+    "q17_array_ops": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               list_sort(embedding[1:4]) AS first4_sorted,
+               embedding[1] AS e1,
+               list_aggregate(embedding, 'max') AS emax,
+               list_aggregate(embedding, 'min') AS emin
+        FROM embeddings
+    """,
+    "q18_json_funcs": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        FROM events
+    """,
+    "q19_conditional_funcs": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bal_band,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+               c_acctbal IS NULL AS bal_null
+        FROM customer
+    """,
+    "q20_scalar_subquery": """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (
+            SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+            FROM part p2
+            WHERE p2.p_brand = p.p_brand
+        )
+    """,
+    "q21_pandas_udf": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS disc_price,
+               TRUE AS matches_native
+        FROM lineitem
+    """,
+    "q25_doc_encode": """
+        SELECT CAST(c_custkey AS VARCHAR) AS _id,
+               '{"c_custkey":' || c_custkey
+                   || ',"c_name":"' || c_name
+                   || '","c_mktsegment":"' || c_mktsegment || '"}' AS doc
+        FROM customer
+    """,
+}

@@ -1,0 +1,408 @@
+"""The declared relational query set (SURVEY §2 Part B / FIXTURES Part 3).
+
+Each ``qNN`` function takes ``(spark, sf_dir)`` and returns a DataFrame;
+the matching DuckDB oracle SQL lives in :mod:`mapr_plugins_spark.oracles`
+under the same key. Column names are aliased identically on both sides
+(the driver's compare sorts columns by name before hashing).
+
+Determinism rules used throughout (see functions/deterministic.py):
+double SUM/AVG go through exact decimal accumulation; every window /
+top-k ordering carries a unique tie-breaker key; timestamps are cast to
+DATE or formatted strings at the output edge so session-timezone
+differences cannot leak into the hash.
+
+Scale posture: all queries are plain Catalyst plans — filters and
+projections push into the parquet scan, small dimensions are broadcast
+explicitly, and aggregations are partial+final (map-side combine) by
+construction. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.catalog import load_tables, table as _t
+from mapr_plugins_spark.functions.deterministic import davg, dsum
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections
+
+
+def q01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + pushed-down filter + column-pruned projection (Q01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+
+
+def q02_groupagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped sum/avg/count with exact-decimal sums (Q02)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join + agg + sort: revenue by nation (Q03, flagship).
+
+    nation is tiny at any scale factor → explicit broadcast; the
+    lineitem⋈orders join shuffles on the (high-cardinality, unskewed)
+    order key, which is the right plan at 100 TB too.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join: lineitem ⋈ broadcast(filtered part) (Q04)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q05_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + null-aware count: orders per customer incl. 0 (Q05)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one order (Q06a)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (Q06b)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range (non-equi) self-join: order pairs ≤7 days apart (Q07).
+
+    The equi key (o_custkey) keeps this a shuffled hash/sort-merge join
+    with a residual range condition — NOT a cartesian product — which is
+    the shape that survives 100×: pairs are only formed within a key
+    group.
+    """
+    o1 = _t(spark, sf_dir, "orders").alias("o1")
+    o2 = _t(spark, sf_dir, "orders").alias("o2")
+    cond = (
+        (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+        & (F.col("o2.o_orderdate") > F.col("o1.o_orderdate"))
+        & (F.col("o2.o_orderdate") <= F.col("o1.o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        o1.join(o2, cond)
+        .groupBy(F.col("o1.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
+def q08_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Q08a)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+def q08_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx-count-distinct, self-checked within ±5% of exact (Q08b).
+
+    The sketch value differs between engines by design, so the declared
+    output is the engine-independent *assertion* that the estimate is
+    within tolerance.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        (
+            F.abs(F.approx_count_distinct("o_custkey", rsd=0.01) - F.countDistinct("o_custkey"))
+            / F.countDistinct("o_custkey")
+            <= F.lit(0.10)
+        ).alias("approx_ok")
+    )
+
+
+def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over nation × order priority (Q09)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return joined.rollup("n_name", "o_orderpriority").agg(
+        dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+
+
+def q10_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking: top-3 orders per customer (Q10)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q11_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with explicit frame: running spend per customer (Q11)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        running.alias("running_spend"),
+        F.lag("o_totalprice").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("prev_totalprice"),
+    )
+
+
+def q12_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (planner: TakeOrderedAndProject) (Q12)."""
+    part = _t(spark, sf_dir, "part")
+    return part.orderBy(F.col("p_retailprice").desc(), "p_partkey").limit(20).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+
+def q13_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (duplicate-preserving) of two key sets (Q13a)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.unionByName(b)
+
+
+def q13_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets (Q13b)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = orders.select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+def q13_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of two key sets (Q13c)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.select(F.col("c_custkey").alias("k"))
+    b = orders.select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+
+
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part names (Q14)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("pre5"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.length("p_name").alias("name_len"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+    )
+
+
+def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family over order dates (Q15)."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofmonth(od).alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), od).alias("days_to_98"),
+        F.date_add(od, 30).alias("due_date"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("od_str"),
+    )
+
+
+def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family over lineitem numerics (Q16)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+def q17_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over sliced embedding arrays (Q17a)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val")
+    )
+
+
+def q17_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: size/slice/sort_array/element access (Q17b)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.sort_array(F.slice("embedding", 1, 4)).alias("first4_sorted"),
+        F.element_at("embedding", 1).alias("e1"),
+        F.array_max("embedding").alias("emax"),
+        F.array_min("embedding").alias("emin"),
+    )
+
+
+def q18_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column (Q18)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k INT").getField("k").alias("k_int"),
+    )
+
+
+def q19_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling family over customer balances (Q19)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg2"
+        ),
+        F.isnull("c_acctbal").alias("bal_null"),
+    )
+
+
+def q20_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it): parts priced
+    above their brand's average (Q20)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (
+            SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
+            FROM part p2
+            WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+def q21_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF, self-checked against the native
+    Catalyst expression (Q21). The UDF result must be bit-identical to
+    the JVM expression — both are IEEE doubles evaluated in the same
+    order."""
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf cannot resolve; an un-annotated callable
+    # defaults to the scalar (Arrow series → series) eval type.
+    disc_price_udf = pandas_udf(lambda price, discount: price * (1.0 - discount), "double")
+
+    li = _t(spark, sf_dir, "lineitem")
+    native = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price_udf("l_extendedprice", "l_discount").alias("disc_price"),
+        (disc_price_udf("l_extendedprice", "l_discount") == native).alias("matches_native"),
+    )
+
+
+def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record → keyed JSON document encode — the reference's A5 operator
+    (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""
+    from mapr_plugins_spark.sinks.document import encode_documents
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return encode_documents(cust, key_field="c_custkey")

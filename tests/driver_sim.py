@@ -1,0 +1,64 @@
+"""Replicates the driver's verify protocol against __spark_entry__.py.
+
+Usage: python tests/driver_sim.py [sf_dir] [--tz TZ]
+
+Creates a *plain* SparkSession (driver-style: no engine configs), runs
+entry() as a smoke check, then every queries()[name] at sf_dir and
+hash-compares with oracle_sql()[name] via DuckDB — order-insensitive,
+column-name-sorted, like CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    tz = None
+    if "--tz" in sys.argv:
+        tz = sys.argv[sys.argv.index("--tz") + 1]
+
+    b = SparkSession.builder.appName("driver-sim").master("local[8]")
+    if tz:
+        b = b.config("spark.sql.session.timeZone", tz)
+    spark = b.getOrCreate()
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from tests.oracle_harness import canonicalize, run_duckdb, spark_rows
+
+    rows = E.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows, schema ok" if rows else "entry(): EMPTY", flush=True)
+    assert len(rows) > 0
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    n_pass = n_fail = 0
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            got = canonicalize(spark_rows(qs[name](spark, sf_dir)))
+            if name not in os_:
+                status = f"rows-only ({len(got)} rows)"
+                ok = len(got) >= 0
+            else:
+                want = canonicalize(run_duckdb(os_[name], sf_dir))
+                ok = got == want
+                status = f"match ({len(got)} rows)" if ok else (
+                    f"MISMATCH spark={len(got)} duckdb={len(want)}"
+                )
+        except Exception as exc:  # driver records errors per query
+            ok, status = False, f"ERROR {type(exc).__name__}: {exc}"
+        n_pass += ok
+        n_fail += not ok
+        print(f"  {name:28s} {'PASS' if ok else 'FAIL'}  {status}  [{time.time()-t0:.1f}s]", flush=True)
+    print(f"driver-sim: {n_pass} pass / {n_fail} fail at {sf_dir}" + (f" tz={tz}" if tz else ""))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

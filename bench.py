@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
+   "queries": {"q01": sec, ...}, "sf": <sf>}
+
+Each query executes fully on the executors via the no-op sink (no
+driver collect), after a warm-up that triggers JVM/codegen warm paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mapr_plugins_spark.session import get_session
+
+    spark = get_session(app_name="mapr-plugins-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    registry = E.queries()
+    # Headline set: heavy relational shapes + north-star extensions.
+    headline = [
+        "q01_filter_project",
+        "q02_groupagg",
+        "q03_revenue_by_nation",
+        "q04_broadcast_join",
+        "q07_range_join",
+        "q09_rollup",
+        "q10_window_rank",
+        "q11_window_running",
+        "q16_math_funcs",
+        "q21_pandas_udf",
+        "q25_doc_encode",
+        "x_dedup_minhash_pairs",
+        "x_ann_bruteforce_topk",
+        "x_text_quality",
+        "s03_session_window",
+    ]
+    names = [n for n in headline if n in registry]
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    _run(E.entry(spark).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        _run(registry[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+
+* **Exact** dedup is a hash aggregate on the dedup key — one shuffle,
+  map-side combined.
+* **MinHash+LSH** never materializes the O(n²) pair space: shingles →
+  per-(doc, seed) min-hash (one shuffle keyed by doc), band signatures
+  (row-local), then a self-join only *within identical band buckets* —
+  the candidate set is tiny for non-similar corpora. Exact Jaccard is
+  verified only for candidates.
+* Hashing is the portable md5-based 60-bit scheme
+  (functions/portable_hash.py), so the DuckDB oracle reproduces every
+  intermediate value bit-for-bit.
+* **SimHash** is a per-doc signature: explode tokens → token hash bits →
+  weighted bit-majority, one grouped aggregation.
+* **Embedding cosine** near-dup uses label blocking (join key) so the
+  pair space is per-block, not global — swap in an LSH bucket column at
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.functions.portable_hash import seeded_hash60
+from mapr_plugins_spark.functions.vectors import cosine_similarity
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact deduplication — hash aggregate on the dedup key (columns in
+    ``subset``, or all columns)."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Word split is on single spaces (corpus-normalized text); shingle =
+    k consecutive words joined by one space — the DuckDB oracle uses the
+    identical definition.
+    """
+    w = F.split(F.col(text_col), " ")
+    idxs = F.sequence(F.lit(0), F.size(w) - k)  # 0-based start positions
+    sh = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        df.filter(F.size(w) >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, seed, mh): min over shingles of the seeded portable hash.
+
+    One crossJoin with a tiny literal seed range (broadcast, no
+    shuffle), then a single grouped min keyed by (doc_id, seed).
+    """
+    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    hashed = sh.crossJoin(F.broadcast(seeds)).withColumn(
+        "h", seeded_hash60("shingle", "seed")
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+
+
+def lsh_band_signatures(mh: DataFrame, band_rows: int = 4) -> DataFrame:
+    """(doc_id, band, sig): concatenated minhash signature per band.
+
+    The signature string is built in sorted seed order (array_sort over
+    (seed, mh) structs) so it is deterministic under any shuffle.
+    """
+    return (
+        mh.withColumn("band", F.expr(f"seed div {band_rows}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: F.concat_ws(":", x["seed"].cast("string"), x["mh"].cast("string")),
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket. The join is
+    equi on (band, sig) — pair blow-up only inside identical buckets."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→exact-Jaccard pipeline: (id_a, id_b, jaccard).
+
+    Candidates from LSH buckets; exact Jaccard (|A∩B| / |A∪B| over
+    distinct shingles) computed only for candidates and filtered at
+    ``threshold``. Jaccard is an integer ratio — engine-portable.
+    """
+    sh = shingles(docs, id_col, text_col, k=k).cache()
+    cand = lsh_candidate_pairs(
+        lsh_band_signatures(minhash_signatures(sh, n_hashes=n_hashes), band_rows=band_rows)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("s1.doc_id") == F.col("id_a"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("id_b")) & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): weighted bit-majority signature over token
+    hashes. Duplicate tokens count with multiplicity (standard SimHash).
+    One explode + one grouped aggregation."""
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    h = toks.withColumn("h", seeded_hash60("token", "0"))
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate vector pairs within blocking groups.
+
+    ``block_col`` bounds the pair space (swap in an LSH bucket for
+    unlabeled corpora at scale). Cosine runs JVM-side in double.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos6"))
+    )

@@ -1,0 +1,100 @@
+"""Custom join strategies Spark lacks natively.
+
+* :func:`asof_join` — "last value at or before t" time-series join
+  (SURVEY §2 Part B, custom row). Implemented as union + running
+  last-non-null window: ONE shuffle on (key), no pair blow-up, no
+  Python. This is the plan that survives scale — a naive range join
+  would be O(left × right) within key; this is O((left+right) log)
+  via sort within key partitions.
+
+* :func:`range_join_binned` — non-equi interval join accelerated by
+  bucketing the range dimension so the join has an equi component
+  (bin), turning BNLJ into a hash join; Catalyst prunes the residual
+  predicate. Correctness is identical to the plain non-equi join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right-side values with
+    ``right.on <= left.on`` within the same ``by`` group.
+
+    ``right`` must be unique per (by, on) — pre-aggregate if not.
+    Ties at equal ``on`` resolve to the right row (inclusive <=).
+    """
+    lcols = left.columns
+    l = left.select(*lcols, F.lit(1).alias("__is_left"))
+    r = right.select(
+        F.col(by),
+        F.col(on),
+        *[F.col(c) for c in value_cols],
+        F.lit(0).alias("__is_left"),
+    )
+    # align schemas: left rows carry null right-values, and vice versa
+    for c in value_cols:
+        l = l.withColumn(f"__rv_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r2 = r.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in (by, on) else F.col(c)
+            for c in lcols
+        ],
+        F.col("__is_left"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+    unioned = l.select(*lcols, "__is_left", *[f"__rv_{c}" for c in value_cols]).unionByName(r2)
+
+    # right rows sort before left rows at equal timestamps → inclusive <=
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop(
+        "__is_left", *[f"__rv_{c}" for c in value_cols]
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Join left points into right [lo, hi) intervals using bin buckets
+    as an equi key. Interval spans are exploded to every overlapping
+    bin; the residual predicate keeps exact semantics.
+
+    Requires interval width mostly ≤ a few bins for the explode to stay
+    cheap — pick ``bin_width`` near the median interval length.
+    """
+    lb = left.withColumn("__bin", (F.col(left_point) / bin_width).cast("long"))
+    rb = right.withColumn(
+        "__bins",
+        F.sequence(
+            (F.col(right_lo) / bin_width).cast("long"),
+            (F.col(right_hi) / bin_width).cast("long"),
+        ),
+    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    return lb.join(rb, "__bin").filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    ).drop("__bin")

@@ -1,0 +1,76 @@
+"""Multimodal column convention + decode plumbing.
+
+Convention (SURVEY §2 north-star): a modality payload is an opaque
+``binary`` column plus a typed metadata struct::
+
+    payload  BINARY                         -- raw bytes (image/audio/…)
+    meta     STRUCT<mime: STRING, n_bytes: BIGINT, digest: STRING>
+
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` so
+bytes never round-trip through Python row-at-a-time. The actual codec
+step is STUBBED (no image/audio libs in this container): `decode_stub`
+produces deterministic fake features from the raw bytes, and the real
+implementation point is clearly marked. The Spark-side plumbing —
+schema, batching, partition behavior — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the (stubbed) feature extractor.
+FEATURE_SCHEMA = "doc_id BIGINT, n_bytes INT, first_byte INT, mean_byte DOUBLE"
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize the multimodal convention from a text column (the
+    test corpus has no real image bytes; UTF-8 bytes stand in)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over payload bytes.
+
+    Replace the body of ``decode_stub`` with a real codec (PIL/librosa/
+    decord) in production; the mapInPandas contract (schema, batch
+    iterator shape, partition-preserving) stays identical.
+    """
+    import pandas as pd
+
+    def decode_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            # --- STUB: deterministic fake decode. Real impl: open the
+            # payload with the codec for meta.mime and emit features. ---
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "mean_byte": payloads.map(
+                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                    ).astype("float64"),
+                }
+            )
+
+    return mm.mapInPandas(decode_stub, schema=FEATURE_SCHEMA)
+
+
+def meta_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Declared (oracle-checkable) projection of the multimodal metadata."""
+    mm = attach_payload(df, text_col=text_col, id_col=id_col)
+    return mm.select(
+        id_col,
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.digest").alias("digest"),
+    )

@@ -1,0 +1,322 @@
+"""Declared extension queries (north-star operators) + DuckDB oracles.
+
+Keys q22/q23/q24 match FIXTURES.md Part 3; ``x_*`` keys extend the
+declared surface (SURVEY §2 north-star rows). Queries without an oracle
+entry (LSH ANN, mapInPandas feature extraction) get the driver's
+rows-only check and are additionally pinned by unit tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.catalog import table as _t
+from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+from mapr_plugins_spark.operators import dedup as D
+from mapr_plugins_spark.operators import joins as J
+from mapr_plugins_spark.operators import multimodal as M
+from mapr_plugins_spark.operators import similarity as S
+from mapr_plugins_spark.operators import text as X
+
+# ---------------------------------------------------------------------------
+# shared fragments
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')"
+_CANON_DUCK = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+_EN_STOP = ", ".join(f"'{w}'" for w in X.STOPWORDS["en"])
+_SIMHASH_BITS = 32
+_MINHASH_SEEDS = 8
+_BAND_ROWS = 4
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup variants (first word dropped, ids offset) —
+    deterministic injection so near-dup queries have non-trivial output."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", "^[a-z]+ ", "").alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^[a-z]+ ', '') AS text
+    FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs.unionByName(docs))
+
+
+def q23_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.term_frequencies(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+def q24_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, S.probe_of(emb, probe_id=0), k=5)
+
+
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, S.probe_of(emb, probe_id=0), k=5, n_bits=6, dim=64)
+
+
+def x_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.verified_near_dup_pairs(
+        corpus, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS, threshold=0.5
+    )
+
+
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+def x_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.with_language_id(docs).select("doc_id", "lang_pred", "lang_score")
+
+
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_features(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "digit_ratio", "quality_score"
+    )
+
+
+def x_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.fingerprint(docs).select("doc_id", "fp", "fp_hex")
+
+
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = J.asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["pval"])
+    return out.select("event_id", "user_id", F.col("pval_asof").alias("last_purchase"))
+
+
+def x_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.meta_table(_t(spark, sf_dir, "documents"))
+
+
+def x_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return M.extract_features(mm)
+
+
+def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        fn.__name__: fn
+        for fn in (
+            q22_exact_dedup,
+            q23_text_terms,
+            q24_ann_topk,
+            x_ann_lsh_topk,
+            x_dedup_minhash_pairs,
+            x_dedup_simhash,
+            x_dedup_embcos,
+            x_text_langid,
+            x_text_quality,
+            x_text_tokens,
+            x_text_fingerprint,
+            x_asof_join,
+            x_mm_meta,
+            x_mm_features,
+        )
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+
+
+def _minhash_oracle() -> str:
+    h = seeded_hash60_sql("shingle", "seed")
+    return f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+            FROM words WHERE len(w) >= 3
+        ),
+        hashed AS (
+            SELECT doc_id, CAST(s.seed AS INT) AS seed, {h} AS hh
+            FROM sh CROSS JOIN range({_MINHASH_SEEDS}) s(seed)
+        ),
+        mh AS (SELECT doc_id, seed, MIN(hh) AS mh FROM hashed GROUP BY 1, 2),
+        bands AS (
+            SELECT doc_id, seed // {_BAND_ROWS} AS band,
+                   string_agg(seed || ':' || mh, '|' ORDER BY seed) AS sig
+            FROM mh GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS ni
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.id_a
+            JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+    """
+
+
+def _simhash_oracle() -> str:
+    h = seeded_hash60_sql("token", "0")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hh // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+        h AS (SELECT doc_id, {h} AS hh FROM toks),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def _langid_oracle() -> str:
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({w}))) AS DOUBLE) / len(toks) AS s_{lang}".format(
+            w=", ".join(f"'{t}'" for t in words), lang=lang
+        )
+        for lang, words in X.STOPWORDS.items()
+    )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in X.STOPWORDS) + ")"
+    case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in sorted(X.STOPWORDS))
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        s AS (SELECT doc_id, {score_cols} FROM t WHERE len(toks) > 0)
+        SELECT doc_id, CASE {case} END AS lang_pred, m AS lang_score
+        FROM (SELECT *, {m} AS m FROM s)
+    """
+
+
+def extension_oracles() -> dict[str, str]:
+    return {
+        "q22_exact_dedup": """
+            SELECT DISTINCT * FROM
+            (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        """,
+        "q23_text_terms": f"""
+            WITH toks AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+            SELECT token, COUNT(*) AS cnt FROM toks
+            WHERE token NOT IN ({_EN_STOP})
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+        """,
+        "q24_ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6)
+                       AS cos6
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
+                     vec_id
+            LIMIT 5
+        """,
+        "x_dedup_minhash_pairs": _minhash_oracle(),
+        "x_dedup_simhash": _simhash_oracle(),
+        "x_dedup_embcos": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cos6
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "x_text_langid": _langid_oracle(),
+        "x_text_quality": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                       / len(toks) AS mean_token_len,
+                   CAST(len(list_filter(toks, x -> x IN ({_EN_STOP}))) AS DOUBLE) / len(toks)
+                       AS stopword_ratio,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)
+                       AS digit_ratio,
+                   0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                   + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_EN_STOP}))) AS DOUBLE)
+                                  / len(toks))
+                   + 0.3 * least(1.0,
+                         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                              AS DOUBLE) / len(toks) / 8.0)
+                       AS quality_score
+            FROM t
+        """,
+        "x_text_tokens": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT)
+                       AS bpe_tokens
+            FROM documents
+        """,
+        "x_text_fingerprint": (
+            "SELECT doc_id, "
+            + seeded_hash60_sql(_CANON_DUCK, "0")
+            + " AS fp, substr(md5("
+            + _CANON_DUCK
+            + "), 1, 16) AS fp_hex FROM documents"
+        ),
+        "x_asof_join": """
+            SELECT c.event_id, c.user_id, p.pval AS last_purchase
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, MAX(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ) p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "x_mm_meta": """
+            SELECT doc_id,
+                   'text/plain' AS mime,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
+        """,
+        # x_ann_lsh_topk, x_mm_features: rows-only (non-SQL-expressible);
+        # pinned by tests/test_extensions.py instead.
+    }

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns.
+
+* :func:`brute_force_topk` — exact cosine top-k; the correctness oracle
+  and the right plan when the probe set is small (broadcast probe,
+  single scan, TakeOrdered — no shuffle of the corpus).
+* :func:`lsh_topk` — random-hyperplane LSH with multi-probe: the corpus
+  is bucketed by signature ONCE (a column, reusable/persistable); a
+  query touches only buckets within Hamming distance ≤ 1 of the probe's
+  signature. At 100 TB the bucket column is a partition/bucketing key,
+  so a probe reads a handful of partitions instead of the full corpus.
+
+Hyperplanes are deterministic ±1 vectors derived from md5 in Python —
+they are plan *constants* (literal arrays), not data — so results are
+reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.functions.vectors import cosine_similarity, dot_product
+
+
+def _hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane #j (md5-parity of (j, d))."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{j},{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``emb`` rows against a single-row ``probe``
+    DataFrame (columns: probe_id, probe_vec). Broadcast probe; ordering
+    tie-broken by id; planner executes TakeOrderedAndProject."""
+    joined = emb.crossJoin(F.broadcast(probe))
+    scored = joined.filter(F.col(id_col) != F.col("probe_id")).withColumn(
+        "cos", cosine_similarity(vec_col, "probe_vec")
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 6).alias("cos6"))
+    )
+
+
+def signature_col(vec_col: str, n_bits: int, dim: int):
+    """LSH signature as an integer column: bit j = sign(v·hp_j)."""
+    sig = F.lit(0).cast("long")
+    for j in range(n_bits):
+        hp = F.array(*[F.lit(x) for x in _hyperplane(j, dim)])
+        bit = F.when(dot_product(F.col(vec_col), hp) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    dim: int = 64,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = buckets within Hamming distance
+    ≤ ``max_hamming`` of the probe signature, then exact cosine among
+    candidates. Defaults probe ~1/3 of the bucket space — tuned for
+    low-correlation corpora; tighten (more bits, smaller radius) when
+    the corpus has real near-duplicate structure."""
+    tagged = emb.withColumn("sig", signature_col(vec_col, n_bits, dim))
+    p = probe.withColumn("psig", signature_col("probe_vec", n_bits, dim))
+    joined = tagged.crossJoin(F.broadcast(p)).filter(F.col(id_col) != F.col("probe_id"))
+    # popcount(sig XOR psig) ≤ radius — multi-probe over adjacent buckets
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("psig")))
+    cands = joined.filter(ham <= max_hamming)
+    return (
+        cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 6).alias("cos6"))
+    )
+
+
+def probe_of(emb: DataFrame, probe_id: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Single-row probe DataFrame (probe_id, probe_vec) selected by id —
+    stays distributed; no driver collect."""
+    return emb.filter(F.col(id_col) == probe_id).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )

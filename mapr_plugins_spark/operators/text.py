@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+and document fingerprinting over a ``text`` column — each expressed as
+pure Catalyst expressions (split / higher-order functions / regexp), so
+the hot path is whole-stage codegen with zero Python and zero shuffle;
+only the term-frequency query aggregates.
+
+Every operator has an exactly-equivalent DuckDB oracle (same token
+definition, same arithmetic) in ``operators/registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.functions.portable_hash import seeded_hash60
+
+#: Tiny per-language stopword lists (engine-agnostic constants). The
+#: language-ID heuristic scores a document by the fraction of its tokens
+#: found in each list.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"),
+    "en": ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for"),
+    "es": ("el", "la", "los", "de", "y", "en", "que", "un", "una", "es"),
+    "fr": ("le", "la", "les", "de", "et", "en", "un", "une", "est", "dans"),
+    "zh": ("de", "le", "shi", "bu", "zai"),  # romanized placeholders
+}
+
+#: Token definition shared with the oracles: lowercase, split on any
+#: non-letter run, drop empties.
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def _in_list_count(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda tok: tok.isin(*words)))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Append a predicted-language column (stopword-fraction argmax,
+    alphabetical tie-break)."""
+    toks = tokens_col(text_col)
+    df = df.withColumn("__toks", toks).withColumn("__n", F.size("__toks"))
+    scores = {
+        lang: (_in_list_count(F.col("__toks"), words) / F.col("__n")).alias(f"__s_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    df = df.select("*", *scores.values())
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in STOPWORDS])
+    expr = None
+    for lang in sorted(STOPWORDS):  # alphabetical tie-break
+        cond = F.col(f"__s_{lang}") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    df = df.withColumn(out_col, expr).withColumn("lang_score", best)
+    return df.drop("__toks", "__n", *[f"__s_{lang}" for lang in STOPWORDS])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a fixed scoring formula.
+
+    Features: token count, mean token length, stopword ratio, digit
+    ratio. Score = 0.4·min(1, n/100) + 0.3·(1 − stop_ratio) +
+    0.3·min(1, mean_len/8). All double arithmetic is per-row and
+    engine-portable.
+    """
+    toks = tokens_col(text_col)
+    df = df.withColumn("__toks", toks)
+    n = F.size("__toks")
+    sum_len = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_len.cast("double") / n
+    stop_ratio = _in_list_count(F.col("__toks"), STOPWORDS["en"]).cast("double") / n
+    digit_ratio = (
+        F.size(F.regexp_extract_all(text_col, F.lit("[0-9]"), 0)).cast("double")
+        / F.length(text_col)
+    )
+    score = (
+        0.4 * F.least(F.lit(1.0), n.cast("double") / 100.0)
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.3 * F.least(F.lit(1.0), mean_len / 8.0)
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("quality_score", score)
+        .drop("__toks")
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count
+    (letter runs / single digits / other non-space symbols)."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    bpe = F.size(F.regexp_extract_all(text_col, F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 60-bit document fingerprint over whitespace-
+    canonicalized text (portable across engines via md5 arithmetic)."""
+    canon_sql = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    return df.withColumn("fp", seeded_hash60(canon_sql, "0")).withColumn(
+        "fp_hex", F.substring(F.md5(F.expr(canon_sql)), 1, 16)
+    )
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Corpus-level term frequencies with stopword removal (top-N by
+    count desc, token asc). Partial aggregation map-side; the only
+    shuffle is on token."""
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = df.select(F.explode(tokens_col(text_col)).alias("token")).filter(
+        F.expr(f"token NOT IN ({stop})")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(top_n)
+    )

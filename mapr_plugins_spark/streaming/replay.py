@@ -1,0 +1,66 @@
+"""Stream replay + run-to-completion utilities.
+
+The reference's streaming surface is a micro-batch DStream fed by a
+Kafka-API direct stream (``MapRStreamingSource.java:88-93``). The
+engine's equivalent is Structured Streaming; for deterministic tests the
+``events`` table is replayed through the file stream source (same
+micro-batch execution path as Kafka, minus the broker).
+
+``run_available_now`` executes a streaming DataFrame to the end of
+available input (Trigger.AvailableNow — the bounded-reprocess trigger)
+into a memory sink and returns the result as a batch DataFrame, so
+streaming queries can participate in the oracle-differential gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.session import pin_runtime_conf
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """The file stream source requires a *directory*; the test tables are
+    single read-only files. Stage a per-table symlink directory in /tmp
+    (idempotent, content untouched)."""
+    key = hashlib.md5(f"{sf_dir}/{name}".encode()).hexdigest()[:12]
+    d = f"/tmp/mapr_plugins_stream/{key}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{name}.parquet"
+    if not os.path.lexists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` replayed as a stream (schema-pinned file source, with
+    the same TIMESTAMP(NANOS) → microsecond normalization as the batch
+    catalog)."""
+    pin_runtime_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .parquet(_stream_dir(sf_dir, "events"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink;
+    return the sink contents as a batch DataFrame."""
+    name = f"snap_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,69 @@
+"""Oracle-differential + behavioral tests for the north-star extension
+operators (dedup / similarity / text / multimodal / as-of join)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapr_plugins_spark.operators import registry as R
+
+
+@pytest.mark.parametrize("key", sorted(R.extension_oracles()))
+def test_extension_matches_oracle(spark, sf_dir, key):
+    from tests.oracle_harness import assert_matches_oracle
+
+    df = R.extension_queries()[key](spark, sf_dir)
+    assert_matches_oracle(df, R.extension_oracles()[key], sf_dir, key=key)
+
+
+def test_minhash_finds_injected_near_dups(spark, sf_dir):
+    """Every injected variant (id+1000000, first word dropped) must pair
+    with its source doc at jaccard >= 0.5."""
+    pairs = R.x_dedup_minhash_pairs(spark, sf_dir)
+    rows = {(r.id_a, r.id_b) for r in pairs.collect()}
+    docs = R.q22_exact_dedup(spark, sf_dir).count() // 1  # doc count via dedup
+    n_docs = R.x_text_tokens(spark, sf_dir).count()
+    found = sum((i, i + 1000000) in rows for i in range(n_docs))
+    assert found >= 0.9 * n_docs, f"only {found}/{n_docs} injected near-dups found"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """LSH top-5 must overlap the exact top-5 by >= 2 on the fixed data
+    (deterministic: hyperplanes and data are both fixed)."""
+    exact = {r.vec_id for r in R.q24_ann_topk(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in R.x_ann_lsh_topk(spark, sf_dir).collect()}
+    assert len(exact) == 5
+    assert len(exact & approx) >= 2, f"LSH recall too low: {exact & approx}"
+
+
+def test_mm_features_deterministic_stub(spark, sf_dir):
+    """mapInPandas plumbing: schema + values of the deterministic fake
+    decode, cross-checked in pure Python."""
+    out = {r.doc_id: r for r in R.x_mm_features(spark, sf_dir).collect()}
+    from mapr_plugins_spark.catalog import table
+
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in list(docs.items())[:25]:
+        b = text.encode("utf-8")
+        r = out[doc_id]
+        assert r.n_bytes == len(b)
+        assert r.first_byte == b[0]
+        assert abs(r.mean_byte - sum(b) / len(b)) < 1e-9
+
+
+def test_asof_join_semantics(spark, sf_dir):
+    """Hand-check as-of semantics on a tiny constructed frame."""
+    from mapr_plugins_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], "k INT, t INT, tag STRING"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 9, 900.0)], "k INT, t INT, v DOUBLE"
+    )
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+    }
+    assert out == {"L1": 100.0, "L2": 150.0, "L3": None}  # inclusive <=, none-before -> null

@@ -1,0 +1,73 @@
+"""Streaming semantics vs batch oracles (FIXTURES S01-S05).
+
+The queries execute through real Structured Streaming micro-batches
+(Trigger.AvailableNow + state store); results are compared to
+batch-computed DuckDB equivalents.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapr_plugins_spark.streaming import registry as SR
+
+
+@pytest.mark.parametrize("key", sorted(SR.streaming_oracles()))
+def test_streaming_matches_batch_oracle(spark, sf_dir, key):
+    from tests.oracle_harness import assert_matches_oracle
+
+    df = SR.streaming_queries()[key](spark, sf_dir)
+    assert_matches_oracle(df, SR.streaming_oracles()[key], sf_dir, key=key)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Adversarial event-time ordering: with an append-mode watermarked
+    aggregation, a record arriving (in a later run, behind the persisted
+    watermark) must not resurrect a finalized window. The checkpoint is
+    shared across the two runs so the watermark state carries over —
+    exactly how a production restart behaves."""
+    import pandas as pd
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    out = str(tmp_path / "stream_out")
+    cp = str(tmp_path / "stream_cp")
+    # run 1: events at t0 and t0+60min → watermark persisted at t0+50min
+    pd.DataFrame({"ts_us": [0, 3_600_000_000], "v": [1.0, 1.0]}).to_parquet(d / "b0.parquet")
+
+    from pyspark.sql import functions as F
+
+    schema = "ts_us BIGINT, v DOUBLE"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["window"].start.isoformat(): r["n"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run_once()
+    t0_key = "1970-01-01T00:00:00"
+    assert first.get(t0_key) == 1
+
+    # run 2: a late event at t0+1min — behind the persisted watermark
+    pd.DataFrame({"ts_us": [60_000_000], "v": [9.0]}).to_parquet(d / "b1.parquet")
+    second = run_once()
+    # the t0 window was finalized with n=1; the late event must be dropped
+    assert second.get(t0_key) == 1

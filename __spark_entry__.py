@@ -53,6 +53,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         reg.update(streaming_queries())
     except ImportError:
         pass
+    try:
+        from mapr_plugins_spark.sources.registry import format_queries
+
+        reg.update(format_queries())
+    except ImportError:
+        pass
     return reg
 
 
@@ -71,6 +77,12 @@ def oracle_sql() -> dict[str, str]:
         from mapr_plugins_spark.streaming.registry import streaming_oracles
 
         out.update(streaming_oracles())
+    except ImportError:
+        pass
+    try:
+        from mapr_plugins_spark.sources.registry import format_oracles
+
+        out.update(format_oracles())
     except ImportError:
         pass
     return out

@@ -209,6 +209,132 @@ RELATIONAL_ORACLES: dict[str, str] = {
                TRUE AS matches_native
         FROM lineitem
     """,
+    "q30_full_outer_join": """
+        SELECT coalesce(c_custkey, o_custkey) AS k,
+               COUNT(o_orderkey) AS n_orders,
+               MAX(c_custkey IS NOT NULL) AS has_cust
+        FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+        FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 2 = 0) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY coalesce(c_custkey, o_custkey)
+    """,
+    # The map is constructed from known columns, so the oracle states the
+    # expected extraction results directly — it checks Spark's map
+    # semantics, not DuckDB's.
+    "q31_map_funcs": """
+        SELECT c_custkey,
+               c_mktsegment AS seg_val,
+               CAST(c_nationkey AS VARCHAR) AS nation_val,
+               CAST(3 AS INTEGER) AS n_keys,
+               ['name', 'nation', 'seg'] AS keys_sorted,
+               TRUE AS has_name_val
+        FROM customer
+    """,
+    "q32_stats_agg": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12)))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12)))
+                        AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+               round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+               round((sxy - sx * sy / n) / (n - 1), 6) AS cov_qty_price,
+               round(((sxy - sx * sy / n) / (n - 1))
+                     / sqrt(((sxx - sx * sx / n) / (n - 1))
+                            * ((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price
+        FROM m
+    """,
+    "q33_percentiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               quantile_cont(l_quantity, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q33_approx_percentile": """
+        SELECT TRUE AS approx_ok
+    """,
+    "q34_collect": """
+        SELECT o_custkey,
+               list_sort(list(o_orderpriority)) AS prios_all,
+               list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+               CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_distinct_prio
+        FROM orders GROUP BY o_custkey
+    """,
+    "q35_cube": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               {dsum_sql('o_totalprice', 'revenue')},
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q36_grouping_sets": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               {dsum_sql('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "q37_cross_join": """
+        SELECT n_nationkey, r_regionkey, n_regionkey = r_regionkey AS home
+        FROM nation CROSS JOIN region
+    """,
+    "q38_window_analytics": """
+        WITH d AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey,
+               LEAD(o_orderkey) OVER w AS next_orderkey,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS prio_rank,
+               FIRST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+               LAST_VALUE(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY days
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d
+        FROM d
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q39_grouped_udaf": """
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
+               MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
+        FROM orders GROUP BY o_custkey
+    """,
+    "q40_python_udtf": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS idx, toks[CAST(r.i AS INTEGER)] AS word
+        FROM t, range(1, 100000) r(i)
+        WHERE r.i <= len(toks) AND toks[CAST(r.i AS INTEGER)] <> ''
+    """,
+    "q41_row_udf": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bal_band
+        FROM customer
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

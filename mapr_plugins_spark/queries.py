@@ -399,6 +399,225 @@ def q21_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: order-count per customer key from both sides,
+    keys surviving from either input (Q30)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 2 == 0)
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full")
+    return joined.groupBy(
+        F.coalesce("c_custkey", "o_custkey").alias("k")
+    ).agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.max(F.col("c_custkey").isNotNull()).alias("has_cust"),
+    )
+
+
+def q31_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: create_map / map_concat / element_at /
+    map_keys / size (Q31)."""
+    cust = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"), F.lit("name"), F.col("c_name")
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("nation"), F.col("c_nationkey").cast("string")))
+    return cust.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(m2, "nation").alias("nation_val"),
+        F.size(m2).alias("n_keys"),
+        F.array_sort(F.map_keys(m2)).alias("keys_sorted"),
+        F.array_contains(F.map_values(m), F.col("c_name")).alias("has_name_val"),
+    )
+
+
+def q32_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/corr re-derived from exact decimal moments so the
+    result is shuffle-order-free on both engines (Q32). Covers the
+    statistical aggregate family with deterministic semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    # per-row products in IEEE double (bit-identical across engines),
+    # accumulated in exact decimal (order-free across shuffle plans)
+    moments = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return moments.select(
+        "l_returnflag",
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("std_qty"),
+        F.round(cov, 6).alias("cov_qty_price"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    )
+
+
+def q33_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group (Q33); the
+    approx variant is covered by the self-checked q33_approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.expr("percentile(l_quantity, 0.99)").alias("p99"),
+    )
+
+
+def q33_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile self-checked against the exact percentile —
+    sketches differ across engines, assertions don't (Q33b)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            / F.expr("percentile(l_extendedprice, 0.5)")
+            <= F.lit(0.05)
+        ).alias("approx_ok")
+    )
+
+
+def q34_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set with canonical (sorted) array output —
+    the only engine-portable contract for unordered collections (Q34)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderpriority")).alias("prios_all"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set("o_orderpriority")).alias("n_distinct_prio"),
+    )
+
+
+def q35_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority with GROUPING indicators (Q35)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "revenue"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status), (priority), grand total (Q36)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q37_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two mini dimensions (Q37)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.crossJoin(region).select(
+        "n_nationkey", "r_regionkey", (F.col("n_regionkey") == F.col("r_regionkey")).alias("home")
+    )
+
+
+def q38_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended window-analytic family: lead / ntile / percent_rank /
+    dense_rank / first-last over frame / RANGE frame (trailing 30-day
+    order count per customer) (Q38)."""
+    orders = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    wr = Window.partitionBy("o_custkey").orderBy(days.cast("long")).rangeBetween(-30, 0)
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(wo).alias("next_orderkey"),
+        F.ntile(4).over(wo).alias("quartile"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.dense_rank().over(Window.partitionBy("o_custkey").orderBy("o_orderpriority")).alias(
+            "prio_rank"
+        ),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.count(F.lit(1)).over(wr).alias("n_orders_30d"),
+    )
+
+
+def q39_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas (Arrow batch per group):
+    per-customer order stats in exact integer cents (Q39). The pandas
+    kernel is order-free (integer sum), so the result is deterministic
+    under any shuffle plan."""
+    import pandas as pd
+
+    def stats(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = np.floor(pdf["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_custkey": [key[0]],
+                "n_orders": [np.int64(len(cents))],
+                "total_cents": [cents.sum()],
+                "max_cents": [cents.max()],
+            }
+        )
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return orders.groupBy("o_custkey").applyInPandas(
+        stats, "o_custkey BIGINT, n_orders BIGINT, total_cents BIGINT, max_cents BIGINT"
+    )
+
+
+def q40_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one output row per token with its
+    position, lateral-joined against documents (Q40)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx INT, word STRING")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            for i, w in enumerate(text.split(" ")):
+                if w:
+                    yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.word
+        FROM documents d, LATERAL split_words(d.doc_id, d.text) s
+        """
+    )
+
+
+def q41_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — declared for API-surface parity; the
+    docstring is the perf warning: use q21's pandas_udf in hot paths
+    (Q41)."""
+    from pyspark.sql.types import StringType
+
+    band = F.udf(lambda b: "neg" if b < 0 else ("mid" if b < 5000 else "high"), StringType())
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select("c_custkey", band("c_acctbal").alias("bal_band"))
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -1,0 +1,197 @@
+"""Payload format registry — the reference's A4 parse surface, Spark-first.
+
+The reference parses each stream payload through a format chosen by
+config (``MapRStreamingSource.java:164-187``: lazily-built CDAP
+``RecordFormat`` from a ``FormatSpecification``), with the supported
+format list declared in
+``widgets/MapRStream-streamingsource.json:48-58``: avro, binary, clf,
+csv, grok, syslog, text, tsv.
+
+Here every format is a *Catalyst expression builder*: ``parse_expr``
+returns a struct-typed Column, so parsing is a projection inside
+whole-stage codegen — no per-record closures, no Python in the hot path
+(contrast the reference's per-record ``Function`` objects,
+``MapRStreamingSource.java:120-150``). At 100 TB this is the difference
+between a JVM-codegen'd regex/CSV kernel and 10^12 interpreted calls.
+
+Divergences from the reference (documented, deliberate — SURVEY §1.4):
+the raw/formatless mode yields ``value BINARY`` plus an explicit
+``CAST(value AS STRING)`` helper instead of stuffing raw bytes into the
+first schema field regardless of its type
+(``MapRStreamingSource.java:159-161``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "FORMATS",
+    "parse_expr",
+    "grok_compile",
+    "CLF_REGEX",
+    "SYSLOG_REGEX",
+]
+
+#: Format names accepted by the reference's source widget
+#: (``widgets/MapRStream-streamingsource.json:48-58``).
+FORMATS: tuple[str, ...] = (
+    "avro",
+    "binary",
+    "clf",
+    "csv",
+    "grok",
+    "syslog",
+    "text",
+    "tsv",
+    "json",  # engine extension: first-class JSON payloads
+)
+
+# ---------------------------------------------------------------------------
+# line-format regexes
+
+#: Apache Common Log Format:
+#: host ident authuser [timestamp] "request" status bytes
+CLF_REGEX = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]*)\] "([^"]*)" (\d{3}|-) (\d+|-)$'
+)
+_CLF_FIELDS = ("host", "ident", "authuser", "ts", "request", "status", "bytes")
+
+#: RFC 3164 syslog: <pri>MMM dd HH:MM:SS host tag[pid]: msg
+SYSLOG_REGEX = (
+    r"^<(\d+)>([A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) (\S+?) "
+    r"([^:\[\s]+)(?:\[(\d+)\])?: (.*)$"
+)
+_SYSLOG_FIELDS = ("pri", "ts", "host", "tag", "pid", "msg")
+
+# ---------------------------------------------------------------------------
+# grok → regex compiler (subset of the public grok pattern library)
+
+#: Public grok base patterns (same semantics as logstash-patterns-core;
+#: re-derived, not copied — each is the standard regex for the concept).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPORHOST": r"[\w.\-]+",
+    "HOSTNAME": r"[\w.\-]+",
+    "USER": r"[\w.\-]+",
+    "USERNAME": r"[\w.\-]+",
+    "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "QS": r'"[^"]*"',
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+}
+
+_GROK_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_compile(pattern: str) -> tuple[str, list[str]]:
+    """Compile a grok pattern to ``(regex, named_fields)``.
+
+    ``%{SYNTAX:name}`` becomes a capturing group bound to ``name``;
+    ``%{SYNTAX}`` (no name) matches without capturing. Literal text
+    between tokens is regex-escaped. Unknown SYNTAX raises ``KeyError``.
+    """
+    out: list[str] = ["^"]
+    fields: list[str] = []
+    pos = 0
+    for m in _GROK_TOKEN.finditer(pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        syntax, name = m.group(1), m.group(2)
+        frag = GROK_PATTERNS[syntax]
+        if name:
+            fields.append(name)
+            out.append(f"({frag})")
+        else:
+            out.append(f"(?:{frag})")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    out.append("$")
+    return "".join(out), fields
+
+
+# ---------------------------------------------------------------------------
+# expression builders
+
+
+def _as_string(value: Column) -> Column:
+    return value.cast("string")
+
+
+def _regex_struct(value: Column, regex: str, fields: tuple[str, ...] | list[str]) -> Column:
+    """All-groups extraction as a struct — one codegen'd regex kernel."""
+    line = _as_string(value)
+    return F.struct(
+        *[
+            F.regexp_extract(line, regex, i + 1).alias(name)
+            for i, name in enumerate(fields)
+        ]
+    )
+
+
+def parse_expr(
+    fmt: str | None,
+    value: Column | str = "value",
+    schema: str | None = None,
+    *,
+    grok_pattern: str | None = None,
+    options: dict[str, str] | None = None,
+) -> Column:
+    """Build the parse projection for a payload format (reference A4).
+
+    Parameters mirror the reference's ``FormatSpecification``: ``fmt``
+    (format name or None for raw), ``schema`` (DDL string for the
+    record-shaped formats csv/tsv/json/avro), ``grok_pattern`` for
+    format='grok'. Returns a single struct Column named by caller; for
+    raw/binary the passthrough value column.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    opts = dict(options or {})
+
+    if fmt is None or fmt == "binary":
+        # formatless: raw bytes, explicit (SURVEY §1.4 divergence)
+        return value
+    if fmt == "text":
+        return _as_string(value)
+    if fmt == "csv":
+        if schema is None:
+            raise ValueError("csv format requires a DDL schema")
+        return F.from_csv(_as_string(value), schema, {"sep": ",", **opts})
+    if fmt == "tsv":
+        if schema is None:
+            raise ValueError("tsv format requires a DDL schema")
+        return F.from_csv(_as_string(value), schema, {"sep": "\t", **opts})
+    if fmt == "json":
+        if schema is None:
+            raise ValueError("json format requires a DDL schema")
+        return F.from_json(_as_string(value), schema, opts)
+    if fmt == "avro":
+        if schema is None:
+            raise ValueError("avro format requires an Avro schema JSON string")
+        try:
+            from pyspark.sql.avro.functions import from_avro
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "avro format needs the spark-avro module on the classpath"
+            ) from e
+        return from_avro(value, schema, opts)
+    if fmt == "clf":
+        return _regex_struct(value, CLF_REGEX, _CLF_FIELDS)
+    if fmt == "syslog":
+        return _regex_struct(value, SYSLOG_REGEX, _SYSLOG_FIELDS)
+    if fmt == "grok":
+        if not grok_pattern:
+            raise ValueError("grok format requires grok_pattern")
+        regex, fields = grok_compile(grok_pattern)
+        return _regex_struct(value, regex, fields)
+    raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")

@@ -1,0 +1,219 @@
+"""Declared format-parse queries (reference A4 surface) + DuckDB oracles.
+
+Each query deterministically *constructs* a formatted line from test
+table columns (integers/strings only — float formatting differs across
+engines), then parses it back through the engine's format registry.
+The oracle performs the identical construction + extraction in DuckDB
+SQL, so the parse semantics are cross-checked end to end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.catalog import table as _t
+from mapr_plugins_spark.sources.formats import (
+    CLF_REGEX,
+    SYSLOG_REGEX,
+    grok_compile,
+    parse_expr,
+)
+
+_GROK_LOG = "%{TIMESTAMP_ISO8601:tstamp} %{LOGLEVEL:level} %{WORD:component} - %{GREEDYDATA:msg}"
+
+
+def _level_case() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "click", "INFO")
+        .when(F.col("event_type") == "purchase", "WARN")
+        .otherwise("DEBUG")
+    )
+
+
+def q26_clf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLF (Apache common log) parse round-trip over events (Q26)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("h"),
+        F.col("user_id").cast("string"),
+        F.lit(' - frank [10/Oct/2000:13:55:36 -0700] "GET /'),
+        F.col("event_type"),
+        F.lit(' HTTP/1.0" '),
+        (F.lit(200) + F.col("event_id") % 300).cast("int").cast("string"),
+        F.lit(" "),
+        (F.col("event_id") % 5000).cast("string"),
+    )
+    rec = parse_expr("clf", line)
+    return ev.select("event_id", rec.alias("r")).select(
+        "event_id",
+        F.col("r.host").alias("host"),
+        F.col("r.request").alias("request"),
+        F.col("r.status").cast("int").alias("status"),
+        F.col("r.bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+def q27_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC3164 syslog parse round-trip over events (Q27)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("<"),
+        (F.col("event_id") % 192).cast("string"),
+        F.lit(">Oct 11 22:14:15 host"),
+        F.col("user_id").cast("string"),
+        F.lit(" app["),
+        (F.col("event_id") % 30000).cast("string"),
+        F.lit("]: "),
+        F.col("event_type"),
+        F.lit(" event observed"),
+    )
+    rec = parse_expr("syslog", line)
+    return ev.select("event_id", rec.alias("r")).select(
+        "event_id",
+        F.col("r.pri").cast("int").alias("pri"),
+        F.col("r.host").alias("host"),
+        F.col("r.tag").alias("tag"),
+        F.col("r.pid").cast("bigint").alias("pid"),
+        F.col("r.msg").alias("msg"),
+    )
+
+
+def q28_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-pattern parse (compiled to one codegen'd regex) over a
+    constructed app-log line (Q28)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(" "),
+        _level_case(),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit(" - user="),
+        F.col("user_id").cast("string"),
+        F.lit(" props="),
+        F.col("props"),
+    )
+    rec = parse_expr("grok", line, grok_pattern=_GROK_LOG)
+    return ev.select("event_id", rec.alias("r")).select(
+        "event_id",
+        F.col("r.tstamp").alias("tstamp"),
+        F.col("r.level").alias("level"),
+        F.col("r.component").alias("component"),
+        F.col("r.msg").alias("msg"),
+    )
+
+
+def q29_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv + tsv payload parse (from_csv kernels) over constructed
+    customer lines (Q29)."""
+    cust = _t(spark, sf_dir, "customer")
+    csv_line = F.concat_ws(
+        ",", F.col("c_name"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")
+    )
+    tsv_line = F.concat_ws(
+        "\t", F.col("c_name"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")
+    )
+    schema = "name STRING, seg STRING, key BIGINT"
+    c = parse_expr("csv", csv_line, schema)
+    t = parse_expr("tsv", tsv_line, schema)
+    return cust.select(
+        "c_custkey",
+        c.getField("name").alias("csv_name"),
+        c.getField("seg").alias("csv_seg"),
+        c.getField("key").alias("csv_key"),
+        t.getField("key").alias("tsv_key"),
+        (c.getField("key") == t.getField("key")).alias("csv_tsv_agree"),
+    )
+
+
+def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        fn.__name__: fn
+        for fn in (q26_clf_parse, q27_syslog_parse, q28_grok_parse, q29_csv_parse)
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles — identical construction + extraction in DuckDB SQL
+
+
+def _duck_re(regex: str) -> str:
+    return regex.replace("'", "''")
+
+
+_CLF_LINE = (
+    "'h' || CAST(user_id AS VARCHAR)"
+    " || ' - frank [10/Oct/2000:13:55:36 -0700] \"GET /'"
+    " || event_type || ' HTTP/1.0\" '"
+    " || CAST(CAST(200 + event_id % 300 AS INT) AS VARCHAR)"
+    " || ' ' || CAST(event_id % 5000 AS VARCHAR)"
+)
+
+_SYSLOG_LINE = (
+    "'<' || CAST(event_id % 192 AS VARCHAR) || '>Oct 11 22:14:15 host'"
+    " || CAST(user_id AS VARCHAR) || ' app[' || CAST(event_id % 30000 AS VARCHAR)"
+    " || ']: ' || event_type || ' event observed'"
+)
+
+_GROK_LINE = (
+    "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    " || ' ' || CASE WHEN event_type = 'click' THEN 'INFO'"
+    " WHEN event_type = 'purchase' THEN 'WARN' ELSE 'DEBUG' END"
+    " || ' ' || event_type || ' - user=' || CAST(user_id AS VARCHAR)"
+    " || ' props=' || props"
+)
+
+
+def format_oracles() -> dict[str, str]:
+    clf = _duck_re(CLF_REGEX)
+    slog = _duck_re(SYSLOG_REGEX)
+    grok_re = _duck_re(grok_compile(_GROK_LOG)[0])
+    return {
+        "q26_clf_parse": f"""
+            WITH l AS (SELECT event_id, {_CLF_LINE} AS line FROM events)
+            SELECT event_id,
+                   regexp_extract(line, '{clf}', 1) AS host,
+                   regexp_extract(line, '{clf}', 5) AS request,
+                   CAST(regexp_extract(line, '{clf}', 6) AS INT) AS status,
+                   CAST(regexp_extract(line, '{clf}', 7) AS BIGINT) AS n_bytes
+            FROM l
+        """,
+        "q27_syslog_parse": f"""
+            WITH l AS (SELECT event_id, {_SYSLOG_LINE} AS line FROM events)
+            SELECT event_id,
+                   CAST(regexp_extract(line, '{slog}', 1) AS INT) AS pri,
+                   regexp_extract(line, '{slog}', 3) AS host,
+                   regexp_extract(line, '{slog}', 4) AS tag,
+                   CAST(regexp_extract(line, '{slog}', 5) AS BIGINT) AS pid,
+                   regexp_extract(line, '{slog}', 6) AS msg
+            FROM l
+        """,
+        "q28_grok_parse": f"""
+            WITH l AS (SELECT event_id, {_GROK_LINE} AS line FROM events)
+            SELECT event_id,
+                   regexp_extract(line, '{grok_re}', 1) AS tstamp,
+                   regexp_extract(line, '{grok_re}', 2) AS level,
+                   regexp_extract(line, '{grok_re}', 3) AS component,
+                   regexp_extract(line, '{grok_re}', 4) AS msg
+            FROM l
+        """,
+        "q29_csv_parse": """
+            WITH l AS (
+                SELECT c_custkey,
+                       string_split(c_name || ',' || c_mktsegment || ','
+                                    || CAST(c_custkey AS VARCHAR), ',') AS c,
+                       string_split(c_name || chr(9) || c_mktsegment || chr(9)
+                                    || CAST(c_custkey AS VARCHAR), chr(9)) AS t
+                FROM customer
+            )
+            SELECT c_custkey,
+                   c[1] AS csv_name, c[2] AS csv_seg,
+                   CAST(c[3] AS BIGINT) AS csv_key,
+                   CAST(t[3] AS BIGINT) AS tsv_key,
+                   CAST(c[3] AS BIGINT) = CAST(t[3] AS BIGINT) AS csv_tsv_agree
+            FROM l
+        """,
+    }

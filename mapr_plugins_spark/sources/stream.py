@@ -1,0 +1,128 @@
+"""Kafka-API stream source spec — the reference's A1 operator, Spark-first.
+
+The reference subscribes to comma-separated topics through the Kafka 0.9
+consumer API with an earliest/latest initial-offset policy, a random
+consumer group, and 1 s auto-commit
+(``MapRStreamingSource.java:70-94``, config at
+``MapRStreamConfig.java:30-57``). Its payload is ``(byte[] key,
+byte[] value)`` parsed by the A4 format registry.
+
+The engine equivalent is Structured Streaming's Kafka source — the same
+direct (receiver-less, partition-aligned) consumption model the
+reference uses, with three deliberate semantic upgrades (SURVEY §1.4 /
+§3.2): offsets tracked in the checkpoint WAL instead of consumer
+auto-commit (exactly-once with idempotent sinks, vs at-least-once),
+a deterministic group id per query instead of ``new Random().nextInt``
+(``MapRStreamingSource.java:74``), and explicit Kafka metadata columns
+(key/value/topic/partition/offset/timestamp) instead of the
+first-field-is-the-message quirk (``MapRStreamingSource.java:134-140``).
+
+No broker exists in the test environment, so ``reader_options`` (pure
+config mapping) is unit-tested directly and ``open_stream`` accepts a
+file-replay path that exercises the identical downstream parse plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.sources.formats import parse_expr
+
+#: Initial-offset policy values, per the reference's config doc
+#: (``MapRStreamConfig.java:40-44`` — defaultInitialOffset earliest/latest).
+OFFSET_POLICIES = ("earliest", "latest")
+
+
+@dataclass(frozen=True)
+class StreamSourceSpec:
+    """Mirrors ``MapRStreamConfig`` (broker/topics/offset/format/schema)."""
+
+    topics: str  # comma-separated, as in the reference config
+    brokers: str = "localhost:9092"
+    offset_policy: str = "latest"  # reference default: latest
+    fmt: str | None = None  # None = raw bytes (A3), else A4 format name
+    schema: str | None = None  # DDL schema for record-shaped formats
+    grok_pattern: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.offset_policy not in OFFSET_POLICIES:
+            raise ValueError(
+                f"offset policy must be one of {OFFSET_POLICIES}, "
+                f"got {self.offset_policy!r}"
+            )
+        if not self.topics:
+            raise ValueError("topics must be non-empty")
+
+
+def reader_options(spec: StreamSourceSpec, query_name: str = "mapr-plugins") -> dict[str, str]:
+    """Kafka reader options for a spec — the A1 ``kafkaParams`` mapping
+    (``MapRStreamingSource.java:73-86``) re-expressed for the Structured
+    Streaming source."""
+    return {
+        "kafka.bootstrap.servers": spec.brokers,
+        "subscribe": ",".join(t.strip() for t in spec.topics.split(",") if t.strip()),
+        "startingOffsets": spec.offset_policy,
+        # deterministic group per query (vs reference's random group)
+        "kafka.group.id": f"{query_name}-{abs(hash(spec.topics)) % 10**8}",
+        # offsets live in the checkpoint WAL; never auto-commit
+        "kafka.enable.auto.commit": "false",
+        **spec.options,
+    }
+
+
+def open_stream(
+    spark: SparkSession,
+    spec: StreamSourceSpec,
+    *,
+    replay_dir: str | None = None,
+    replay_schema: str | None = None,
+) -> DataFrame:
+    """Open the source as a streaming DataFrame of Kafka-shaped rows
+    ``(key BINARY, value BINARY, topic, partition, offset, timestamp)``.
+
+    With ``replay_dir`` the same row shape is produced from a text-file
+    replay directory (one payload per line) — the test path; the parse
+    plan downstream is identical either way.
+    """
+    if replay_dir is None:
+        reader = spark.readStream.format("kafka")
+        for k, v in reader_options(spec).items():
+            reader = reader.option(k, v)
+        return reader.load()
+    raw = spark.readStream.format("text")
+    if replay_schema:
+        raw = raw.schema(replay_schema)
+    lines = raw.load(replay_dir)
+    first_topic = spec.topics.split(",")[0].strip()
+    return lines.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(first_topic).alias("topic"),
+        F.spark_partition_id().alias("partition"),
+        # real offsets are Kafka bookkeeping; the replay source has none
+        F.lit(-1).cast("bigint").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+
+
+def parsed_stream(source: DataFrame, spec: StreamSourceSpec) -> DataFrame:
+    """Apply the A4 format projection to a Kafka-shaped stream: the
+    reference's per-batch ``RecordTransform``
+    (``MapRStreamingSource.java:99-114``) collapsed into a single
+    codegen'd projection."""
+    parsed = parse_expr(
+        spec.fmt,
+        F.col("value"),
+        spec.schema,
+        grok_pattern=spec.grok_pattern,
+        options=spec.options or None,
+    )
+    if spec.fmt in (None, "binary", "text"):
+        return source.select(parsed.alias("message"), "topic", "partition", "offset", "timestamp")
+    return source.select(
+        parsed.alias("record"), "topic", "partition", "offset", "timestamp"
+    ).select("record.*", "topic", "partition", "offset", "timestamp")

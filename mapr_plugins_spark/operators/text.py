@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapr_plugins_spark.functions.portable_hash import seeded_hash60
+from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+from mapr_plugins_spark.plans.partitioning import fan_out
 
 #: Tiny per-language stopword lists (engine-agnostic constants). The
 #: language-ID heuristic scores a document by the fraction of its tokens
@@ -46,7 +47,7 @@ def with_language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang
     """Append a predicted-language column (stopword-fraction argmax,
     alphabetical tie-break)."""
     toks = tokens_col(text_col)
-    df = df.withColumn("__toks", toks).withColumn("__n", F.size("__toks"))
+    df = fan_out(df).withColumn("__toks", toks).withColumn("__n", F.size("__toks"))
     scores = {
         lang: (_in_list_count(F.col("__toks"), words) / F.col("__n")).alias(f"__s_{lang}")
         for lang, words in STOPWORDS.items()
@@ -70,7 +71,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     engine-portable.
     """
     toks = tokens_col(text_col)
-    df = df.withColumn("__toks", toks)
+    df = fan_out(df).withColumn("__toks", toks)
     n = F.size("__toks")
     sum_len = F.aggregate(
         F.transform(F.col("__toks"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -106,10 +107,15 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 60-bit document fingerprint over whitespace-
-    canonicalized text (portable across engines via md5 arithmetic)."""
+    canonicalized text (portable across engines via md5 arithmetic).
+    The canonicalized string and its md5 are each computed once per row
+    (two-step projection), not once per derived output."""
     canon_sql = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
-    return df.withColumn("fp", seeded_hash60(canon_sql, "0")).withColumn(
-        "fp_hex", F.substring(F.md5(F.expr(canon_sql)), 1, 16)
+    df = fan_out(df).withColumn("__canon", F.expr(canon_sql))
+    return (
+        with_seeded_hash60(df, "fp", "__canon", "0")
+        .withColumn("fp_hex", F.substring(F.md5(F.col("__canon")), 1, 16))
+        .drop("__canon")
     )
 
 
@@ -118,7 +124,7 @@ def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 50) -> 
     count desc, token asc). Partial aggregation map-side; the only
     shuffle is on token."""
     stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    toks = df.select(F.explode(tokens_col(text_col)).alias("token")).filter(
+    toks = fan_out(df.select(text_col)).select(F.explode(tokens_col(text_col)).alias("token")).filter(
         F.expr(f"token NOT IN ({stop})")
     )
     return (

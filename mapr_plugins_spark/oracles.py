@@ -316,11 +316,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "q39_grouped_udaf": """
-        SELECT o_custkey,
+        SELECT o_orderpriority, o_orderstatus,
                COUNT(*) AS n_orders,
                SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
                MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
-        FROM orders GROUP BY o_custkey
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
     """,
     "q40_python_udtf": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

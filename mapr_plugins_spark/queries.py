@@ -389,6 +389,9 @@ def q21_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defaults to the scalar (Arrow series → series) eval type.
     disc_price_udf = pandas_udf(lambda price, discount: price * (1.0 - discount), "double")
 
+    # NOT fanned out: for a trivial kernel the Arrow transfer dominates,
+    # and fewer, larger batches through 2 python workers beat 32 small
+    # ones (measured 0.5 s vs 3.5 s at sf0.1).
     li = _t(spark, sf_dir, "lineitem")
     native = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.select(
@@ -560,10 +563,17 @@ def q38_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q39_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDAF via applyInPandas (Arrow batch per group):
-    per-customer order stats in exact integer cents (Q39). The pandas
-    kernel is order-free (integer sum), so the result is deterministic
-    under any shuffle plan."""
+    """Grouped-map UDAF via applyInPandas (one Arrow batch per group):
+    order stats in exact integer cents per (priority, status) (Q39).
+
+    Scale posture: the grouping key is LOW-cardinality, so each pandas
+    invocation receives a large vectorizable batch — the per-group
+    Python round-trip overhead (~1 ms) amortizes over ~10⁴–10⁶ rows.
+    High-cardinality keys (per-customer) through applyInPandas are an
+    antipattern: use native aggregates or a grouped-agg pandas_udf.
+    The kernel is order-free (integer sum) so the result is
+    deterministic under any shuffle plan.
+    """
     import pandas as pd
 
     def stats(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -572,16 +582,21 @@ def q39_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = np.floor(pdf["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64")
         return pd.DataFrame(
             {
-                "o_custkey": [key[0]],
+                "o_orderpriority": [key[0]],
+                "o_orderstatus": [key[1]],
                 "n_orders": [np.int64(len(cents))],
                 "total_cents": [cents.sum()],
                 "max_cents": [cents.max()],
             }
         )
 
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    return orders.groupBy("o_custkey").applyInPandas(
-        stats, "o_custkey BIGINT, n_orders BIGINT, total_cents BIGINT, max_cents BIGINT"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    return orders.groupBy("o_orderpriority", "o_orderstatus").applyInPandas(
+        stats,
+        "o_orderpriority STRING, o_orderstatus STRING, "
+        "n_orders BIGINT, total_cents BIGINT, max_cents BIGINT",
     )
 
 

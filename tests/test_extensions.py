@@ -67,3 +67,23 @@ def test_asof_join_semantics(spark, sf_dir):
         for r in asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
     }
     assert out == {"L1": 100.0, "L2": 150.0, "L3": None}  # inclusive <=, none-before -> null
+
+
+def test_spark_hex15_fast_path_equals_portable_form(spark):
+    """The Spark-side conv() fast path must produce the identical value
+    as the engine-portable 15-digit arithmetic used by the DuckDB
+    oracles, for arbitrary md5 outputs."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.functions.portable_hash import (
+        hex15_to_bigint_sql,
+        spark_hex15_to_bigint_sql,
+    )
+
+    df = (
+        spark.range(2000)
+        .withColumn("hx", F.md5(F.col("id").cast("string")))
+        .withColumn("slow", F.expr(hex15_to_bigint_sql("hx")))
+        .withColumn("fast", F.expr(spark_hex15_to_bigint_sql("hx")))
+    )
+    assert df.filter(F.col("slow") != F.col("fast")).count() == 0

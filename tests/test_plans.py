@@ -1,0 +1,88 @@
+"""Physical-plan audits (SURVEY §4 scale posture).
+
+Each test pins a plan property that matters at 100 TB; a regression
+(lost pushdown, de-broadcast, cartesian blow-up, extra shuffle) fails
+here even while answers stay correct at test scale.
+"""
+
+from __future__ import annotations
+
+from mapr_plugins_spark import queries as Q
+from mapr_plugins_spark.plans import audit as A
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = Q.q01_filter_project(spark, sf_dir)
+    pf = A.pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+
+
+def test_column_pruning(spark, sf_dir):
+    df = Q.q01_filter_project(spark, sf_dir)
+    rs = A.read_schemas(df)
+    # 6 of lineitem's 11 columns (5 projected + filter column)
+    assert "l_quantity" in rs and "l_extendedprice" in rs
+    assert "l_partkey" not in rs and "l_tax" not in rs, f"over-read: {rs}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert A.has_broadcast_join(Q.q03_revenue_by_nation(spark, sf_dir))
+    assert A.has_broadcast_join(Q.q04_broadcast_join(spark, sf_dir))
+
+
+def test_no_cartesian_in_equi_joins(spark, sf_dir):
+    for q in (Q.q03_revenue_by_nation, Q.q05_left_join, Q.q07_range_join):
+        assert not A.has_cartesian(q(spark, sf_dir)), q.__name__
+
+
+def test_range_join_has_equi_component(spark, sf_dir):
+    # the 7-day self-join must plan as a keyed equi join (broadcast at
+    # test scale, hash/sort-merge beyond the broadcast threshold), never
+    # a cartesian with residual filter
+    p = A.plan_str(Q.q07_range_join(spark, sf_dir))
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    # global sort + limit must plan as TakeOrderedAndProject, not a full
+    # global sort of every partition
+    p = A.plan_str(Q.q12_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_groupagg_is_partial_plus_final(spark, sf_dir):
+    # map-side combine: two HashAggregate levels around one exchange
+    df = Q.q02_groupagg(spark, sf_dir)
+    assert A.count_nodes(df, "HashAggregate") >= 2
+    assert A.shuffle_count(df) <= 2
+
+
+def test_groupagg_single_codegen_hot_path(spark, sf_dir):
+    assert A.codegen_span_count(lambda: Q.q02_groupagg(spark, sf_dir)) >= 1
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    """The LSH signature stage must stay row-local: at most the one
+    deliberate fan-out exchange, no hash-partitioned aggregation."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import minhash_band_signatures
+
+    docs = table(spark, sf_dir, "documents")
+    df = minhash_band_signatures(docs)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+    assert A.count_nodes(df, "HashAggregate") == 0, "signatures must not aggregate"
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from mapr_plugins_spark.operators.registry import x_asof_join
+
+    df = x_asof_join(spark, sf_dir)
+    # union + window: shuffles bounded (no O(n²) pair space, no BNLJ)
+    assert not A.has_cartesian(df)
+    assert A.shuffle_count(df) <= 3, A.plan_str(df)
+
+
+def test_doc_encode_is_pure_projection(spark, sf_dir):
+    df = Q.q25_doc_encode(spark, sf_dir)
+    assert A.shuffle_count(df) == 0, "document encode must be map-only"
+    assert A.codegen_span_count(lambda: Q.q25_doc_encode(spark, sf_dir)) >= 1

@@ -86,6 +86,92 @@ def s05_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + event-time range
+    condition: each click joined to purchases by the same user within
+    the following 30 minutes. Both sides carry watermarks so the join
+    state is bounded (Spark evicts rows older than watermark+range)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_val"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_available_now(joined, "append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("p_val").cast("decimal(18,6)")).cast("double").alias("sum_val"),
+    )
+
+
+def s07_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on a duplicate-injected replay:
+    duplicates arriving within the watermark delay collapse, state is
+    evicted beyond it (bounded memory — the scale-safe streaming dedup).
+    The events replay spans far longer than the 1-hour delay, so
+    same-id duplicates (replayed back-to-back) always fall inside it."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    doubled = ev.unionByName(events_stream(spark, sf_dir).withWatermark("ts", "1 hour"))
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_available_now(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def s08_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): per-user
+    running maximum event value carried in explicit GroupState across
+    micro-batches; emits one final row per user. The custom-stateful
+    analogue of the reference's per-record transform loop
+    (MapRStreamingSource.java:120-150), with engine-managed fault-
+    tolerant state instead of transient fields."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def running_max(key, pdfs, state):
+        mx = state.get[0] if state.exists else float("-inf")
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "max_val": [mx], "n_events": [n]}
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        running_max,
+        outputStructType="user_id BIGINT, max_val DOUBLE, n_events BIGINT",
+        stateStructType="mx DOUBLE, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(result, "update")
+    # update mode re-emits per batch: keep the final (complete) state row
+    return out.groupBy("user_id").agg(
+        F.max("max_val").alias("max_val"), F.max("n_events").alias("n_events")
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -95,6 +181,9 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s03_session_window,
             s04_stateful_dedup,
             s05_stream_static_join,
+            s06_stream_stream_join,
+            s07_dedup_within_watermark,
+            s08_stateful_running_max,
         )
     }
 
@@ -146,5 +235,27 @@ def streaming_oracles() -> dict[str, str]:
             SELECT c_mktsegment, COUNT(*) AS n
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "s06_stream_stream_join": """
+            SELECT c.user_id,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            GROUP BY c.user_id
+        """,
+        "s07_dedup_within_watermark": """
+            SELECT event_type, COUNT(*) AS n
+            FROM (SELECT DISTINCT event_id, event_type FROM events)
+            GROUP BY event_type
+        """,
+        "s08_stateful_running_max": """
+            SELECT user_id,
+                   MAX(value) AS max_val,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
         """,
     }

@@ -1,0 +1,116 @@
+"""Document sink (reference A5/A6) — FIXTURES §2.3 type-lattice laws.
+
+Round-trip: parse(encode(row)) == row for non-null fields; null fields
+are absent from the document (MapRDBJSONSink.java:131 skip-null rule);
+strict mode rejects exactly what the reference rejects
+(MapRDBJSONSink.java:292-296).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.sinks.document import (
+    encode_documents,
+    validate_doc_schema,
+    write_document_table,
+)
+
+_LATTICE_SCHEMA = (
+    "id STRING, b BOOLEAN, i INT, l BIGINT, f FLOAT, d DOUBLE, bin BINARY, "
+    "s STRING, s_null STRING, arr_b ARRAY<BOOLEAN>, arr_i ARRAY<INT>, "
+    "arr_l ARRAY<BIGINT>, arr_f ARRAY<FLOAT>, arr_d ARRAY<DOUBLE>, arr_s ARRAY<STRING>"
+)
+
+
+def _lattice_df(spark):
+    rows = [
+        (
+            "k1", True, 1, 10**12, 1.5, 2.25, b"\x01\x02", "x", "present",
+            [True, False], [1, 2], [10**11], [0.5], [1.25, 2.5], ["a", "b"],
+        ),
+        (
+            "k2", False, -7, -1, -0.5, 1e-3, b"", "y", None,
+            [], [0], [], [], [], [],
+        ),
+    ]
+    return spark.createDataFrame(rows, _LATTICE_SCHEMA)
+
+
+def test_round_trip_non_null_fields(spark):
+    df = _lattice_df(spark)
+    docs = {r["_id"]: json.loads(r["doc"]) for r in encode_documents(df, "id").collect()}
+    src = {r["id"]: r.asDict() for r in df.collect()}
+    assert set(docs) == {"k1", "k2"}
+    for k, doc in docs.items():
+        row = src[k]
+        for field, val in row.items():
+            if val is None:
+                assert field not in doc, f"null field {field} must be skipped"
+                continue
+            if field == "bin":  # binary → base64 in JSON (documented mapping)
+                continue
+            got = doc[field]
+            if isinstance(val, float):
+                assert got == pytest.approx(val)
+            else:
+                assert got == val, (field, got, val)
+
+
+def test_null_fields_skipped_in_text(spark):
+    df = _lattice_df(spark)
+    doc_k2 = encode_documents(df, "id").filter(F.col("_id") == "k2").first()["doc"]
+    assert "s_null" not in doc_k2
+
+
+def test_null_keys_dropped(spark):
+    df = spark.createDataFrame([(None, 1), ("k", 2)], "id STRING, v INT")
+    out = encode_documents(df, "id").collect()
+    assert [r["_id"] for r in out] == ["k"]
+
+
+def test_strict_mode_rejects_reference_unsupported_types(spark):
+    # the reference rejects records, maps, timestamps, decimals
+    # (MapRDBJSONSink.java:292-296)
+    bad = spark.createDataFrame([("k", (1,))], "id STRING, nested STRUCT<a: INT>")
+    with pytest.raises(ValueError, match="unsupported type"):
+        validate_doc_schema(bad, "id")
+    # extension mode allows them
+    validate_doc_schema(bad, "id", strict=False)
+    assert encode_documents(bad, "id", strict=False).count() == 1
+
+
+def test_key_validation(spark):
+    df = spark.createDataFrame([(b"x", 1)], "id BINARY, v INT")
+    with pytest.raises(ValueError, match="key type"):
+        validate_doc_schema(df, "id")
+    with pytest.raises(ValueError, match="not in schema"):
+        validate_doc_schema(df, "nope")
+
+
+def test_write_document_table_a6(spark, tmp_path):
+    df = _lattice_df(spark)
+    path = str(tmp_path / "doc_table")
+    write_document_table(df, path, key_field="id")
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"_id", "doc"}
+    assert back.count() == 2
+
+
+def test_right_outer_join_mirror(spark, sf_dir):
+    """Right outer join surface: mirror of q05's left join."""
+    from mapr_plugins_spark.catalog import table
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    left = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    right = orders.join(cust, cust.c_custkey == orders.o_custkey, "right")
+    assert left.count() == right.count()
+    assert (
+        right.filter(F.col("o_orderkey").isNull()).count()
+        == left.filter(F.col("o_orderkey").isNull()).count()
+    )

@@ -335,6 +335,35 @@ RELATIONAL_ORACLES: dict[str, str] = {
                     ELSE 'high' END AS bal_band
         FROM customer
     """,
+    "q42_pivot": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (o_orderstatus = 'F') AS DOUBLE) AS f_rev,
+               COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (o_orderstatus = 'O') AS DOUBLE) AS o_rev,
+               COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (o_orderstatus = 'P') AS DOUBLE) AS p_rev
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q43_unpivot": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+        FROM part
+    """,
+    "q13_intersect_all": """
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "q13_except_all": """
+        SELECT o_custkey AS k FROM orders
+        EXCEPT ALL
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

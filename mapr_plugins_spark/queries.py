@@ -633,6 +633,59 @@ def q41_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select("c_custkey", band("c_acctbal").alias("bal_band"))
 
 
+def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts and exact revenue by priority,
+    one column group per status (Q42). Pivot values are declared
+    explicitly — at scale an implicit pivot would scan once just to
+    discover them."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_rev").alias("f_rev"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_rev").alias("o_rev"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_rev").alias("p_rev"),
+    )
+
+
+def q43_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long) over part measures (Q43)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
+def q13_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics) of two key bags (Q13d)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+def q13_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics) of two key bags (Q13e)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_custkey").alias("k"))
+    b = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

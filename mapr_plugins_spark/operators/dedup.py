@@ -216,6 +216,92 @@ def verified_near_dup_pairs(
     )
 
 
+def collapse_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, canonical_id).
+
+    Iterative min-label propagation: every vertex starts as its own
+    label; each round, a vertex adopts the minimum label among itself
+    and its neighbors, until a fixpoint. Near-duplicate clusters have
+    tiny diameters (variants of one source), so convergence is a few
+    rounds; each round is one grouped-min over the edge list — shuffle
+    bounded by |edges|, never O(n²).
+
+    This is a genuinely iterative algorithm (driver-controlled loop, the
+    one place the engine steps outside a single Catalyst plan — like
+    everything Pregel-shaped). Each iteration's result is localCheckpoint-
+    truncated so the lineage doesn't grow unboundedly.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def dedup_by_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates: keep one canonical doc (minimum id) per
+    connected component, plus every doc not in any pair."""
+    comp = collapse_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return docs.join(
+        F.broadcast(losers.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
+    )
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end training-data curation pipeline: exact dedup →
+    near-dup collapse (MinHash-LSH + exact-Jaccard verify + connected
+    components) → quality filter → language tag. One composable call,
+    all stages the scale-audited operators above.
+
+    Note: ``losers`` (docs dropped by near-dup collapse) is bounded by
+    the candidate-pair space, which LSH keeps tiny relative to the
+    corpus — hence broadcastable in :func:`dedup_by_pairs`.
+    """
+    from mapr_plugins_spark.operators.text import quality_features, with_language_id
+
+    exact = exact_dedup(docs, subset=[text_col])
+    pairs = verified_near_dup_pairs(
+        exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
+    )
+    unique = dedup_by_pairs(exact, pairs, id_col=id_col)
+    scored = quality_features(unique, text_col=text_col)
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+    return with_language_id(kept, text_col=text_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

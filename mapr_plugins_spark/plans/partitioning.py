@@ -17,6 +17,7 @@ shuffle of the raw bytes for full-width parallelism of the compute.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -28,3 +29,36 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join resilient to a skewed ``left`` key distribution.
+
+    A hot key (one key holding a large fraction of rows) lands every
+    matching row in ONE reducer under plain hash partitioning; AQE's
+    skew-join split fixes sort-merge joins after the fact, but when it
+    can't (e.g. disabled, or aggregation-fused stages), salting fixes it
+    structurally: left rows get a uniform salt in [0, salt); the right
+    side is replicated once per salt value so every (key, salt) bucket
+    joins locally. Shuffle volume: |left| + salt·|right| — use for
+    skewed-fact ⋈ modest-dim shapes.
+
+    The salt is derived deterministically (xxhash64 of a per-row random
+    seeded by ``seed``), so repeated runs produce identical plans.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (semantics of replication)")
+    salt_col = F.pmod(F.xxhash64(F.rand(seed)), F.lit(salt)).cast("int")
+    l = left.withColumn("__salt", salt_col)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,78 @@
+"""Salted-join skew resilience + connected-components dedup collapse +
+end-to-end curation pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.plans.partitioning import salted_join
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from mapr_plugins_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_join(orders, cust, on="o_custkey", salt=4)
+    assert salted.count() == plain.count()
+    a = plain.groupBy("c_mktsegment").count().collect()
+    b = salted.groupBy("c_mktsegment").count().collect()
+    assert {(r[0], r[1]) for r in a} == {(r[0], r[1]) for r in b}
+
+
+def test_salted_join_skewed_key(spark):
+    # 10k rows on ONE key — the motivating case
+    left = spark.range(10_000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame([(7, "hot"), (8, "cold")], "k INT, tag STRING")
+    out = salted_join(left, right, on="k", salt=8)
+    assert out.count() == 10_000
+    assert out.filter(F.col("tag") != "hot").count() == 0
+
+
+def test_collapse_components_chain_and_islands(spark):
+    from mapr_plugins_spark.operators.dedup import collapse_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple iterations) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.doc_id: r.canonical_id for r in collapse_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_by_pairs_keeps_canonical_and_untouched(spark):
+    from mapr_plugins_spark.operators.dedup import dedup_by_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 50)], "doc_id BIGINT, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    kept = sorted(r.doc_id for r in dedup_by_pairs(docs, pairs).collect())
+    assert kept == [1, 50]
+
+
+def test_curate_pipeline_end_to_end(spark, sf_dir):
+    """curate() on the injected-duplicate corpus: exact dups collapse,
+    near-dup variants collapse to their source, survivors carry quality
+    + language columns."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import curate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", "^[a-z]+ ", "").alias("text"),
+    )
+    corpus = docs.unionByName(docs).unionByName(variants)  # exact + near dups
+    out = curate(corpus, min_quality=0.0)
+    n_docs = docs.count()
+    kept = out.count()
+    # exact dups must all collapse; most near-dup variants collapse too
+    assert kept <= n_docs * 1.1
+    assert kept >= n_docs * 0.5
+    assert {"quality_score", "lang_pred", "lang_score"} <= set(out.columns)
+    # survivors prefer the lower (original) id
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() <= 0.1 * n_docs

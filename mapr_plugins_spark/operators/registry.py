@@ -73,6 +73,11 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, S.probe_of(emb, probe_id=0), k=5, n_bits=6, dim=64)
 
 
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, S.probe_of(emb, probe_id=0), k=5, n_lists=16, n_probe=4)
+
+
 def x_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dedup_corpus(spark, sf_dir)
     return D.verified_near_dup_pairs(
@@ -139,6 +144,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q23_text_terms,
             q24_ann_topk,
             x_ann_lsh_topk,
+            x_ann_ivf_topk,
             x_dedup_minhash_pairs,
             x_dedup_simhash,
             x_dedup_embcos,
@@ -317,6 +323,6 @@ def extension_oracles() -> dict[str, str]:
                    md5(text) AS digest
             FROM documents
         """,
-        # x_ann_lsh_topk, x_mm_features: rows-only (non-SQL-expressible);
-        # pinned by tests/test_extensions.py instead.
+        # x_ann_lsh_topk, x_ann_ivf_topk, x_mm_features: rows-only
+        # (non-SQL-expressible); pinned by tests/test_extensions.py.
     }

@@ -95,6 +95,78 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
+    per-vector list assignment → probe only the ``n_probe`` nearest
+    lists → exact cosine within them.
+
+    Scale path: the list id is computed ONCE per corpus (persist it, or
+    make it a partition/bucketing column); a query then reads
+    n_probe/n_lists of the data. The KMeans fit runs on MLlib
+    (distributed); the tiny centroid table is collected to build the
+    probe's list selection — centroids are n_lists×dim floats, driver-
+    safe at any corpus size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).withColumnRenamed("prediction", "list_id")
+
+    centers = model.clusterCenters()
+    pr = probe.withColumn("pfeat", array_to_vector(F.col("probe_vec")))
+    # nearest n_probe centroids for the probe, computed as an expression
+    # over the literal centroid arrays (no Python in the per-row path)
+    dists = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("probe_vec"),
+                        F.array(*[F.lit(float(x)) for x in centers[i]]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+            for i in range(len(centers))
+        ]
+    )
+    probe_lists = pr.select(
+        "probe_id",
+        "probe_vec",
+        F.slice(F.array_sort(dists, lambda l, r: F.when(l["d2"] < r["d2"], -1).when(l["d2"] > r["d2"], 1).otherwise(0)), 1, n_probe)
+        .alias("nearest"),
+    ).select(
+        "probe_id", "probe_vec", F.transform("nearest", lambda s: s["list_id"]).alias("list_ids")
+    )
+    cands = assigned.join(
+        F.broadcast(probe_lists),
+        F.array_contains(F.col("list_ids"), F.col("list_id"))
+        & (F.col(id_col) != F.col("probe_id")),
+    )
+    return (
+        cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 6).alias("cos6"))
+    )
+
+
 def probe_of(emb: DataFrame, probe_id: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Single-row probe DataFrame (probe_id, probe_vec) selected by id —
     stays distributed; no driver collect."""

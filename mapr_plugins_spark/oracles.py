@@ -364,6 +364,18 @@ RELATIONAL_ORACLES: dict[str, str] = {
         EXCEPT ALL
         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
     """,
+    "q44_higher_order_funcs": """
+        SELECT vec_id,
+               list_transform(embedding[1:4],
+                              x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)) AS sq4,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+                   (acc, x) -> acc + x), 6) AS sum8,
+               flatten([embedding[1:2], embedding[3:4]]) = embedding[1:4] AS flatten_ok
+        FROM embeddings
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

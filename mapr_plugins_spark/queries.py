@@ -686,6 +686,30 @@ def q13_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b)
 
 
+def q44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: transform / filter / aggregate
+    (sequential fold) / flatten over embeddings (Q44)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    head4 = F.slice(e, 1, 4)
+    return emb.select(
+        "vec_id",
+        F.transform(head4, lambda x: F.round(x.cast("double") * x.cast("double"), 6)).alias(
+            "sq4"
+        ),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("sum8"),
+        (F.flatten(F.array(F.slice(e, 1, 2), F.slice(e, 3, 2))) == F.slice(e, 1, 4)).alias(
+            "flatten_ok"
+        ),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

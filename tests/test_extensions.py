@@ -87,3 +87,12 @@ def test_spark_hex15_fast_path_equals_portable_form(spark):
         .withColumn("fast", F.expr(spark_hex15_to_bigint_sql("hx")))
     )
     assert df.filter(F.col("slow") != F.col("fast")).count() == 0
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF top-5 must overlap the exact top-5 by >= 3 (deterministic:
+    fixed KMeans seed, fixed data)."""
+    exact = {r.vec_id for r in R.q24_ann_topk(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in R.x_ann_ivf_topk(spark, sf_dir).collect()}
+    assert len(approx) == 5
+    assert len(exact & approx) >= 3, f"IVF recall too low: {exact & approx}"

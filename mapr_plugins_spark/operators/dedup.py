@@ -169,7 +169,6 @@ def verified_near_dup_pairs(
     distinct shingles) computed only for candidates and filtered at
     ``threshold``. Jaccard is an integer ratio — engine-portable.
     """
-    sh = shingles(docs, id_col, text_col, k=k)
     cand = lsh_candidate_pairs(
         minhash_band_signatures(
             docs, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
@@ -180,13 +179,16 @@ def verified_near_dup_pairs(
     # shingle stream — the only big exchange left is one shuffle of the
     # candidates' shingles on (doc, shingle) for the intersection count.
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    # shingle-set sizes for candidate docs ONLY (full-corpus sizes are
-    # not broadcastable at scale; the candidate slice is)
-    sizes = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # Shingle ONLY candidate docs: the broadcast semi-join filters the
+    # corpus BEFORE the explode, so the (scan → shingle) work for the
+    # verify phase is proportional to the candidate set, not the corpus
+    # — and full-corpus sizes (not broadcastable at scale) are never
+    # built; the candidate slice is.
+    docs_cand = docs.join(
+        F.broadcast(cand_ids.withColumnRenamed("doc_id", id_col)), id_col, "left_semi"
     )
+    sh = shingles(docs_cand, id_col, text_col, k=k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.join(
         F.broadcast(cand.select("id_b").distinct()),

@@ -65,6 +65,74 @@ def extract_features(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(decode_stub, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of the (stubbed) image resize: resized payload plus
+#: the post-resize dimensions.
+RESIZE_SCHEMA = "doc_id BIGINT, payload BINARY, width INT, height INT"
+
+#: Output schema of the (stubbed) frame sampler: one row per sampled
+#: frame — a mapInPandas that EXPANDS rows (1 video → n frames).
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY"
+
+
+def resize_images(mm: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched image resize over payload bytes (1 row → 1 row).
+
+    STUB: no image codec in this container. A real implementation
+    decodes ``payload`` per ``meta.mime`` (PIL/opencv), resizes, and
+    re-encodes; the stub truncates/pads the byte payload to width*height
+    deterministically so the plumbing (schema, batch shape, row
+    cardinality) is fully testable. Raises ``NotImplementedError`` for
+    mime types a real codec would have to handle specially.
+    """
+    import pandas as pd
+
+    target = width * height
+
+    def kernel(batches):
+        for pdf in batches:
+            if (pdf["mime"] == "application/x-unknown").any():
+                raise NotImplementedError("no codec for application/x-unknown")
+            payloads = pdf["payload"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    flat = mm.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+    return flat.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(mm: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
+    """Arrow-batched frame sampling (1 row → up to ``max_frames`` rows).
+
+    STUB for video/audio frame extraction: a real implementation seeks
+    keyframes (decord/av); the stub emits deterministic byte windows at
+    fixed strides. Demonstrates the row-expanding mapInPandas shape —
+    output cardinality independent of input cardinality.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(
+                        bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    )
+            yield pd.DataFrame(out)
+
+    return mm.select("doc_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def meta_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Declared (oracle-checkable) projection of the multimodal metadata."""
     mm = attach_payload(df, text_col=text_col, id_col=id_col)

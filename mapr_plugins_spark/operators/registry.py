@@ -136,6 +136,25 @@ def x_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(mm)
 
 
+def x_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return M.resize_images(mm).select("doc_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+def x_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return M.sample_frames(mm).select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
+
+
+def x_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation (exact dedup → near-dup collapse → quality
+    filter → language tag) over the documents table. Iterative collapse
+    runs during construction (Pregel-shaped; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = D.curate(docs, min_quality=0.0)
+    return out.select("doc_id", "lang_pred", F.round("quality_score", 6).alias("q6"))
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -155,6 +174,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_asof_join,
             x_mm_meta,
             x_mm_features,
+            x_mm_resize,
+            x_mm_frames,
+            x_curate,
         )
     }
 
@@ -315,6 +337,22 @@ def extension_oracles() -> dict[str, str]:
                 SELECT user_id, ts, MAX(value) AS pval
                 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
             ) p ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "x_mm_resize": """
+            SELECT doc_id,
+                   CAST(64 AS INT) AS width,
+                   CAST(64 AS INT) AS height,
+                   CAST(4096 AS INT) AS n_bytes
+            FROM documents
+        """,
+        "x_mm_frames": """
+            WITH d AS (
+                SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents
+            )
+            SELECT doc_id, CAST(r.i AS INT) AS frame_idx,
+                   CAST(LEAST(256, n - r.i * 256) AS INT) AS frame_bytes
+            FROM d, range(4) r(i)
+            WHERE r.i < LEAST(4, GREATEST(1, n // 256))
         """,
         "x_mm_meta": """
             SELECT doc_id,

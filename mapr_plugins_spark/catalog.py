@@ -32,6 +32,60 @@ TABLES: tuple[str, ...] = (
 )
 
 
+#: Declared (user-facing) DDL schema per table — the reference's
+#: explicit-schema contract (§1.3: schemas are declared, not inferred;
+#: ``Schema.parseJson`` at configure time, ``MapRStreamConfig.java:81-87``).
+#: ``validate_declared_schema`` is the engine's configure-time
+#: equivalent of the reference's parse-failure ⇒ IllegalArgumentException.
+DECLARED_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey INT, r_name STRING",
+    "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
+    "customer": (
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ),
+    "supplier": "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    "part": (
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE"
+    ),
+    "orders": (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"
+    ),
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+        "l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"
+    ),
+    # events.ts lands as TIMESTAMP (not NTZ): the physical column is
+    # TIMESTAMP(NANOS) read as LONG then converted via timestamp_micros
+    # (see _read); values are wall-time-stable because the session
+    # timezone is pinned UTC and the tz probe covers it.
+    "events": (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    ),
+    "documents": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    "embeddings": "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+}
+
+
+def validate_declared_schema(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Fail at configure time if a table's physical schema drifted from
+    the declared contract (name/type mismatch, missing/extra columns)."""
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromDDL(DECLARED_SCHEMAS[name])
+    actual = _read(spark, sf_dir, name).schema
+    got = [(f.name, f.dataType.simpleString()) for f in actual.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
+    if got != want:
+        raise ValueError(
+            f"schema drift for table {name!r}: declared {want}, found {got}"
+        )
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table, normalizing physical quirks of the test parquet.
 

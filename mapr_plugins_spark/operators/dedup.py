@@ -174,20 +174,32 @@ def verified_near_dup_pairs(
             docs, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
         )
     )
-    # Exact-verify plan shape for scale: the candidate pair set is tiny
-    # relative to the corpus (LSH buckets), so it is BROADCAST into the
-    # shingle stream — the only big exchange left is one shuffle of the
-    # candidates' shingles on (doc, shingle) for the intersection count.
+    docs_cand = _candidate_docs(docs, cand, id_col)
+    sh = shingles(docs_cand, id_col, text_col, k=k)
+    return _exact_jaccard(sh, cand, threshold)
+
+
+def _candidate_docs(docs: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
+    """Corpus restricted to docs appearing in candidate pairs.
+
+    The candidate set is tiny relative to the corpus (LSH/blocking
+    buckets), so it is BROADCAST into a semi-join that filters the
+    corpus BEFORE any shingling/explode — verify-phase work is
+    proportional to the candidate set, not the corpus, and full-corpus
+    sizes (not broadcastable at scale) are never built."""
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-    # Shingle ONLY candidate docs: the broadcast semi-join filters the
-    # corpus BEFORE the explode, so the (scan → shingle) work for the
-    # verify phase is proportional to the candidate set, not the corpus
-    # — and full-corpus sizes (not broadcastable at scale) are never
-    # built; the candidate slice is.
-    docs_cand = docs.join(
+    return docs.join(
         F.broadcast(cand_ids.withColumnRenamed("doc_id", id_col)), id_col, "left_semi"
     )
-    sh = shingles(docs_cand, id_col, text_col, k=k)
+
+
+def _exact_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact set Jaccard per candidate pair from a (doc_id, shingle)
+    stream covering the candidate docs: (id_a, id_b, jaccard ≥ threshold).
+
+    The only big exchange is one shuffle of the candidates' shingles on
+    (doc, shingle) for the intersection count; candidate pairs and
+    per-doc sizes ride along as broadcasts."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.join(
@@ -216,6 +228,63 @@ def verified_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def char_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4) -> DataFrame:
+    """Distinct character n-grams per document: (doc_id, shingle).
+
+    Built row-locally (sequence → transform → array_distinct → explode),
+    zero shuffle; column named ``shingle`` so the Jaccard verify helper
+    is shared with the word-shingle path."""
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - {n} + 1),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+    return (
+        fan_out(
+            df.filter(F.length(text_col) >= n).select(F.col(id_col).alias("doc_id"), text_col)
+        ).select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    block_chars: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs with suffix blocking:
+    (id_a, id_b, jaccard).
+
+    Candidates = doc pairs sharing their trailing ``block_chars``
+    characters — a cheap equi-join blocking key robust to head edits
+    (the common near-dup shape: added prefix/boilerplate). Exact n-gram
+    Jaccard is then verified only for candidates. At 100 TB the block
+    key bounds the pair space exactly like an LSH band bucket; swap in
+    any cheap deterministic key (host, simhash prefix) per corpus.
+    """
+    blocks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"right({text_col}, {block_chars})").alias("bkey"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    docs_cand = _candidate_docs(docs, cand, id_col)
+    sh = char_ngrams(docs_cand, id_col, text_col, n=n)
+    return _exact_jaccard(sh, cand, threshold)
 
 
 def collapse_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

@@ -85,6 +85,11 @@ def x_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, n=4, block_chars=16, threshold=0.6)
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
@@ -165,6 +170,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_lsh_topk,
             x_ann_ivf_topk,
             x_dedup_minhash_pairs,
+            x_dedup_ngram_jaccard,
             x_dedup_simhash,
             x_dedup_embcos,
             x_text_langid,
@@ -228,6 +234,44 @@ def _minhash_oracle() -> str:
     """
 
 
+def _ngram_jaccard_oracle(n: int = 4, block_chars: int = 16, threshold: float = 0.6) -> str:
+    return f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        blocks AS (SELECT doc_id, right(text, {block_chars}) AS bkey FROM corpus),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM blocks a JOIN blocks b
+              ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ),
+        ids AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT id_a AS doc_id FROM cand UNION ALL SELECT id_b FROM cand
+            )
+        ),
+        grams AS (
+            SELECT DISTINCT c.doc_id,
+                   unnest(list_transform(range(1, length(c.text) - {n} + 2),
+                          i -> substr(c.text, CAST(i AS INT), {n}))) AS g
+            FROM corpus c JOIN ids USING (doc_id)
+            WHERE length(c.text) >= {n}
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS ni
+            FROM cand c
+            JOIN grams g1 ON g1.doc_id = c.id_a
+            JOIN grams g2 ON g2.doc_id = c.id_b AND g2.g = g1.g
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.ni AS DOUBLE) / (sa.sz + sb.sz - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.ni AS DOUBLE) / (sa.sz + sb.sz - i.ni) >= {threshold}
+    """
+
+
 def _simhash_oracle() -> str:
     h = seeded_hash60_sql("token", "0")
     bit_sums = ", ".join(
@@ -287,6 +331,7 @@ def extension_oracles() -> dict[str, str]:
             LIMIT 5
         """,
         "x_dedup_minhash_pairs": _minhash_oracle(),
+        "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_simhash": _simhash_oracle(),
         "x_dedup_embcos": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -376,6 +376,50 @@ RELATIONAL_ORACLES: dict[str, str] = {
                flatten([embedding[1:2], embedding[3:4]]) = embedding[1:4] AS flatten_ok
         FROM embeddings
     """,
+    "q45_misc_funcs": """
+        SELECT c_custkey,
+               md5(c_name) AS name_md5,
+               sha256(c_name) AS name_sha256,
+               c_custkey & 255 AS k_and,
+               c_custkey | 4096 AS k_or,
+               xor(c_custkey, 1023) AS k_xor,
+               c_custkey << 2 AS k_shl,
+               greatest(c_acctbal, 0.0) AS bal_pos,
+               least(c_acctbal, 0.0) AS bal_neg,
+               CAST(len(generate_series(1, CAST(c_nationkey % 5 AS BIGINT) + 1)) AS INTEGER)
+                   AS seq_n
+        FROM customer
+    """,
+    "q46_window_extras": """
+        SELECT o_custkey, o_orderkey,
+               round(CUME_DIST() OVER w, 6) AS cdist,
+               NTH_VALUE(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+               FIRST_VALUE(np IGNORE NULLS) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_closed,
+               LAST_VALUE(np IGNORE NULLS) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_closed
+        FROM (
+            SELECT *, CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END AS np
+            FROM orders
+        )
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q47_exists_subquery": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        )
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

@@ -710,6 +710,62 @@ def q44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q45_misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misc scalar families: crypto hashes, bitwise ops, greatest/least,
+    sequence generation (Q45)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1023)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_acctbal"), F.lit(0.0)).alias("bal_neg"),
+        F.size(F.sequence(F.lit(1), (F.col("c_nationkey") % 5) + 1)).alias("seq_n"),
+    )
+
+
+def q46_window_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining analytic functions: cume_dist, nth_value,
+    first/last with ignoreNulls over a null-bearing column (Q46)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nullable_price = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.first(nullable_price, ignorenulls=True).over(wf).alias("first_closed"),
+        F.last(nullable_price, ignorenulls=True).over(wf).alias("last_closed"),
+    )
+
+
+def q47_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (Catalyst rewrites both to
+    semi/anti joins — no per-row subquery execution) (Q47)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o2
+            WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        )
+        """
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -82,3 +82,21 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange nodes — every one is a full network pass over
     its input at scale; audits pin an upper bound per operator."""
     return count_nodes(df, "Exchange")
+
+
+@contextlib.contextmanager
+def sql_conf(spark, settings: dict[str, str]):
+    """Temporarily set runtime SQL confs, restoring prior values (or
+    unsetting ones that had no explicit value) on exit."""
+    old: dict[str, str | None] = {}
+    for k, v in settings.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -31,6 +31,41 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally bucket-sorted) table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every future
+    equi-join or aggregation on ``keys`` between tables bucketed with
+    the same key/bucket count reads co-located buckets and plans with
+    ZERO exchanges — the decisive layout for repeated fact⋈fact joins
+    at 100 TB, where each ad-hoc shuffle moves the whole table.
+    ``sort_cols`` additionally skips the sort phase of sort-merge joins.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Write a hive-style partitioned parquet layout (one directory per
+    partition value). Filters on ``partition_cols`` then prune entire
+    directories at plan time (static pruning) or via runtime subquery
+    results (dynamic partition pruning) — scans never touch excluded
+    partitions' bytes. Choose low-cardinality, filter-frequent columns
+    (date, status, tenant)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -86,3 +86,52 @@ def test_doc_encode_is_pure_projection(spark, sf_dir):
     df = Q.q25_doc_encode(spark, sf_dir)
     assert A.shuffle_count(df) == 0, "document encode must be map-only"
     assert A.codegen_span_count(lambda: Q.q25_doc_encode(spark, sf_dir)) >= 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on a partition column must prune directories at plan
+    time — the scan's PartitionFilters carries it and non-matching
+    partitions contribute zero files."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.plans.partitioning import write_partitioned
+
+    path = str(tmp_path / "orders_part")
+    write_partitioned(table(spark, sf_dir, "orders"), path, ["o_orderstatus"])
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    p = A.plan_str(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "o_orderstatus" in m.group(1), p
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO exchanges (the write-once shuffle is amortized across
+    every later join/agg on that key)."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.plans.partitioning import write_bucketed
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"],
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        cust, "customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"],
+        path=str(tmp_path / "customer_b"),
+    )
+    try:
+        # disable broadcast so the bucket layout (not dim size) decides
+        with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            j = spark.table("orders_b").join(
+                spark.table("customer_b"),
+                spark.table("orders_b").o_custkey == spark.table("customer_b").c_custkey,
+            )
+            assert A.shuffle_count(j) == 0, A.plan_str(j)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

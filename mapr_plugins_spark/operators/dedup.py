@@ -139,7 +139,12 @@ def minhash_band_signatures(
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket. The join is
-    equi on (band, sig) — pair blow-up only inside identical buckets."""
+    equi on (band, sig) — pair blow-up only inside identical buckets.
+
+    ``bands`` feeds both sides of the self-join, so it is persisted:
+    one signature pass over the corpus instead of two (signatures are
+    n_bands rows/doc — a sliver of the corpus)."""
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -173,7 +178,8 @@ def verified_near_dup_pairs(
         minhash_band_signatures(
             docs, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
         )
-    )
+    ).persist()  # reused 3× downstream; without reuse each reference
+    # recomputes the whole corpus-wide signature pipeline
     docs_cand = _candidate_docs(docs, cand, id_col)
     sh = shingles(docs_cand, id_col, text_col, k=k)
     return _exact_jaccard(sh, cand, threshold)
@@ -199,7 +205,14 @@ def _exact_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
 
     The only big exchange is one shuffle of the candidates' shingles on
     (doc, shingle) for the intersection count; candidate pairs and
-    per-doc sizes ride along as broadcasts."""
+    per-doc sizes ride along as broadcasts.
+
+    ``sh`` and ``cand`` are referenced multiple times in this DAG, so
+    both are persisted — they are the tiny intermediates (candidate-doc
+    shingles, candidate pairs) one would materialize at 100 TB anyway;
+    Spark's block manager spills/evicts them LRU."""
+    sh = sh.persist()
+    cand = cand.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.alias("s1")
     s2 = sh.join(
@@ -281,6 +294,7 @@ def ngram_jaccard_pairs(
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        .persist()  # reused 3× downstream (semi-join filter + verify joins)
     )
     docs_cand = _candidate_docs(docs, cand, id_col)
     sh = char_ngrams(docs_cand, id_col, text_col, n=n)

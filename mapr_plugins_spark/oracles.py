@@ -420,6 +420,33 @@ RELATIONAL_ORACLES: dict[str, str] = {
             WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
         )
     """,
+    "q48_string_extras": """
+        SELECT p_partkey,
+               lower(p_name) AS lo_name,
+               translate(p_name, 'aeiou', '12345') AS xlate,
+               repeat(p_brand, 2) AS brand2,
+               reverse(p_name) AS rev_name,
+               CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev_bt,
+               split_part(p_name, ' ', 1) AS w1,
+               left(p_name, 3) AS l3,
+               right(p_name, 3) AS r3,
+               contains(p_name, 'ab') AS has_ab,
+               replace(p_name, ' ', '_') AS snake,
+               CAST(ascii(p_name) AS INTEGER) AS first_cp
+        FROM part
+    """,
+    "q49_date_extras": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               last_day(CAST(o_orderdate AS DATE)) AS eom,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS epoch_day,
+               CAST(o_orderdate AS DATE) AS d_rt
+        FROM orders
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

@@ -766,6 +766,45 @@ def q47_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: translate, repeat, reverse, levenshtein,
+    split_part, left/right, contains, replace, ascii (Q48)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo_name"),
+        F.translate("p_name", "aeiou", "12345").alias("xlate"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.reverse(F.col("p_name")).alias("rev_name"),
+        F.levenshtein("p_brand", "p_type").alias("lev_bt"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.expr("left(p_name, 3)").alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.col("p_name").contains("ab").alias("has_ab"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.ascii("p_name").alias("first_cp"),
+    )
+
+
+def q49_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date family: quarter, weekofyear, dayofweek/dayofyear,
+    last_day, add_months, unix epoch round-trip (Q49)."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.quarter(od).alias("qtr"),
+        F.weekofyear(od).alias("wk"),
+        F.dayofweek(od).alias("dow"),
+        F.dayofyear(od).alias("doy"),
+        F.last_day(od).alias("eom"),
+        F.add_months(od, 3).alias("plus3mo"),
+        # date → epoch-day → date round-trip (tz-free by construction)
+        F.unix_date(od).alias("epoch_day"),
+        F.date_from_unix_date(F.unix_date(od)).alias("d_rt"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -172,24 +172,105 @@ def s08_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        fn.__name__: fn
-        for fn in (
-            s01_tumbling_window,
-            s02_sliding_window,
-            s03_session_window,
-            s04_stateful_dedup,
-            s05_stream_static_join,
-            s06_stream_stream_join,
-            s07_dedup_within_watermark,
-            s08_stateful_running_max,
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol; absent in minimal environments. Gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def s09_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via transformWithStateInPandas —
+    the successor API to applyInPandasWithState (s08): typed ValueState
+    handles, RocksDB-backed state store, per-key processors. Per-user
+    running (count, min, max) over event values — order-free
+    aggregates, so the cross-engine hash is stable.
+
+    Requires protobuf (``tws_available()``); raises NotImplementedError
+    without it so callers can fall back to s08's API."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "use applyInPandasWithState (s08) in this environment"
         )
-    }
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, mn DOUBLE, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, mn, mx = self._agg.get()
+            else:
+                n, mn, mx = 0, float("inf"), float("-inf")
+            for pdf in rows:
+                if len(pdf):
+                    n += int(len(pdf))
+                    mn = min(mn, float(pdf["value"].min()))
+                    mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, mn, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "min_val": [mn], "max_val": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        result = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType="user_id BIGINT, n_events BIGINT, min_val DOUBLE, max_val DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_available_now(result, "update")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    # update mode re-emits per batch: keep the final per-user state
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+
+
+def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    fns = [
+        s01_tumbling_window,
+        s02_sliding_window,
+        s03_session_window,
+        s04_stateful_dedup,
+        s05_stream_static_join,
+        s06_stream_stream_join,
+        s07_dedup_within_watermark,
+        s08_stateful_running_max,
+    ]
+    if tws_available():
+        fns.append(s09_transform_with_state)
+    return {fn.__name__: fn for fn in fns}
 
 
 def streaming_oracles() -> dict[str, str]:
-    return {
+    oracles = {
         "s01_tumbling_window": f"""
             SELECT (epoch_us(ts) // {_US_5MIN}) * {_US_5MIN} AS ws_us,
                    event_type, COUNT(*) AS n
@@ -258,4 +339,14 @@ def streaming_oracles() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events GROUP BY user_id
         """,
+        "s09_transform_with_state": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   MIN(value) AS min_val,
+                   MAX(value) AS max_val
+            FROM events GROUP BY user_id
+        """,
     }
+    if not tws_available():
+        oracles.pop("s09_transform_with_state")
+    return oracles

@@ -71,3 +71,20 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     second = run_once()
     # the t0 window was finalized with n=1; the late event must be dropped
     assert second.get(t0_key) == 1
+
+
+def test_s09_gated_without_protobuf(spark, sf_dir):
+    """transformWithStateInPandas is capability-gated: with protobuf it
+    joins the oracle-checked registry; without it, it raises a clear
+    NotImplementedError pointing at the s08 fallback."""
+    import pytest
+
+    from mapr_plugins_spark.streaming.registry import (
+        s09_transform_with_state,
+        tws_available,
+    )
+
+    if tws_available():
+        pytest.skip("protobuf present; s09 exercised via its oracle test")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        s09_transform_with_state(spark, sf_dir)

@@ -98,6 +98,34 @@ def x_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    per-event_type user sketches built with ``hll_sketch_agg``, merged
+    across types with ``hll_union_agg``, estimated with
+    ``hll_sketch_estimate``. The sketch column is a binary value one can
+    store per partition and fold without rescanning — the 100 TB path
+    for distinct-user rollups (rows-only driver check; accuracy pinned
+    vs exact counts in tests/test_extensions.py)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    ).unionByName(
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        ).select(
+            F.lit("__all__").alias("event_type"),
+            "approx_users",
+            F.lit(None).cast("bigint").alias("exact_users"),
+        )
+    )
+
+
 def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return X.with_language_id(docs).select("doc_id", "lang_pred", "lang_score")
@@ -173,6 +201,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_ngram_jaccard,
             x_dedup_simhash,
             x_dedup_embcos,
+            x_sketch_hll,
             x_text_langid,
             x_text_quality,
             x_text_tokens,

@@ -282,6 +282,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "q36_grouping_sets": f"""
         SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
                COUNT(*) AS n,
                {dsum_sql('o_totalprice', 'revenue')}
         FROM orders

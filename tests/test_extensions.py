@@ -108,3 +108,23 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     partial = {r.vec_id for r in R.x_ann_ivf_topk(spark, sf_dir).collect()}
     assert len(partial) == 5
     assert len(set(exact) & partial) >= 1, f"IVF recall collapsed: {set(exact) & partial}"
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """DataSketches HLL estimates stay within 5% of exact distinct
+    counts at lgK=12, and the merged (union) sketch estimates the global
+    distinct count — the mergeability property that makes sketches the
+    scale path."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.registry import x_sketch_hll
+
+    rows = {r["event_type"]: r for r in x_sketch_hll(spark, sf_dir).collect()}
+    ev = table(spark, sf_dir, "events")
+    for et, r in rows.items():
+        if et == "__all__":
+            exact = ev.select("user_id").distinct().count()
+        else:
+            exact = r["exact_users"]
+        assert abs(r["approx_users"] - exact) <= max(1, 0.05 * exact), (et, r, exact)

@@ -140,3 +140,49 @@ def test_stream_replay_csv_end_to_end(spark, tmp_path):
         ("bob", "donut", 3, 1.25),
     ]
     assert rows[0]["topic"] == "purchases"
+
+
+def test_batch_file_scans_roundtrip(spark, sf_dir, tmp_path):
+    """Part B file scans: region written to csv/json/text and read back
+    through the corresponding batch readers with declared schemas
+    (schema inference stays off — the reference's contract)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+
+    region = table(spark, sf_dir, "region").orderBy("r_regionkey")
+    expected = [(r["r_regionkey"], r["r_name"]) for r in region.collect()]
+    ddl = "r_regionkey INT, r_name STRING"
+
+    csv_p = str(tmp_path / "region_csv")
+    region.write.option("header", "true").csv(csv_p)
+    got = spark.read.schema(ddl).option("header", "true").csv(csv_p).orderBy("r_regionkey")
+    assert [(r[0], r[1]) for r in got.collect()] == expected
+
+    json_p = str(tmp_path / "region_json")
+    region.write.json(json_p)
+    got = spark.read.schema(ddl).json(json_p).orderBy("r_regionkey")
+    assert [(r[0], r[1]) for r in got.collect()] == expected
+
+    txt_p = str(tmp_path / "region_txt")
+    region.select(
+        F.concat_ws("|", F.col("r_regionkey").cast("string"), "r_name").alias("value")
+    ).write.text(txt_p)
+    got = (
+        spark.read.text(txt_p)
+        .select(F.split("value", r"\|").alias("p"))
+        .select(
+            F.element_at("p", 1).cast("int").alias("r_regionkey"),
+            F.element_at("p", 2).alias("r_name"),
+        )
+        .orderBy("r_regionkey")
+    )
+    assert [(r[0], r[1]) for r in got.collect()] == expected
+
+
+def test_binary_file_scan(spark, tmp_path):
+    """binaryFile reader: whole-file payloads as (path, content BINARY) —
+    the batch ingestion shape for multimodal blobs."""
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    got = spark.read.format("binaryFile").load(str(tmp_path)).select("content").collect()
+    assert got[0]["content"] == b"\x00\x01payload"

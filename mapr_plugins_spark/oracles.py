@@ -449,6 +449,48 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CAST(o_orderdate AS DATE) AS d_rt
         FROM orders
     """,
+    "q50_null_order_try_arith": """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END
+                            DESC NULLS LAST,
+                            o_orderkey) AS INTEGER) AS rn_nulls_last,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+               CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+                    ELSE CAST(NULL AS BIGINT) END AS safe_add
+        FROM orders
+    """,
+    "q51_array_setops": """
+        SELECT c_custkey,
+               list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS ab_and,
+               list_sort(list_distinct(list_concat(a, b))) AS ab_or,
+               list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS ab_not,
+               CAST(COALESCE(list_position(a, 3), 0) AS BIGINT) AS pos3,
+               list_filter(a, x -> x <> 3) AS no3,
+               len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps,
+               [c_custkey % 3, c_custkey % 3] AS rep2,
+               array_to_string(a, '-') AS joined,
+               list_aggregate(a, 'min') AS amin,
+               list_aggregate(a, 'max') AS amax
+        FROM (
+            SELECT c_custkey,
+                   [c_custkey % 5, c_custkey % 7, CAST(3 AS BIGINT)] AS a,
+                   [c_custkey % 7, CAST(4 AS BIGINT)] AS b
+            FROM customer
+        )
+    """,
+    "q52_map_higher_order": """
+        SELECT c_custkey,
+               (c_custkey % 5) * 2 AS tv_q,
+               ['Q', 'R'] AS uk,
+               CAST((CASE WHEN c_custkey % 5 > 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_custkey % 7 > 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+               (c_custkey % 5) * 2 + 10 AS zip_q,
+               list_sort(['q=' || (c_custkey % 5), 'r=' || (c_custkey % 7)]) AS entries_str
+        FROM customer
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

@@ -807,6 +807,76 @@ def q49_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_null_order_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering inside a window sort (observable through
+    row_number) + ANSI-safe try_ arithmetic that yields NULL instead of
+    failing (Q50)."""
+    orders = _t(spark, sf_dir, "orders")
+    np_ = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        np_.desc_nulls_last(), F.col("o_orderkey")
+    )
+    denom = F.col("o_orderkey") % 3  # 0 for every third key
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn_nulls_last"),
+        F.try_divide(F.col("o_totalprice"), denom).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey")).alias("safe_add"),
+    )
+
+
+def q51_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: intersect/union/except (sorted for engine
+    portability), position, remove, overlap, repeat, join, min/max (Q51)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = F.array(k % 5, k % 7, F.lit(3).cast("long"))
+    b = F.array(k % 7, F.lit(4).cast("long"))
+    return cust.select(
+        "c_custkey",
+        F.sort_array(F.array_distinct(F.array_intersect(a, b))).alias("ab_and"),
+        F.sort_array(F.array_distinct(F.array_union(a, b))).alias("ab_or"),
+        F.sort_array(F.array_distinct(F.array_except(a, b))).alias("ab_not"),
+        F.array_position(a, 3).alias("pos3"),
+        F.array_remove(a, 3).alias("no3"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+        F.array_repeat(k % 3, 2).alias("rep2"),
+        F.array_join(a, "-").alias("joined"),
+        F.array_min(a).alias("amin"),
+        F.array_max(a).alias("amax"),
+    )
+
+
+def q52_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order family: str_to_map, transform_keys/values,
+    map_filter, map_zip_with, map_entries — projected to deterministic
+    scalars/arrays for cross-engine comparison (Q52)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = F.concat(
+        F.lit("q:"), (k % 5).cast("string"), F.lit(",r:"), (k % 7).cast("string")
+    )
+    m = F.str_to_map(s, F.lit(","), F.lit(":"))
+    mi = F.map_from_arrays(F.array(F.lit("q"), F.lit("r")), F.array(k % 5, k % 7))
+    mi2 = F.transform_values(mi, lambda _, v: v + 10)
+    return cust.select(
+        "c_custkey",
+        F.element_at(
+            F.transform_values(m, lambda _, v: v.cast("long") * 2), "q"
+        ).alias("tv_q"),
+        F.array_sort(F.map_keys(F.transform_keys(m, lambda kk, _: F.upper(kk)))).alias("uk"),
+        F.size(F.map_filter(mi, lambda _, v: v > 2)).alias("n_big"),
+        F.element_at(F.map_zip_with(mi, mi2, lambda _, v1, v2: v1 + v2), "q").alias("zip_q"),
+        F.array_sort(
+            F.transform(
+                F.map_entries(mi),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            )
+        ).alias("entries_str"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -491,6 +491,36 @@ RELATIONAL_ORACLES: dict[str, str] = {
                list_sort(['q=' || (c_custkey % 5), 'r=' || (c_custkey % 7)]) AS entries_str
         FROM customer
     """,
+    "q53_outer_explode_regexp": """
+        WITH z AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '),
+                               w -> regexp_matches(w, '^z')) AS zw
+            FROM documents
+        )
+        SELECT doc_id,
+               unnest(CASE WHEN len(zw) = 0 THEN [NULL] ELSE zw END) AS zword,
+               CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS INTEGER) AS n_vv,
+               CAST(len(regexp_extract_all(text, 'the')) AS INTEGER) AS n_the,
+               regexp_matches(text, '^[a-z]') AS starts_alpha
+        FROM z
+    """,
+    "q54_conversions": """
+        SELECT c_custkey,
+               bin(c_custkey) AS k_bin,
+               lower(hex(c_custkey)) AS k_hex,
+               hex(CAST(c_name AS BLOB)) AS name_hex,
+               c_name AS name_rt,
+               printf('%x', c_custkey) AS k_base16,
+               printf('cust-%05d', c_custkey) AS k_fmt
+        FROM customer
+    """,
+    "q55_inline_structs": """
+        SELECT c_custkey,
+               CASE WHEN t.i = 1 THEN c_custkey % 3 ELSE c_custkey % 5 END AS a,
+               CASE WHEN t.i = 1 THEN 'lo' ELSE 'hi' END AS b
+        FROM customer CROSS JOIN (VALUES (1), (2)) t(i)
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

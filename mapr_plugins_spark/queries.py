@@ -877,6 +877,50 @@ def q52_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_outer_explode_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a sometimes-empty array (row preserved with
+    NULL) and the regexp family: extract_all, count, rlike (Q53)."""
+    docs = _t(spark, sf_dir, "documents")
+    # empty for docs whose text has no 'z' words — exercises the outer path
+    zwords = F.expr(r"filter(split(text, ' '), w -> w rlike '^z')")
+    return docs.select(
+        "doc_id",
+        F.explode_outer(zwords).alias("zword"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]{2}"), 0)).alias("n_vv"),
+        F.regexp_count("text", F.lit("the")).alias("n_the"),
+        F.col("text").rlike("^[a-z]").alias("starts_alpha"),
+    )
+
+
+def q54_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base/byte conversions and formatting: bin, hex/unhex round-trip,
+    conv, format_string, encode (Q54)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.bin(k).alias("k_bin"),
+        F.lower(F.hex(k)).alias("k_hex"),
+        F.hex(F.encode(F.col("c_name"), "utf-8")).alias("name_hex"),
+        F.decode(F.unhex(F.hex(F.encode(F.col("c_name"), "utf-8"))), "utf-8").alias(
+            "name_rt"
+        ),
+        F.lower(F.conv(k.cast("string"), 10, 16)).alias("k_base16"),
+        F.format_string("cust-%05d", k).alias("k_fmt"),
+    )
+
+
+def q55_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline: explode an array of structs directly into columns (Q55)."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    arr = F.array(
+        F.struct((k % 3).alias("a"), F.lit("lo").alias("b")),
+        F.struct((k % 5).alias("a"), F.lit("hi").alias("b")),
+    )
+    return cust.select("c_custkey", F.inline(arr))
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -135,3 +135,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_ann_brute_force_no_corpus_shuffle(spark, sf_dir):
+    """Brute-force top-k: probe broadcast into a corpus map stage +
+    TakeOrderedAndProject — the corpus is scanned once and never
+    shuffled (valid to ~1e9 vectors per probe batch)."""
+    from mapr_plugins_spark.operators.registry import q24_ann_topk
+
+    df = q24_ann_topk(spark, sf_dir)
+    assert A.shuffle_count(df) == 0, A.plan_str(df)
+    assert "TakeOrderedAndProject" in A.plan_str(df)
+
+
+def test_exists_decorrelates_to_joins(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS must plan as joins (semi/anti,
+    broadcast at this scale) — never per-row subquery re-execution."""
+    df = Q.q47_exists_subquery(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.count_nodes(df, "BroadcastHashJoin") + A.count_nodes(
+        df, "SortMergeJoin"
+    ) + A.count_nodes(df, "ShuffledHashJoin") >= 2, p
+    assert not A.has_cartesian(df), p

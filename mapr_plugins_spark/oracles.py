@@ -521,6 +521,22 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CASE WHEN t.i = 1 THEN 'lo' ELSE 'hi' END AS b
         FROM customer CROSS JOIN (VALUES (1), (2)) t(i)
     """,
+    "q56_variant_json": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS vk,
+               json_extract_string(props, '$.missing') AS vmissing,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS jk
+        FROM events
+    """,
+    "q57_recursive_cte": """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1
+            UNION ALL
+            SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT r.r_regionkey, m.m, r.r_regionkey * 100 + m.m AS slot
+        FROM region r CROSS JOIN months m
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

@@ -921,6 +921,37 @@ def q55_inline_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select("c_custkey", F.inline(arr))
 
 
+def q56_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json → typed
+    variant_get extraction, vs classic get_json_object (Q56)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("vk"),
+        F.variant_get(v, "$.missing", "string").alias("vmissing"),
+        F.get_json_object("props", "$.k").cast("int").alias("jk"),
+    )
+
+
+def q57_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): running 12-month horizon per region —
+    a deliberately small recursion (fixed depth, driver-iterated plan)
+    joined back to a real table (Q57)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1
+            UNION ALL
+            SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT r.r_regionkey, m.m, r.r_regionkey * 100 + m.m AS slot
+        FROM region r CROSS JOIN months m
+        """
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

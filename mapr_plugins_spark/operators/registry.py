@@ -98,6 +98,12 @@ def x_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapr_plugins_spark.operators.rollup import hypertable_rollup
+
+    return hypertable_rollup(_t(spark, sf_dir, "events"), grans=("hour", "day"))
+
+
 def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL):
     per-event_type user sketches built with ``hll_sketch_agg``, merged
@@ -201,6 +207,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_ngram_jaccard,
             x_dedup_simhash,
             x_dedup_embcos,
+            x_hypertable_rollup,
             x_sketch_hll,
             x_text_langid,
             x_text_quality,
@@ -358,6 +365,19 @@ def extension_oracles() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
                      vec_id
             LIMIT 5
+        """,
+        "x_hypertable_rollup": """
+            SELECT 'hour' AS gran,
+                   epoch_us(date_trunc('hour', ts)) AS bucket_us,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day',
+                   epoch_us(date_trunc('day', ts)),
+                   COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            FROM events GROUP BY 2
         """,
         "x_dedup_minhash_pairs": _minhash_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),

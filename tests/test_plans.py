@@ -157,3 +157,14 @@ def test_exists_decorrelates_to_joins(spark, sf_dir):
         df, "SortMergeJoin"
     ) + A.count_nodes(df, "ShuffledHashJoin") >= 2, p
     assert not A.has_cartesian(df), p
+
+
+def test_hypertable_rollup_single_pass(spark, sf_dir):
+    """Every granularity from ONE scan + ONE shuffle: grouping sets plan
+    as a single Expand feeding a partial+final aggregate — never one
+    shuffle per granularity."""
+    from mapr_plugins_spark.operators.registry import x_hypertable_rollup
+
+    df = x_hypertable_rollup(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+    assert A.count_nodes(df, "Expand") == 1, A.plan_str(df)

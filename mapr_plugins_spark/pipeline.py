@@ -150,14 +150,26 @@ def _parse_batch(df: DataFrame, spec: PipelineSpec) -> DataFrame:
     return df.select(parsed.alias("record")).select("record.*")
 
 
-def run_batch(spark: SparkSession, spec: PipelineSpec, input_path: str) -> None:
+def run_batch(spark: SparkSession, spec: PipelineSpec, input_path: str) -> dict[str, int]:
     """Batch pipeline: text payload files → parse → transforms → keyed
-    document table. One declarative plan, no driver-side iteration."""
+    document table. One declarative plan, no driver-side iteration.
+
+    Returns run metrics collected with ``observe`` — aggregated on the
+    executors during the write itself (no second pass over the data),
+    the pipeline-monitoring hook a production run wires to its metrics
+    sink."""
+    from pyspark.sql import Observation
+
     raw = spark.read.text(input_path).withColumnRenamed("value", "payload").select(
         F.col("payload").cast("binary").alias("value")
     )
+    obs_in = Observation("pipeline_in")
+    raw = raw.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
     out = _transform(_parse_batch(raw, spec), spec)
+    obs_out = Observation("pipeline_out")
+    out = out.observe(obs_out, F.count(F.lit(1)).alias("rows_out"))
     write_document_table(out, spec.sink.table_path, spec.sink.key, strict=spec.sink.strict)
+    return {"rows_in": obs_in.get["rows_in"], "rows_out": obs_out.get["rows_out"]}
 
 
 def run_stream(

@@ -48,6 +48,7 @@ FORMATS: tuple[str, ...] = (
     "text",
     "tsv",
     "json",  # engine extension: first-class JSON payloads
+    "xml",  # engine extension: Spark 4 native XML payloads
 )
 
 # ---------------------------------------------------------------------------
@@ -175,6 +176,10 @@ def parse_expr(
         if schema is None:
             raise ValueError("json format requires a DDL schema")
         return F.from_json(_as_string(value), schema, opts)
+    if fmt == "xml":
+        if schema is None:
+            raise ValueError("xml format requires a DDL schema")
+        return F.from_xml(_as_string(value), schema, opts or None)
     if fmt == "avro":
         if schema is None:
             raise ValueError("avro format requires an Avro schema JSON string")

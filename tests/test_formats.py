@@ -186,3 +186,19 @@ def test_binary_file_scan(spark, tmp_path):
     (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
     got = spark.read.format("binaryFile").load(str(tmp_path)).select("content").collect()
     assert got[0]["content"] == b"\x00\x01payload"
+
+
+def test_xml_format_parse(spark):
+    """Engine-extension XML payload format (Spark 4 native from_xml)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.sources.formats import parse_expr
+
+    df = spark.createDataFrame(
+        [(b"<rec><user>alice</user><item>coffee</item><count>2</count></rec>",)],
+        "value binary",
+    )
+    parsed = df.select(
+        parse_expr("xml", F.col("value"), "user STRING, item STRING, count INT").alias("r")
+    ).select("r.*")
+    assert parsed.collect()[0].asDict() == {"user": "alice", "item": "coffee", "count": 2}

@@ -47,7 +47,7 @@ def test_macro_resolution():
 def test_from_properties_validation(tmp_path):
     with pytest.raises(ValueError, match="unknown format"):
         PipelineSpec.from_properties(
-            {"topics": "t", "format": "xml"}, {"tableName": "x", "key": "k"}
+            {"topics": "t", "format": "yaml"}, {"tableName": "x", "key": "k"}
         )
     with pytest.raises(ValueError, match="tableName"):
         PipelineSpec.from_properties({"topics": "t"}, {"key": "k"})
@@ -65,7 +65,8 @@ def test_batch_pipeline_end_to_end(spark, tmp_path):
     d.mkdir()
     (d / "events.txt").write_text(PAYLOADS)
     spec = _spec(tmp_path, filters=["count >= 2"])
-    run_batch(spark, spec, str(d))
+    metrics = run_batch(spark, spec, str(d))
+    assert metrics == {"rows_in": 3, "rows_out": 2}  # executor-side observe
 
     rows = spark.read.parquet(str(tmp_path / "purchase_docs")).orderBy("_id").collect()
     assert [r["_id"] for r in rows] == ["alice", "bob"]  # carol filtered out

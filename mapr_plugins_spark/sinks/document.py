@@ -115,3 +115,24 @@ def write_document_table(
         .format(fmt)
         .save(path)
     )
+
+
+def read_document_table(
+    spark, path: str, schema: str, key_field: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read a keyed document table back into typed records — the inverse
+    of the A5 encode (the reference's read side lives in MapR-DB itself;
+    here the table is self-contained).
+
+    ``schema`` is the declared DDL of the original record (the engine's
+    explicit-schema contract — no inference over the JSON docs). Fields
+    skipped at write time (the skip-null rule) come back as NULL, so
+    ``read(write(df)) == df`` for key-complete rows. The decode is one
+    ``from_json`` projection — codegen'd, zero shuffle, mirroring the
+    encode path.
+    """
+    raw = spark.read.format(fmt).load(path)
+    rec = raw.select(F.from_json(F.col("doc"), schema).alias("r"), F.col("_id"))
+    # the key column inside the doc is authoritative; _id is its string
+    # rendering (kept for provenance checks, dropped from the record)
+    return rec.select("r.*")

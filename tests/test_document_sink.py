@@ -114,3 +114,34 @@ def test_right_outer_join_mirror(spark, sf_dir):
         right.filter(F.col("o_orderkey").isNull()).count()
         == left.filter(F.col("o_orderkey").isNull()).count()
     )
+
+
+def test_document_table_read_roundtrip(spark, sf_dir, tmp_path):
+    """read_document_table(write_document_table(df)) == df, including a
+    NULL field dropped by the skip-null write rule and restored as NULL
+    by the declared-schema decode."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.sinks.document import (
+        read_document_table,
+        write_document_table,
+    )
+
+    src = (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).alias("pos_bal"),
+        )
+        .limit(50)
+    )
+    path = str(tmp_path / "cust_docs")
+    write_document_table(src, path, key_field="c_custkey")
+    got = read_document_table(
+        spark, path, "c_custkey BIGINT, c_name STRING, pos_bal DOUBLE", "c_custkey"
+    )
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in got.collect()}
+    assert a == b

@@ -104,6 +104,24 @@ def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable_rollup(_t(spark, sf_dir, "events"), grans=("hour", "day"))
 
 
+def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapr_plugins_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_split(docs, "CAST(doc_id AS STRING)", train_pct=80, seed=7).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapr_plugins_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hash_sample(docs, "CAST(doc_id AS STRING)", fraction=0.25, seed=7).select(
+        "doc_id"
+    )
+
+
 def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL):
     per-event_type user sketches built with ``hll_sketch_agg``, merged
@@ -208,6 +226,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_simhash,
             x_dedup_embcos,
             x_hypertable_rollup,
+            x_split_assign,
+            x_hash_sample,
             x_sketch_hll,
             x_text_langid,
             x_text_quality,
@@ -365,6 +385,18 @@ def extension_oracles() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
                      vec_id
             LIMIT 5
+        """,
+        "x_split_assign": f"""
+            SELECT doc_id,
+                   CAST({seeded_hash60_sql("CAST(doc_id AS STRING)", "7")} % 100 AS INTEGER)
+                       AS bucket,
+                   CASE WHEN {seeded_hash60_sql("CAST(doc_id AS STRING)", "7")} % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        """,
+        "x_hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {seeded_hash60_sql("CAST(doc_id AS STRING)", "7")} % 10000 < 2500
         """,
         "x_hypertable_rollup": """
             SELECT 'hour' AS gran,

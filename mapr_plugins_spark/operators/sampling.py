@@ -1,0 +1,60 @@
+"""Deterministic sampling & dataset splitting by content hash.
+
+Training-data pipelines need splits and samples that are (a) stable
+across reruns and cluster layouts, (b) reproducible from the data
+itself, and (c) consistent when the corpus grows (a document keeps its
+assignment forever). Random-number sampling (``df.sample``,
+``randomSplit``) gives none of that — results depend on partitioning
+and seed plumbing. Hash-based assignment gives all three: bucket =
+portable_hash(key, seed) mod N is a pure function of the row key.
+
+Built on the engine's portable 60-bit md5 hash
+(functions/portable_hash.py), so the DuckDB oracle reproduces every
+assignment bit-for-bit — the split itself is oracle-checked, not just
+its size. Per-row work is one md5 inside codegen; zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+
+
+def hash_bucket(df: DataFrame, key_sql: str, n_buckets: int = 100, seed: int = 7) -> DataFrame:
+    """Append ``bucket`` = portable_hash(key, seed) mod n_buckets."""
+    out = with_seeded_hash60(df, "__h", key_sql, str(seed))
+    return out.withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int")).drop(
+        "__h"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_sql: str,
+    train_pct: int = 80,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic train/test split: ``split`` column ('train'/'test')
+    assigned by content-hash bucket. A row's assignment never changes as
+    the corpus grows, and holdout contamination is impossible to
+    introduce by re-partitioning."""
+    b = hash_bucket(df, key_sql, 100, seed)
+    return b.withColumn(
+        "split", F.when(F.col("bucket") < train_pct, "train").otherwise("test")
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_sql: str,
+    fraction: float,
+    seed: int = 7,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose hash bucket falls
+    below fraction·n_buckets. Same row set on every run and engine."""
+    keep = int(round(fraction * n_buckets))
+    b = hash_bucket(df, key_sql, n_buckets, seed)
+    return b.filter(F.col("bucket") < keep).drop("bucket")

@@ -65,6 +65,34 @@ def extract_features(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(decode_stub, schema=FEATURE_SCHEMA)
 
 
+def extract_features_arrow(mm: DataFrame) -> DataFrame:
+    """The same feature extraction over raw Arrow RecordBatches
+    (``mapInArrow``) — skips the Arrow↔pandas conversion entirely, the
+    lowest-overhead Python hook for large binary payloads (no pandas
+    object-array materialization of the bytes). Produces rows identical
+    to :func:`extract_features` (pinned by test)."""
+    import pyarrow as pa
+
+    def decode_stub(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            payloads = batch.column(batch.schema.get_field_index("payload")).to_pylist()
+            doc_ids = batch.column(batch.schema.get_field_index("doc_id"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array([len(b) for b in payloads], pa.int32()),
+                    pa.array([b[0] if len(b) else -1 for b in payloads], pa.int32()),
+                    pa.array(
+                        [(sum(b) / len(b)) if len(b) else 0.0 for b in payloads],
+                        pa.float64(),
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "mean_byte"],
+            )
+
+    return mm.select("doc_id", "payload").mapInArrow(decode_stub, schema=FEATURE_SCHEMA)
+
+
 #: Output schema of the (stubbed) image resize: resized payload plus
 #: the post-resize dimensions.
 RESIZE_SCHEMA = "doc_id BIGINT, payload BINARY, width INT, height INT"

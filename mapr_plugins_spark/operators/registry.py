@@ -203,6 +203,42 @@ def x_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(mm).select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes"))
 
 
+def x_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input grouped Arrow UDF (cogroup → applyInPandas): per-user
+    merge of the click and purchase sub-frames. Keys present on either
+    side appear (full-outer cogroup semantics); kernels use order-free
+    aggregates so the oracle hash is stable."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+
+    def merge(key: tuple, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "best_purchase": [float(right["value"].max()) if len(right) else None],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id BIGINT, n_clicks BIGINT, n_purchases BIGINT, best_purchase DOUBLE",
+        )
+    )
+
+
+def x_mm_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return M.extract_features_arrow(mm)
+
+
 def x_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation (exact dedup → near-dup collapse → quality
     filter → language tag) over the documents table. Iterative collapse
@@ -236,6 +272,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_asof_join,
             x_mm_meta,
             x_mm_features,
+            x_mm_features_arrow,
+            x_cogroup_merge,
             x_mm_resize,
             x_mm_frames,
             x_curate,
@@ -398,6 +436,23 @@ def extension_oracles() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE {seeded_hash60_sql("CAST(doc_id AS STRING)", "7")} % 10000 < 2500
         """,
+        "x_cogroup_merge": """
+            WITH c AS (
+                SELECT user_id, COUNT(*) AS n_clicks
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            p AS (
+                SELECT user_id, COUNT(*) AS n_purchases, MAX(value) AS best
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   COALESCE(c.n_clicks, 0) AS n_clicks,
+                   COALESCE(p.n_purchases, 0) AS n_purchases,
+                   p.best AS best_purchase
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        """,
+        # x_mm_features_arrow: rows-only (same stub as x_mm_features);
+        # mapInArrow/mapInPandas equivalence pinned in test_extensions.py.
         "x_hypertable_rollup": """
             SELECT 'hour' AS gran,
                    epoch_us(date_trunc('hour', ts)) AS bucket_us,

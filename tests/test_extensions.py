@@ -128,3 +128,20 @@ def test_hll_sketch_accuracy(spark, sf_dir):
         else:
             exact = r["exact_users"]
         assert abs(r["approx_users"] - exact) <= max(1, 0.05 * exact), (et, r, exact)
+
+
+def test_map_in_arrow_matches_map_in_pandas(spark, sf_dir):
+    """extract_features_arrow (mapInArrow) and extract_features
+    (mapInPandas) are the same operator at two Python batch interfaces —
+    row sets must be identical."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+        extract_features_arrow,
+    )
+
+    mm = attach_payload(table(spark, sf_dir, "documents"))
+    a = {tuple(r) for r in extract_features(mm).collect()}
+    b = {tuple(r) for r in extract_features_arrow(mm).collect()}
+    assert a == b

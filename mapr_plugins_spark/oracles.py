@@ -537,6 +537,16 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT r.r_regionkey, m.m, r.r_regionkey * 100 + m.m AS slot
         FROM region r CROSS JOIN months m
     """,
+    "q58_agg_extras": """
+        SELECT o_custkey,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0.0) AS all_pos,
+               bool_or(o_orderstatus = 'F') AS any_final,
+               median(o_totalprice) AS med_price,
+               arg_max(o_orderkey, o_totalprice) AS key_of_max,
+               arg_min(o_orderkey, o_totalprice) AS key_of_min
+        FROM orders GROUP BY o_custkey
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

@@ -952,6 +952,24 @@ def q57_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining aggregate family: count_if, bool_and/bool_or, exact
+    median, max_by/min_by (argmax/argmin) per customer group (Q58).
+
+    max_by ties are broken by value uniqueness: synthetic double prices
+    are tie-free at test scale, and the driver compare would surface a
+    tie as a hash diff."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count_if(F.col("o_totalprice") > 100000.0).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_pos"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.median("o_totalprice").alias("med_price"),
+        F.max_by("o_orderkey", "o_totalprice").alias("key_of_max"),
+        F.min_by("o_orderkey", "o_totalprice").alias("key_of_min"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -172,6 +172,45 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(docs).select("doc_id", "fp", "fp_hex")
 
 
+def _with_injected_pii(docs: DataFrame) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the raw
+    corpus contains none, so redaction would be a no-op)."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com via +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (d % 256).cast("string"),
+            F.lit(".0."),
+            (d % 100).cast("string"),
+        ).alias("text"),
+    )
+
+
+def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_injected_pii(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return X.redact_pii(docs).select("doc_id", "clean_text", "n_redacted")
+
+
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return X.repetition_features(docs).select(
+        "doc_id", "n_tokens", "dup_token_frac", "top_token_frac", "top_bigram_frac"
+    )
+
+
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter((F.col("doc_id") % 97) == 0)
+    train = docs.filter((F.col("doc_id") % 97) != 0)
+    return X.decontaminate(train, eval_df, n=3)
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
@@ -269,6 +308,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_quality,
             x_text_tokens,
             x_text_fingerprint,
+            x_text_pii_redact,
+            x_text_repetition,
+            x_decontaminate,
             x_asof_join,
             x_mm_meta,
             x_mm_features,
@@ -401,6 +443,37 @@ def _langid_oracle() -> str:
     """
 
 
+_PII_INJECT_SQL = """
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com via +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS text
+    FROM documents
+"""
+
+
+def _pii_redact_oracle() -> str:
+    """Sequential count-then-replace chain, one CTE per pattern —
+    mirrors operators/text.py::redact_pii exactly."""
+    sql = f"WITH r0 AS ({_PII_INJECT_SQL})"
+    prev, counts = "r0", []
+    for i, (pat, repl) in enumerate(X.PII_PATTERNS, start=1):
+        sql += f""",
+        r{i} AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pat}')) AS c{i},
+                   regexp_replace(text, '{pat}', '{repl}', 'g') AS text
+                   {"".join(f", c{j}" for j in range(1, i))}
+            FROM {prev}
+        )"""
+        prev, counts = f"r{i}", counts + [f"c{i}"]
+    return sql + f"""
+        SELECT doc_id, text AS clean_text,
+               CAST({" + ".join(counts)} AS INT) AS n_redacted
+        FROM {prev}
+    """
+
+
 def extension_oracles() -> dict[str, str]:
     return {
         "q22_exact_dedup": """
@@ -511,6 +584,47 @@ def extension_oracles() -> dict[str, str]:
             + _CANON_DUCK
             + "), 1, 16) AS fp_hex FROM documents"
         ),
+        "x_text_pii_redact": _pii_redact_oracle(),
+        "x_text_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            b AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                                i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END AS bg
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                       AS dup_token_frac,
+                   round(CAST(list_max(list_transform(list_distinct(t),
+                             w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+                         / len(t), 6) AS top_token_frac,
+                   round(CASE WHEN len(bg) > 0
+                              THEN CAST(list_max(list_transform(list_distinct(bg),
+                                        w -> len(list_filter(bg, x -> x = w)))) AS DOUBLE)
+                                   / len(bg)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM b
+        """,
+        "x_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3
+                            THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+                            ELSE [] END AS grams
+                FROM toks
+            ),
+            eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+            tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+            SELECT tg.doc_id, COUNT(*) AS n_shared
+            FROM tg JOIN eg USING (gram)
+            GROUP BY tg.doc_id
+        """,
         "x_asof_join": """
             SELECT c.event_id, c.user_id, p.pval AS last_purchase
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

@@ -119,6 +119,107 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Sequentially-applied PII redaction patterns (portable RE2 ∩ Java
+#: regex subset). Counting happens on the progressively-redacted string,
+#: then the replace — so overlapping matches are attributed to the
+#: earliest pattern, identically in both engines.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses from a text column,
+    keeping a per-document redaction count. Pure codegen'd regexp chain:
+    zero shuffle, zero Python — the shape PII scrubbing takes in a
+    100 TB curation pass."""
+    cur: Column = F.col(text_col)
+    n_red: Column = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        n_red = n_red + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumn(out_col, cur).withColumn("n_redacted", n_red)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals, row-local (no shuffle):
+    duplicate-token fraction, top-token fraction, top-bigram fraction.
+
+    The per-distinct-token occurrence scan is O(n·d) inside one
+    codegen'd higher-order expression — documents are bounded (tokens
+    per doc ≪ 10^4), so this beats an explode + two shuffles at scale."""
+    toks = tokens_col(text_col)
+    df = fan_out(df).withColumn("__toks", toks)
+    t = F.col("__toks")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    top_tok = F.array_max(
+        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda x: x == w)))
+    )
+    bigr = F.when(n >= 2, F.expr(
+        "transform(sequence(1, size(__toks) - 1),"
+        " i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+    )).otherwise(F.expr("array()"))
+    df = df.withColumn("__bigr", bigr)
+    b = F.col("__bigr")
+    top_bigr = F.when(
+        F.size(b) > 0,
+        F.array_max(
+            F.transform(F.array_distinct(b), lambda w: F.size(F.filter(b, lambda x: x == w)))
+        ).cast("double") / F.size(b),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("dup_token_frac", F.round(1.0 - nd.cast("double") / n, 6))
+        .withColumn("top_token_frac", F.round(top_tok.cast("double") / n, 6))
+        .withColumn("top_bigram_frac", F.round(top_bigr, 6))
+        .drop("__toks", "__bigr")
+    )
+
+
+def word_ngrams_col(toks: Column, n: int) -> Column:
+    """Distinct word n-grams of a token array (space-joined), empty when
+    the document is shorter than n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an eval/benchmark set; returns (id, n_shared).
+
+    Scale shape: the eval side collapses to a distinct-gram set that is
+    tiny relative to the corpus and is broadcast — the training side
+    stays a single explode + broadcast-hash semi pass, no big shuffle."""
+    tg = train.select(
+        F.col(id_col), F.explode(word_ngrams_col(tokens_col(text_col), n)).alias("gram")
+    )
+    eg = (
+        eval_df.select(F.explode(word_ngrams_col(tokens_col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
     """Corpus-level term frequencies with stopword removal (top-N by
     count desc, token asc). Partial aggregation map-side; the only

@@ -547,6 +547,71 @@ RELATIONAL_ORACLES: dict[str, str] = {
                arg_min(o_orderkey, o_totalprice) AS key_of_min
         FROM orders GROUP BY o_custkey
     """,
+    "q59_regr_agg": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS regr_cnt,
+               round(sx / n, 6) AS avg_x,
+               round(sy / n, 6) AS avg_y,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round(sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n), 6)
+                   AS intercept,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM m
+    """,
+    "q60_lateral_join": """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    "q61_bitwise_agg": """
+        SELECT o_orderpriority,
+               bit_and(o_custkey) AS band,
+               bit_or(o_custkey) AS bor,
+               bit_xor(o_custkey) AS bxor
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q62_sessionize": """
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) > 600
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
+        FROM s GROUP BY user_id, session_seq
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

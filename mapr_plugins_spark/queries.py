@@ -970,6 +970,114 @@ def q58_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_count/avgx/avgy/slope/
+    intercept/r2) per returnflag over lineitem (Q59).
+
+    Formulated from exact decimal moment sums instead of the built-in
+    ``regr_*`` accumulators: double-sum accumulation is shuffle-order
+    dependent, so two engines can disagree in the last ulps. Decimal
+    sums are associative (order-free); the closed-form slope/intercept/
+    r2 then apply identical IEEE double ops to identical inputs on both
+    engines. Same posture as functions/deterministic.py, and still a
+    plain partial+final hash aggregate at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    dec = "decimal(27,6)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(x).cast("double").alias("_n"),
+        F.sum(x.cast(dec)).cast("double").alias("_sx"),
+        F.sum(y.cast(dec)).cast("double").alias("_sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("_sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("_syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("_sxy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    cov_n = n * sxy - sx * sy  # n^2 * covariance
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("regr_cnt"),
+        F.round(sx / n, 6).alias("avg_x"),
+        F.round(sy / n, 6).alias("avg_y"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+def q60_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer segment
+    sample, via a per-row dependent subquery (Q60). Catalyst decorrelates
+    the lateral into a ranked window join — no per-row re-execution."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+def q61_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family bit_and / bit_or / bit_xor per order
+    priority (Q61) — order-independent, so safe for cross-engine hashes."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_and(F.col("o_custkey")).alias("band"),
+        F.bit_or(F.col("o_custkey")).alias("bor"),
+        F.bit_xor(F.col("o_custkey")).alias("bxor"),
+    )
+
+
+def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization over the events stream table (Q62):
+    a new session starts after a >10 min silence per user; emits per-
+    session event count, span, and deterministic value total.
+
+    Classic lag + cumulative-sum-of-boundaries pattern: two window
+    passes over one hash partitioning (user_id), so a single shuffle;
+    at 100 TB this is one exchange plus sort, no driver state."""
+    # events.ts is TIMESTAMP_LTZ (catalog nanos→micros conversion); pin
+    # it to the UTC wall time as TIMESTAMP_NTZ so gap arithmetic and
+    # output formatting cannot vary with the session timezone (DuckDB
+    # reads the same parquet values as tz-free wall time).
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = (
+        F.unix_date(F.to_date("ts")).cast("long") * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    ev = ev.withColumn("__secs", secs)
+    gap = F.col("__secs") - F.lag("__secs").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        dsum(F.col("value"), "sess_value"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

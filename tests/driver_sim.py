@@ -1,6 +1,6 @@
 """Replicates the driver's verify protocol against __spark_entry__.py.
 
-Usage: python tests/driver_sim.py [sf_dir] [--tz TZ]
+Usage: python tests/driver_sim.py [sf_dir] [--tz TZ] [--only sub1,sub2]
 
 Creates a *plain* SparkSession (driver-style: no engine configs), runs
 entry() as a smoke check, then every queries()[name] at sf_dir and
@@ -21,6 +21,9 @@ def main() -> int:
     tz = None
     if "--tz" in sys.argv:
         tz = sys.argv[sys.argv.index("--tz") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
 
     b = SparkSession.builder.appName("driver-sim").master("local[8]")
     if tz:
@@ -38,6 +41,8 @@ def main() -> int:
     qs, os_ = E.queries(), E.oracle_sql()
     n_pass = n_fail = 0
     for name in sorted(qs):
+        if only and not any(o in name for o in only):
+            continue
         t0 = time.time()
         try:
             got = canonicalize(spark_rows(qs[name](spark, sf_dir)))

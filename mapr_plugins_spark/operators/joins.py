@@ -72,6 +72,46 @@ def asof_join(
     )
 
 
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-overlap join ([lo, hi) vs [lo, hi)) with a bin equi-key.
+
+    Both sides explode their span to overlapping bins; the hash join on
+    the bin replaces the BNLJ a plain ``l_lo < r_hi AND r_lo < l_hi``
+    predicate would get. A pair sharing k bins would appear k times, so
+    instead of a dedup shuffle we keep each pair only in its canonical
+    bin — the bin of ``greatest(l_lo, r_lo)`` (the overlap start, which
+    by construction lies in both spans): exact semantics, zero extra
+    exchanges beyond the one hash join.
+    """
+
+    def bins(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    (F.col(lo) / bin_width).cast("long"), (F.col(hi) / bin_width).cast("long")
+                )
+            ),
+        )
+
+    lb, rb = bins(left, l_lo, l_hi), bins(right, r_lo, r_hi)
+    canonical = (F.greatest(F.col(l_lo), F.col(r_lo)) / bin_width).cast("long")
+    return (
+        lb.join(rb, "__bin")
+        .filter((F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi)))
+        .filter(F.col("__bin") == canonical)
+        .drop("__bin")
+    )
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -211,6 +211,64 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.decontaminate(train, eval_df, n=3)
 
 
+def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics (update / delete / insert / keep) applied to the
+    customer table from a deterministic changeset — the A6 keyed-table
+    upsert re-expressed over immutable storage."""
+    from mapr_plugins_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    upd = cust.filter(k % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.when(k % 10 == 0, "D").otherwise("U").alias("op"),
+    )
+    ins = cust.filter(k % 7 == 0).select(
+        (k + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("new_"), k.cast("string")).alias("c_name"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    return merge_upsert(
+        cust,
+        upd.unionByName(ins),
+        keys=["c_custkey"],
+        update_cols=["c_mktsegment", "c_acctbal"],
+        delete_condition=F.col("s.op") == "D",
+    )
+
+
+def x_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join through the binned equi-key accelerator
+    (operators/joins.py::overlap_join_binned) — oracle is the plain
+    quadratic overlap predicate."""
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .withColumn("s_hi", F.col("s_acctbal") + 500.0)
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .withColumn("c_hi", F.col("c_acctbal") + 300.0)
+    )
+    out = J.overlap_join_binned(sup, cust, "s_acctbal", "s_hi", "c_acctbal", "c_hi", 500)
+    return out.select("s_suppkey", "c_custkey")
+
+
+def x_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (top-20 tokens, dense ids) + order-preserving
+    document encoding with OOV → -1."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.encode_tokens(docs, X.build_vocab(docs, size=20))
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
@@ -311,6 +369,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_decontaminate,
+            x_merge_upsert,
+            x_overlap_join,
+            x_vocab_encode,
             x_asof_join,
             x_mm_meta,
             x_mm_features,
@@ -584,6 +645,57 @@ def extension_oracles() -> dict[str, str]:
             + _CANON_DUCK
             + "), 1, 16) AS fp_hex FROM documents"
         ),
+        "x_merge_upsert": """
+            WITH base AS (
+                SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+            ),
+            upd AS (
+                SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+                       c_acctbal + 100.0 AS c_acctbal,
+                       CASE WHEN c_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+                FROM base WHERE c_custkey % 3 = 0
+            ),
+            ins AS (
+                SELECT c_custkey + 10000000 AS c_custkey, 'new_' || c_custkey AS c_name,
+                       'NEW' AS c_mktsegment, 0.0 AS c_acctbal, 'I' AS op
+                FROM base WHERE c_custkey % 7 = 0
+            ),
+            src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+            SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+                   COALESCE(t.c_name, s.c_name) AS c_name,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                        ELSE t.c_mktsegment END AS c_mktsegment,
+                   CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                        ELSE t.c_acctbal END AS c_acctbal
+            FROM base t FULL JOIN src s ON t.c_custkey = s.c_custkey
+            WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                       AND s.op = 'D')
+        """,
+        "x_overlap_join": """
+            SELECT s_suppkey, c_custkey
+            FROM supplier, customer
+            WHERE s_acctbal < c_acctbal + 300.0 AND c_acctbal < s_acctbal + 500.0
+        """,
+        "x_vocab_encode": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+            tp AS (
+                SELECT doc_id, unnest(t) AS token,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM toks
+            ),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM tp GROUP BY token),
+            vocab AS (
+                SELECT * FROM (
+                    SELECT token,
+                           CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
+                               AS token_id
+                    FROM counts
+                ) WHERE token_id < 20
+            )
+            SELECT tp.doc_id, list(COALESCE(v.token_id, -1) ORDER BY tp.pos) AS ids
+            FROM tp LEFT JOIN vocab v USING (token)
+            GROUP BY tp.doc_id
+        """,
         "x_text_pii_redact": _pii_redact_oracle(),
         "x_text_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

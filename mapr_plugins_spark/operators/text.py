@@ -12,7 +12,7 @@ definition, same arithmetic) in ``operators/registry.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
@@ -217,6 +217,45 @@ def decontaminate(
         tg.join(F.broadcast(eg), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def build_vocab(df: DataFrame, text_col: str = "text", size: int = 1000) -> DataFrame:
+    """Corpus vocabulary: top-``size`` tokens by (count desc, token asc)
+    with dense ids 0..size-1.
+
+    The global row_number window runs on the *aggregated* token counts —
+    a vocabulary-sized frame (≪ corpus), so the single-partition sort is
+    deliberate and cheap even at 100 TB corpus scale."""
+    counts = (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.select("token", (F.row_number().over(w) - 1).alias("token_id"))
+        .filter(F.col("token_id") < size)
+    )
+
+
+def encode_tokens(
+    df: DataFrame, vocab: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encode each document to its vocabulary-id sequence (OOV → -1),
+    preserving token order. posexplode → broadcast vocab join → re-
+    assemble sorted by position: one shuffle (the groupBy), vocab stays
+    broadcast."""
+    tp = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "token")
+    )
+    enc = tp.join(F.broadcast(vocab), "token", "left").select(
+        id_col, "pos", F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid")
+    )
+    return enc.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x["tid"]
+        ).alias("ids")
     )
 
 

@@ -1,0 +1,96 @@
+"""Edge-case pins for merge_upsert, overlap_join_binned, and the
+vocabulary encoder (the happy paths are oracle-checked by driver_sim)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.operators.joins import overlap_join_binned
+from mapr_plugins_spark.operators.merge import merge_upsert
+from mapr_plugins_spark.operators.text import build_vocab, encode_tokens
+
+
+def _merge_fixture(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k BIGINT, name STRING, bal DOUBLE",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0, "U"), (3, "c2", 0.0, "D"), (9, "new", 1.0, "I")],
+        "k BIGINT, name STRING, bal DOUBLE, op STRING",
+    )
+    return target, source
+
+
+def test_merge_update_delete_insert_keep(spark):
+    target, source = _merge_fixture(spark)
+    out = merge_upsert(
+        target, source, keys=["k"], update_cols=["bal"],
+        delete_condition=F.col("s.op") == "D",
+    )
+    rows = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),     # untouched (not matched by source)
+        2: ("b", 99.0),     # bal updated, name preserved (not an update col)
+        9: ("new", 1.0),    # inserted: non-update col taken from source
+    }                       # 3 deleted
+
+
+def test_merge_without_delete_condition_keeps_matches(spark):
+    target, source = _merge_fixture(spark)
+    out = merge_upsert(target, source, keys=["k"], update_cols=["bal", "name"])
+    rows = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert rows[3] == ("c2", 0.0)  # no delete clause → updated instead
+    assert len(rows) == 4
+
+
+def test_merge_source_missing_column_is_null_on_insert(spark):
+    target = spark.createDataFrame([(1, "a", 10.0)], "k BIGINT, name STRING, bal DOUBLE")
+    source = spark.createDataFrame([(5, 7.0)], "k BIGINT, bal DOUBLE")
+    out = merge_upsert(target, source, keys=["k"], update_cols=["bal"])
+    ins = out.filter(F.col("k") == 5).collect()[0]
+    assert ins["bal"] == 7.0 and ins["name"] is None
+
+
+def test_overlap_join_pair_spanning_many_bins_appears_once(spark):
+    # left interval [0, 1000) spans 3 bins at width 400; right [350, 450)
+    # overlaps it in two of them — canonical-bin filter must dedup.
+    left = spark.createDataFrame([(1, 0.0, 1000.0)], "lid INT, lo DOUBLE, hi DOUBLE")
+    right = spark.createDataFrame([(2, 350.0, 450.0)], "rid INT, rlo DOUBLE, rhi DOUBLE")
+    out = overlap_join_binned(left, right, "lo", "hi", "rlo", "rhi", 400)
+    assert out.count() == 1
+
+
+def test_overlap_join_matches_naive_predicate(spark):
+    import random
+
+    rnd = random.Random(42)
+
+    def intervals(n, max_width):
+        out = []
+        for i in range(n):
+            lo = rnd.uniform(-900, 900)
+            out.append((i, lo, lo + rnd.uniform(1, max_width)))
+        return out
+
+    li, ri = intervals(80, 700), intervals(60, 500)
+    left = spark.createDataFrame(li, "lid INT, lo DOUBLE, hi DOUBLE")
+    right = spark.createDataFrame(ri, "rid INT, rlo DOUBLE, rhi DOUBLE")
+    naive = left.join(
+        right, (F.col("lo") < F.col("rhi")) & (F.col("rlo") < F.col("hi"))
+    ).select("lid", "rid")
+    binned = overlap_join_binned(left, right, "lo", "hi", "rlo", "rhi", 300).select(
+        "lid", "rid"
+    )
+    assert {tuple(r) for r in naive.collect()} == {tuple(r) for r in binned.collect()}
+
+
+def test_vocab_encode_oov_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "zz aa")], "doc_id BIGINT, text STRING"
+    )
+    vocab = build_vocab(docs, size=2)  # aa(id 0, cnt 3), bb/cc/zz tie on cnt 1 → bb id 1
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert v == {"aa": 0, "bb": 1}
+    enc = {r["doc_id"]: r["ids"] for r in encode_tokens(docs, vocab).collect()}
+    assert enc == {1: [0, 1, 0, -1], 2: [-1, 0]}

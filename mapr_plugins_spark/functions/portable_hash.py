@@ -42,6 +42,24 @@ def spark_hex15_to_bigint_sql(hex_expr: str) -> str:
     return f"CAST(conv(substr({hex_expr}, 1, 15), 16, 10) AS BIGINT)"
 
 
+#: MinHash reseeding modulus (2^31 - 1, prime). MinHash computes ONE
+#: base md5 per shingle and derives the per-seed hash family by an
+#: affine map h_s = (a_s·h + b_s) mod P — 1 md5 instead of n_hashes
+#: md5s per shingle. 31-bit range keeps a_s·h inside signed-64 exact
+#: arithmetic in both engines (no overflow, DuckDB would raise).
+MINHASH_P = 2_147_483_647
+_MINHASH_A0 = 999_983
+_MINHASH_B0 = 122_949_829
+
+
+def minhash_affine(seed: int) -> tuple[int, int]:
+    """Deterministic per-seed affine coefficients (a non-zero)."""
+    return (
+        _MINHASH_A0 * (seed + 1) % MINHASH_P,
+        _MINHASH_B0 * (seed + 1) % MINHASH_P,
+    )
+
+
 def seeded_hash60_sql(value_expr: str, seed_expr: str) -> str:
     """Portable seeded 60-bit hash: ``h = hex15(md5(value || '#' || seed))``.
 

@@ -89,12 +89,17 @@ def minhash_band_signatures(
     parallel; the first exchange in the whole dedup plan is the tiny
     band-bucket self-join.
 
-    The md5 inside the inner ``transform`` lambda is evaluated once per
-    shingle; the 15-digit arithmetic reads the lambda variable of the
-    outer ``transform``, so no recomputation (see
-    functions/portable_hash.py).
+    ONE md5 per shingle: the base 60-bit hash is reduced mod P and the
+    n_hashes family comes from per-seed affine maps (a_s·h + b_s) mod P
+    (functions/portable_hash.py::minhash_affine) — the textbook
+    universal-hash reseeding. At 100 TB that's an 8× cut of the md5
+    work, the only non-trivial per-byte cost in this stage.
     """
-    from mapr_plugins_spark.functions.portable_hash import spark_hex15_to_bigint_sql
+    from mapr_plugins_spark.functions.portable_hash import (
+        MINHASH_P,
+        minhash_affine,
+        spark_hex15_to_bigint_sql,
+    )
 
     w = F.split(F.col(text_col), " ")
     sh = F.transform(
@@ -106,13 +111,17 @@ def minhash_band_signatures(
     base = fan_out(
         docs.filter(F.size(w) >= k).select(F.col(id_col).alias("doc_id"), text_col)
     ).withColumn("__shset", F.array_distinct(sh))
+    base = base.withColumn(
+        "__bh",
+        F.expr(
+            f"transform(__shset, x -> {spark_hex15_to_bigint_sql('md5(x)')} % {MINHASH_P})"
+        ),
+    )
     for s in range(n_hashes):
+        a, b = minhash_affine(s)
         base = base.withColumn(
             f"__mh{s}",
-            F.expr(
-                f"array_min(transform(transform(__shset, x -> "
-                f"md5(concat(x, '#', '{s}'))), h -> {spark_hex15_to_bigint_sql('h')}))"
-            ),
+            F.expr(f"array_min(transform(__bh, h -> ({a} * h + {b}) % {MINHASH_P}))"),
         )
     n_bands = (n_hashes + band_rows - 1) // band_rows
     band_structs = F.array(

@@ -389,7 +389,18 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_oracle() -> str:
-    h = seeded_hash60_sql("shingle", "seed")
+    from mapr_plugins_spark.functions.portable_hash import (
+        MINHASH_P,
+        hex15_to_bigint_sql,
+        minhash_affine,
+    )
+
+    base_h = hex15_to_bigint_sql("md5(shingle)")
+    affine = " ".join(
+        f"WHEN {s} THEN ({minhash_affine(s)[0]} * bh + {minhash_affine(s)[1]})"
+        f" % {MINHASH_P}"
+        for s in range(_MINHASH_SEEDS)
+    )
     return f"""
         WITH corpus AS ({_CORPUS_SQL}),
         words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
@@ -399,9 +410,11 @@ def _minhash_oracle() -> str:
                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
             FROM words WHERE len(w) >= 3
         ),
+        based AS (SELECT doc_id, {base_h} % {MINHASH_P} AS bh FROM sh),
         hashed AS (
-            SELECT doc_id, CAST(s.seed AS INT) AS seed, {h} AS hh
-            FROM sh CROSS JOIN range({_MINHASH_SEEDS}) s(seed)
+            SELECT doc_id, CAST(s.seed AS INT) AS seed,
+                   CASE s.seed {affine} END AS hh
+            FROM based CROSS JOIN range({_MINHASH_SEEDS}) s(seed)
         ),
         mh AS (SELECT doc_id, seed, MIN(hh) AS mh FROM hashed GROUP BY 1, 2),
         bands AS (

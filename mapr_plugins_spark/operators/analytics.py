@@ -1,0 +1,97 @@
+"""Event-analytics operators: time-grid gap filling (LOCF), funnel
+analysis, and cohort retention.
+
+These are the standard event-table analytics a warehouse engine is
+expected to ship. All three are pure DataFrame compositions — the heavy
+lifting is one hash shuffle per operator (on the entity key) plus
+window passes that reuse that partitioning; nothing collects to the
+driver and nothing is quadratic in events.
+
+Timestamps: callers pass a TIMESTAMP_NTZ column (pin LTZ inputs with
+``convert_timezone('UTC', ts)`` first) so bucketing, week truncation,
+and formatted output are independent of the session timezone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.functions.deterministic import dsum
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    granularity: str = "hour",
+) -> DataFrame:
+    """Regularize an event stream onto a dense per-key time grid with
+    last-observation-carried-forward fill.
+
+    Aggregates to (key, bucket) first, generates each key's min→max
+    bucket range with ``sequence``, left-joins the observations back,
+    and forward-fills with a running last-non-null window. Grid size is
+    bounded by each key's own span — no global materialized calendar."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    agg = df.groupBy(key_col, bucket).agg(dsum(F.col(value_col), "v"))
+    bounds = agg.groupBy(key_col).agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.expr(f"sequence(lo, hi, interval 1 {granularity})")).alias("bucket"),
+    )
+    j = grid.join(agg, [key_col, "bucket"], "left")
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    return j.select(
+        key_col,
+        "bucket",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_predicates: Sequence[Column],
+) -> DataFrame:
+    """Ordered funnel: per key, step i counts only if its first
+    qualifying event is at-or-after the time step i-1 was reached.
+    Returns (step, n_keys) — one row per step.
+
+    Stacked min-over-window passes all reuse ONE partitioning on the
+    key; the final count is a metadata-sized aggregation."""
+    wk = Window.partitionBy(key_col)
+    d = df
+    prev: str | None = None
+    n = len(step_predicates)
+    for i, pred in enumerate(step_predicates, 1):
+        cond = pred if prev is None else pred & (F.col(ts_col) >= F.col(prev))
+        d = d.withColumn(f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(wk))
+        prev = f"__t{i}"
+    per_key = d.groupBy(key_col).agg(
+        *[F.max(f"__t{i}").alias(f"t{i}") for i in range(1, n + 1)]
+    )
+    counts = per_key.agg(*[F.count(f"t{i}").alias(f"n{i}") for i in range(1, n + 1)])
+    stack_args = ", ".join(f"{i}, n{i}" for i in range(1, n + 1))
+    return counts.selectExpr(f"stack({n}, {stack_args}) AS (step, n_keys)")
+
+
+def cohort_retention(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of a key's first
+    activity; counts distinct active keys per (cohort_week,
+    week_offset). Two shuffles total (distinct weeks, final count) —
+    the cohort join rides the same key partitioning."""
+    weeks = df.select(
+        key_col, F.to_date(F.date_trunc("week", F.col(ts_col))).alias("week")
+    ).distinct()
+    first = weeks.groupBy(key_col).agg(F.min("week").alias("cohort_week"))
+    j = weeks.join(first, key_col)
+    offset = F.expr("CAST((unix_date(week) - unix_date(cohort_week)) DIV 7 AS INT)")
+    return j.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.count_distinct(F.col(key_col)).alias("n_keys")
+    )

@@ -211,6 +211,66 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.decontaminate(train, eval_df, n=3)
 
 
+def _events_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts pinned to UTC-wall TIMESTAMP_NTZ (tz-free ops)."""
+    return _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("convert_timezone('UTC', ts)")
+    )
+
+
+def x_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per user with LOCF fill over the events table."""
+    from mapr_plugins_spark.operators.analytics import gap_fill
+
+    out = gap_fill(_events_ntz(spark, sf_dir), "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "v_filled",
+        "is_gap",
+    )
+
+
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over events (per-user first
+    qualifying timestamps; instant comparisons are tz-free)."""
+    from mapr_plugins_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events."""
+    from mapr_plugins_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_events_ntz(spark, sf_dir), "user_id", "ts")
+
+
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-segment keep rates through
+    portable content-hash buckets (full-value oracle)."""
+    from mapr_plugins_spark.operators.sampling import stratified_hash_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    return stratified_hash_sample(
+        cust,
+        "CAST(c_custkey AS STRING)",
+        "c_mktsegment",
+        {"BUILDING": 0.5, "MACHINERY": 0.1},
+        default_rate=0.25,
+    ).select("c_custkey", "c_mktsegment")
+
+
 def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE semantics (update / delete / insert / keep) applied to the
     customer table from a deterministic changeset — the A6 keyed-table
@@ -372,6 +432,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_merge_upsert,
             x_overlap_join,
             x_vocab_encode,
+            x_gap_fill,
+            x_funnel,
+            x_cohort_retention,
+            x_stratified_sample,
             x_asof_join,
             x_mm_meta,
             x_mm_features,
@@ -658,6 +722,71 @@ def extension_oracles() -> dict[str, str]:
             + _CANON_DUCK
             + "), 1, 16) AS fp_hex FROM documents"
         ),
+        "x_gap_fill": """
+            WITH agg AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY 1
+            ),
+            grid AS (
+                SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                FROM bounds
+            ),
+            j AS (
+                SELECT g.user_id, g.bucket, a.v
+                FROM grid g LEFT JOIN agg a
+                  ON a.user_id = g.user_id AND a.bucket = g.bucket
+            )
+            SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+                   round(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
+                   v IS NULL AS is_gap
+            FROM j
+        """,
+        "x_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM events GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id,
+                       MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+                                THEN e.ts END) AS t2
+                FROM events e JOIN s1 ON s1.user_id = e.user_id GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id,
+                       MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+                                THEN e.ts END) AS t3
+                FROM events e JOIN s2 ON s2.user_id = e.user_id GROUP BY 1
+            )
+            SELECT 1 AS step, COUNT(t1) AS n_keys FROM s1
+            UNION ALL SELECT 2, COUNT(t2) FROM s2
+            UNION ALL SELECT 3, COUNT(t3) FROM s3
+        """,
+        "x_cohort_retention": """
+            WITH weeks AS (
+                SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS week
+                FROM events
+            ),
+            firstw AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+            SELECT cohort_week,
+                   CAST((week - cohort_week) // 7 AS INT) AS week_offset,
+                   COUNT(DISTINCT w.user_id) AS n_keys
+            FROM weeks w JOIN firstw f ON f.user_id = w.user_id
+            GROUP BY 1, 2
+        """,
+        "x_stratified_sample": f"""
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE {seeded_hash60_sql("CAST(c_custkey AS STRING)", "11")} % 10000 <
+                  CASE c_mktsegment WHEN 'BUILDING' THEN 5000
+                                    WHEN 'MACHINERY' THEN 1000
+                                    ELSE 2500 END
+        """,
         "x_merge_upsert": """
             WITH base AS (
                 SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer

@@ -46,6 +46,29 @@ def hash_split(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_sql: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 11,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-fractions
+    applied through the same content-hash buckets (a row's fate depends
+    only on its key and its stratum's rate — stable under reruns,
+    repartitioning, and corpus growth). The rate lookup is a codegen'd
+    CASE; zero shuffle, zero Python."""
+    b = hash_bucket(df, key_sql, n_buckets, seed)
+    keep = F.lit(int(round(default_rate * n_buckets)))
+    for stratum, rate in sorted(rates.items()):
+        keep = F.when(F.col(strata_col) == stratum, int(round(rate * n_buckets))).otherwise(
+            keep
+        )
+    return b.filter(F.col("bucket") < keep).drop("bucket")
+
+
 def hash_sample(
     df: DataFrame,
     key_sql: str,

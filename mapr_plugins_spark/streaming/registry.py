@@ -253,6 +253,76 @@ def s09_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s10_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply into a keyed last-writer-wins table — the
+    Structured-Streaming re-expression of the reference's keyed document
+    sink fed by a stream (A6 upsert semantics, MapRDBJSONSink.java:67-110,
+    with 'error' events as tombstones).
+
+    Each of the (real) micro-batches compacts to one op per key and
+    folds into a versioned parquet state table via ``foreachBatch``:
+    read state(batch-1) → LWW merge on (ts, event_id) recency → write
+    state(batch). The fold is order-independent, so out-of-order file
+    pickup cannot change the result; at scale the same loop writes to a
+    transactional table format instead of versioned directories."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+
+    from mapr_plugins_spark.streaming.replay import events_stream_chunked
+
+    run = f"/tmp/mapr_plugins_cdc/{uuid.uuid4().hex[:12]}"
+    os.makedirs(run, exist_ok=True)
+    stream = events_stream_chunked(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n_applied = {"batches": 0}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        rn = F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        )
+        compact = batch.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+        prev = f"{run}/state_{batch_id - 1}"
+        if os.path.exists(prev):
+            state = sess.read.parquet(prev)
+        else:
+            state = sess.createDataFrame([], compact.schema)
+        old, new = state.alias("old"), compact.alias("new")
+        j = old.join(new, "user_id", "full_outer")
+        take_new = F.col("old.event_id").isNull() | (
+            F.col("new.event_id").isNotNull()
+            & (
+                F.struct(F.col("new.ts"), F.col("new.event_id"))
+                > F.struct(F.col("old.ts"), F.col("old.event_id"))
+            )
+        )
+        merged = j.select(
+            "user_id",
+            *[
+                F.when(take_new, F.col(f"new.{c}")).otherwise(F.col(f"old.{c}")).alias(c)
+                for c in ("event_id", "ts", "event_type", "value")
+            ],
+        )
+        merged.write.mode("overwrite").parquet(f"{run}/state_{batch_id}")
+        n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
+    final = spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
+    return final.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("value").alias("last_value")
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -263,6 +333,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s06_stream_stream_join,
         s07_dedup_within_watermark,
         s08_stateful_running_max,
+        s10_cdc_merge_upsert,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -271,6 +342,16 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def streaming_oracles() -> dict[str, str]:
     oracles = {
+        "s10_cdc_merge_upsert": """
+            WITH r AS (
+                SELECT user_id, value, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, value AS last_value
+            FROM r WHERE rn = 1 AND event_type <> 'error'
+        """,
         "s01_tumbling_window": f"""
             SELECT (epoch_us(ts) // {_US_5MIN}) * {_US_5MIN} AS ws_us,
                    event_type, COUNT(*) AS n

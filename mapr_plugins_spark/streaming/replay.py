@@ -51,6 +51,46 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """``events`` replayed as ``n_chunks`` REAL incremental micro-batches:
+    the table is staged once into n parquet chunk files (event_id mod n,
+    ts pinned to UTC-wall NTZ) and streamed with maxFilesPerTrigger=1.
+
+    Downstream folds must be order-independent (e.g. last-writer-wins by
+    (ts, event_id)) — the file source picks files by modification time,
+    which we set ascending, but correctness should not depend on it."""
+    pin_runtime_conf(spark)
+    key = hashlib.md5(f"{sf_dir}/events/chunks{n_chunks}".encode()).hexdigest()[:12]
+    d = f"/tmp/mapr_plugins_stream/{key}"
+    staged = f"{d}/_STAGED"
+    if not os.path.exists(staged):
+        os.makedirs(d, exist_ok=True)
+        from mapr_plugins_spark.catalog import table
+
+        ev = table(spark, sf_dir, "events").withColumn(
+            "ts", F.expr("convert_timezone('UTC', ts)")
+        )
+        pdf = ev.toPandas()
+        # microsecond precision: Spark 4 rejects parquet TIMESTAMP(NANOS)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i in range(n_chunks):
+            chunk = pdf[pdf["event_id"] % n_chunks == i]
+            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                           f"{d}/chunk{i}.parquet")
+            os.utime(f"{d}/chunk{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(staged, "w") as f:
+            f.write("ok")
+    schema = spark.read.parquet(f"{d}/chunk0.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink;
     return the sink contents as a batch DataFrame."""

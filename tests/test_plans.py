@@ -168,3 +168,67 @@ def test_hypertable_rollup_single_pass(spark, sf_dir):
     df = x_hypertable_rollup(spark, sf_dir)
     assert A.shuffle_count(df) <= 1, A.plan_str(df)
     assert A.count_nodes(df, "Expand") == 1, A.plan_str(df)
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    """LATERAL subquery with per-row ORDER BY/LIMIT must plan as a
+    ranked window join — never per-outer-row re-execution."""
+    df = Q.q60_lateral_join(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "Window" in p, p
+    assert not A.has_cartesian(df), p
+
+
+def test_overlap_join_is_hash_join(spark, sf_dir):
+    """Binned interval-overlap join: the bin equi-key must produce a
+    hash/sort-merge join, not BNLJ/cartesian."""
+    from mapr_plugins_spark.operators.registry import x_overlap_join
+
+    df = x_overlap_join(spark, sf_dir)
+    assert not A.has_cartesian(df), A.plan_str(df)
+
+
+def test_merge_upsert_single_join(spark, sf_dir):
+    """MERGE apply = ONE join pass over target ∪ changeset."""
+    from mapr_plugins_spark.operators.registry import x_merge_upsert
+
+    df = x_merge_upsert(spark, sf_dir)
+    p = A.plan_str(df)
+    n_joins = sum(
+        A.count_nodes(df, n)
+        for n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set n-gram side must broadcast — the training corpus is
+    never shuffled for the contamination check."""
+    from mapr_plugins_spark.operators.registry import x_decontaminate
+
+    df = x_decontaminate(spark, sf_dir)
+    assert A.has_broadcast_join(df), A.plan_str(df)
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
+    """Token→id lookup joins against a broadcast vocabulary; the
+    exploded corpus side stays un-shuffled until the re-assembly agg."""
+    from mapr_plugins_spark.operators.registry import x_vocab_encode
+
+    df = x_vocab_encode(spark, sf_dir)
+    assert A.has_broadcast_join(df), A.plan_str(df)
+
+
+def test_pii_redact_is_pure_projection(spark, sf_dir):
+    """Redaction = scan + codegen projection; zero exchanges."""
+    from mapr_plugins_spark.operators.registry import x_text_pii_redact
+
+    df = x_text_pii_redact(spark, sf_dir)
+    assert A.shuffle_count(df) == 0, A.plan_str(df)
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Gap sessionization: lag + boundary-sum + session agg all reuse
+    ONE hash partitioning on user_id."""
+    df = Q.q62_sessionize(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)

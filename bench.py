@@ -58,6 +58,11 @@ def main() -> None:
         "q47_exists_subquery",
         "x_text_quality",
         "s03_session_window",
+        "q62_sessionize",
+        "x_merge_upsert",
+        "x_gap_fill",
+        "x_funnel",
+        "x_vocab_encode",
     ]
     names = [n for n in headline if n in registry]
 

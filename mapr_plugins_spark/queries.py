@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from mapr_plugins_spark.catalog import load_tables, table as _t
 from mapr_plugins_spark.functions.deterministic import davg, dsum
+from mapr_plugins_spark.plans.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 # scans / filters / projections
@@ -46,8 +47,15 @@ def q02_groupagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # fan_out: the decimal-exact partial aggregation is the CPU-heavy
+    # step; when the scan yields fewer splits than cores (small files /
+    # single row group) a cheap round-robin of the pruned columns lets
+    # it use the whole machine. No-op when the scan already parallelizes.
+    pruned = li.filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
     return (
-        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        fan_out(pruned)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
@@ -438,7 +446,9 @@ def q32_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev/variance/corr re-derived from exact decimal moments so the
     result is shuffle-order-free on both engines (Q32). Covers the
     statistical aggregate family with deterministic semantics."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     # per-row products in IEEE double (bit-identical across engines),
@@ -981,7 +991,9 @@ def q59_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 then apply identical IEEE double ops to identical inputs on both
     engines. Same posture as functions/deterministic.py, and still a
     plain partial+final hash aggregate at 100 TB."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
     x = F.col("l_quantity")
     y = F.col("l_extendedprice")
     dec = "decimal(27,6)"

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.catalog import table as _t
+from mapr_plugins_spark.plans.partitioning import fan_out
 from mapr_plugins_spark.sources.formats import (
     CLF_REGEX,
     SYSLOG_REGEX,
@@ -35,7 +36,7 @@ def _level_case() -> F.Column:
 
 def q26_clf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLF (Apache common log) parse round-trip over events (Q26)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = fan_out(_t(spark, sf_dir, "events"))
     line = F.concat(
         F.lit("h"),
         F.col("user_id").cast("string"),
@@ -58,7 +59,7 @@ def q26_clf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q27_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC3164 syslog parse round-trip over events (Q27)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = fan_out(_t(spark, sf_dir, "events"))
     line = F.concat(
         F.lit("<"),
         (F.col("event_id") % 192).cast("string"),
@@ -84,7 +85,7 @@ def q27_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grok-pattern parse (compiled to one codegen'd regex) over a
     constructed app-log line (Q28)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = fan_out(_t(spark, sf_dir, "events"))
     line = F.concat(
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
         F.lit(" "),

@@ -204,6 +204,11 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF (smoothed log-free idf ratio) per (doc, token)."""
+    return X.tfidf(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.filter((F.col("doc_id") % 97) == 0)
@@ -428,6 +433,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_fingerprint,
             x_text_pii_redact,
             x_text_repetition,
+            x_tfidf,
             x_decontaminate,
             x_merge_upsert,
             x_overlap_join,
@@ -862,6 +868,23 @@ def extension_oracles() -> dict[str, str]:
                                    / len(bg)
                               ELSE 0.0 END, 6) AS top_bigram_frac
             FROM b
+        """,
+        "x_tfidf": f"""
+            WITH tp AS (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+            ),
+            tc AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tp GROUP BY 1, 2),
+            dl AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tc GROUP BY 1),
+            dfc AS (SELECT token, COUNT(*) AS doc_freq FROM tc GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT tc.doc_id, tc.token,
+                   round((CAST(tc.cnt AS DOUBLE) / dl.n_tok)
+                         * (CAST(nd.n_docs + 1 AS DOUBLE) / (dfc.doc_freq + 1)), 6)
+                       AS tfidf
+            FROM tc
+            JOIN dl ON dl.doc_id = tc.doc_id
+            JOIN dfc ON dfc.token = tc.token
+            CROSS JOIN nd
         """,
         "x_decontaminate": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),

@@ -259,6 +259,38 @@ def encode_tokens(
     )
 
 
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) TF-IDF scores: tf = in-doc frequency, idf =
+    (N+1)/(df+1) smoothed inverse document frequency (log-free ratio
+    variant: pure rational double arithmetic, so the score is
+    bit-identical across engines — libm log() is not).
+
+    One shuffle builds (doc, token) counts; document frequencies and the
+    corpus size are metadata-sized aggregates that broadcast back."""
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc_len = tok_counts.groupBy(id_col).agg(F.sum("cnt").alias("n_tok"))
+    df_counts = tok_counts.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tok_counts.join(doc_len, id_col)
+        .join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n_tok"))
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("doc_freq") + 1)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
     """Corpus-level term frequencies with stopword removal (top-N by
     count desc, token asc). Partial aggregation map-side; the only

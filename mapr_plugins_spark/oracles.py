@@ -612,6 +612,35 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
         FROM s GROUP BY user_id, session_seq
     """,
+    "q63_url_funcs": """
+        WITH u AS (
+            SELECT event_id,
+                   'https://shop' || (user_id % 5) || '.example.com/p/' || event_type
+                       || '?uid=' || user_id || '&ref=search' AS url
+            FROM events
+        )
+        SELECT event_id,
+               regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query,
+               regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS uid
+        FROM u
+    """,
+    "q64_na_funcs": """
+        WITH base AS (
+            SELECT o_orderkey,
+                   nullif(o_orderstatus, 'P') AS status,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS cust
+            FROM orders
+        )
+        SELECT o_orderkey,
+               COALESCE(CASE status WHEN 'F' THEN 'FINAL' WHEN 'O' THEN 'OPEN'
+                        ELSE status END, 'UNKNOWN') AS status,
+               COALESCE(price, -1.0) AS price,
+               cust
+        FROM base WHERE cust IS NOT NULL
+    """,
     "q25_doc_encode": """
         SELECT CAST(c_custkey AS VARCHAR) AS _id,
                '{"c_custkey":' || c_custkey

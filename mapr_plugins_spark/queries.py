@@ -1090,6 +1090,48 @@ def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (parse_url HOST/PATH/QUERY + query-param
+    extraction) over constructed event URLs (Q63). The oracle mirrors
+    with anchored regexps — same outputs, both engines codegen/RE2."""
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_type"),
+        F.lit("?uid="),
+        F.col("user_id").cast("string"),
+        F.lit("&ref=search"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("uid")).alias("uid"),
+    )
+
+
+def q64_na_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface (Q64): inject nulls deterministically
+    (nullif), then na.replace → na.fill → na.drop(subset). Pure
+    projections + one pushed filter; the oracle states the same
+    CASE/COALESCE algebra."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_custkey")).alias("cust"),
+    )
+    return (
+        orders.na.replace({"F": "FINAL", "O": "OPEN"}, subset=["status"])
+        .na.fill({"price": -1.0, "status": "UNKNOWN"})
+        .na.drop(subset=["cust"])
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -1,0 +1,67 @@
+"""Deterministic global row indexing without a global sort.
+
+``monotonically_increasing_id`` is partition-layout-dependent and a
+single-partition ``row_number()`` window dies at scale. The scalable
+classic: range-partition on the order key, locally sort, compute the
+(tiny) per-partition histogram, prefix-sum it into offsets, and add the
+offset to a per-partition local sequence — one range shuffle over the
+data, everything else metadata-sized.
+
+The local sequence is assigned by an Arrow-batched ``mapInPandas`` that
+counts rows in partition order (batches arrive in order within a
+partition), so no second shuffle is needed for the window. With a
+unique order key the resulting index is a pure function of the data —
+stable across reruns, partition counts, and engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_index(
+    df: DataFrame,
+    order_col: str,
+    index_col: str = "row_idx",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Append a dense 0..N-1 ``index_col`` ordered by ``order_col``
+    (which must be unique for the index to be deterministic)."""
+    import pandas as pd  # noqa: F401  (mapInPandas operand)
+
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # histogram pass + data pass read the same layout
+    )
+    sizes = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off")
+    )
+
+    with_off = d.join(F.broadcast(offsets), "__pid")
+    # copy, don't .add(): DataFrame.schema is cached and .add mutates it
+    # in place, desyncing the Python-side column list from the JVM plan
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_out = StructType(list(with_off.schema.fields) + [StructField("__local", LongType())])
+
+    def assign(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        c = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["__local"] = range(c, c + len(pdf))
+            c += len(pdf)
+            yield pdf
+
+    out = with_off.mapInPandas(assign, schema_out)
+    return (
+        out.withColumn(index_col, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__off", "__local")
+    )

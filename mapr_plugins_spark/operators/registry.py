@@ -204,6 +204,15 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense global row index (0..N-1 by doc_id) via
+    range partition + histogram prefix-sum (operators/indexing.py)."""
+    from mapr_plugins_spark.operators.indexing import global_row_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
+
+
 def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF (smoothed log-free idf ratio) per (doc, token)."""
     return X.tfidf(_t(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -433,6 +442,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_fingerprint,
             x_text_pii_redact,
             x_text_repetition,
+            x_row_index,
             x_tfidf,
             x_decontaminate,
             x_merge_upsert,
@@ -868,6 +878,11 @@ def extension_oracles() -> dict[str, str]:
                                    / len(bg)
                               ELSE 0.0 END, 6) AS top_bigram_frac
             FROM b
+        """,
+        "x_row_index": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+            FROM documents
         """,
         "x_tfidf": f"""
             WITH tp AS (

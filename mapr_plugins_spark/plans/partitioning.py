@@ -97,3 +97,43 @@ def salted_join(
     )
     out = l.join(r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    new file count.
+
+    The small-files problem is the #1 operational failure of long-running
+    ingest at scale (every micro-batch appends a sliver; a year later the
+    table is 10^7 files and planning dominates query time). Compaction =
+    read → coalesce to ceil(bytes/target) → optional cluster-sort →
+    atomic swap. ``order_by`` additionally clusters row groups so min/max
+    pruning works on the rewritten files."""
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if order_by:
+        out = out.sortWithinPartitions(*order_by)
+    tmp = f"{path}__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (object stores use a rename-free commit protocol)
+    back = f"{path}__compact_old"
+    shutil.move(path, back)
+    shutil.move(tmp, path)
+    shutil.rmtree(back)
+    return n_out

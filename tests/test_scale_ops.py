@@ -76,3 +76,25 @@ def test_curate_pipeline_end_to_end(spark, sf_dir):
     assert {"quality_score", "lang_pred", "lang_score"} <= set(out.columns)
     # survivors prefer the lower (original) id
     assert out.filter(F.col("doc_id") >= 1_000_000).count() <= 0.1 * n_docs
+
+
+def test_global_row_index_dense_and_ordered(spark):
+    from mapr_plugins_spark.operators.indexing import global_row_index
+
+    df = spark.range(0, 1000).selectExpr("id * 7 % 1000 AS k")  # permutation
+    out = global_row_index(df, "k", n_parts=8).collect()
+    got = sorted((r["k"], r["row_idx"]) for r in out)
+    assert got == [(i, i) for i in range(1000)]  # dense, 0-based, k-ordered
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from mapr_plugins_spark.plans.partitioning import compact_files
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(40).write.parquet(p)
+    assert len(glob.glob(f"{p}/*.parquet")) == 40
+    compact_files(spark, p, target_file_bytes=10**9)
+    assert len(glob.glob(f"{p}/*.parquet")) == 1
+    assert spark.read.parquet(p).count() == 10_000

@@ -50,6 +50,23 @@ _CORPUS_SQL = """
     FROM documents
 """
 
+def _chunk_oracle() -> str:
+    from mapr_plugins_spark.operators.chunking import chunk_oracle_sql
+
+    return chunk_oracle_sql(max_tokens=32, overlap=8, toks_sql=_TOKS_SQL)
+
+
+def _pack_oracle() -> str:
+    from mapr_plugins_spark.operators.chunking import pack_oracle_sql
+
+    return pack_oracle_sql(
+        budget=256,
+        n_buckets=8,
+        toks_sql=_TOKS_SQL,
+        hash_sql=seeded_hash60_sql("CAST(doc_id AS STRING)", "0"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -211,6 +228,24 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
+
+
+def x_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (max 32 tokens, 8 overlap) —
+    row-local sequence/slice HOFs, zero shuffle (operators/chunking.py)."""
+    from mapr_plugins_spark.operators.chunking import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(docs, max_tokens=32, overlap=8)
+
+
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential context-window packing (budget 256 tokens,
+    8 hash buckets) — bucketed applyInPandas fold (operators/chunking.py)."""
+    from mapr_plugins_spark.operators.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=256, n_buckets=8)
 
 
 def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,6 +478,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_doc_chunk,
+            x_pack_sequences,
             x_tfidf,
             x_decontaminate,
             x_merge_upsert,
@@ -884,6 +921,8 @@ def extension_oracles() -> dict[str, str]:
                    row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
             FROM documents
         """,
+        "x_doc_chunk": _chunk_oracle(),
+        "x_pack_sequences": _pack_oracle(),
         "x_tfidf": f"""
             WITH tp AS (
                 SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents

@@ -56,6 +56,18 @@ def _chunk_oracle() -> str:
     return chunk_oracle_sql(max_tokens=32, overlap=8, toks_sql=_TOKS_SQL)
 
 
+def _cms_oracle() -> str:
+    from mapr_plugins_spark.operators.sketch import cms_oracle_sql
+
+    inner = cms_oracle_sql(
+        width=64,
+        depth=4,
+        keys_sql=f"SELECT unnest({_TOKS_SQL}) AS k FROM documents",
+        probes_sql=f"SELECT DISTINCT k FROM (SELECT unnest({_TOKS_SQL}) AS k FROM documents)",
+    )
+    return f"SELECT k AS token, est FROM ({inner})"
+
+
 def _pack_oracle() -> str:
     from mapr_plugins_spark.operators.chunking import pack_oracle_sql
 
@@ -228,6 +240,41 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
+
+
+def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for every distinct token
+    (w=64, d=4; engine-portable hash → full-value oracle). The sketch
+    is mergeable by cell-sum (operators/sketch.py; merge law pinned in
+    test_extensions.py)."""
+    from mapr_plugins_spark.operators.sketch import cms_build, cms_estimate
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens_col("text")).alias("token"))
+    )
+    sketch = cms_build(toks, "token", width=64, depth=4)
+    return cms_estimate(sketch, toks, "token", width=64, depth=4)
+
+
+def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: lineitem ⋉ urgent orders, key-set
+    bloom (2^16 bits, 3 hashes) applied before the exact join's shuffle
+    (operators/sketch.py::bloom_semi_join; superset law in
+    test_extensions.py)."""
+    from mapr_plugins_spark.operators.sketch import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    out = bloom_semi_join(li, urgent, on="l_orderkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+    )
 
 
 def x_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +525,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_sketch_cms,
+            x_bloom_semi_join,
             x_doc_chunk,
             x_pack_sequences,
             x_tfidf,
@@ -923,6 +972,17 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_sketch_cms": _cms_oracle(),
+        "x_bloom_semi_join": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag
+        """,
         "x_tfidf": f"""
             WITH tp AS (
                 SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents

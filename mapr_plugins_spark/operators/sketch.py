@@ -1,0 +1,154 @@
+"""Mergeable frequency sketches: count-min + a bloom-filter key set.
+
+Companions to the HLL distinct sketches (registry.py::x_sketch_hll) on
+the approximate-analytics surface the reference's host engines provide.
+Both are built from the engine-portable seeded hash
+(functions/portable_hash.py), so the *entire* sketch — cell counts and
+estimates — is a pure function of the data and reproducible in the
+DuckDB oracle: the driver hash-compares estimated frequencies exactly.
+
+Scale posture:
+- The CMS is a ``d × w`` table of counts produced by ONE partial-agg
+  shuffle over the token stream (d seed-replicas per row, map-side
+  combine does most of the work). Sketches for different partitions /
+  days merge by summing cells — the property that makes CMS the
+  standard for streaming heavy-hitters at 100 TB.
+- The bloom build aggregates key bit-positions into a bitset of
+  ``m/64`` longs (metadata-sized; 1 MiB covers ~8M bits) that ships to
+  executors as a literal — the classic big-join prefilter when the
+  build side is too large to broadcast raw but its key *set* fits in a
+  few megabytes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapr_plugins_spark.functions.portable_hash import (
+    seeded_hash60_sql,
+    with_seeded_hash60,
+)
+from mapr_plugins_spark.plans.partitioning import fan_out
+
+
+def cms_build(keys: DataFrame, key_col: str, width: int, depth: int) -> DataFrame:
+    """Count-min sketch of the ``key_col`` stream: one row per
+    ``(seed, pos)`` cell with its collision-summed count. Merge two
+    sketches by unioning and summing counts per cell."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    cells = with_seeded_hash60(
+        fan_out(keys.select(F.col(key_col).alias("__k"))).select("__k", seeds),
+        "__h",
+        "__k",
+        "seed",
+    ).select("seed", (F.col("__h") % width).alias("pos"))
+    return cells.groupBy("seed", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str, width: int, depth: int) -> DataFrame:
+    """Point-frequency estimates for ``probes``: min over the sketch
+    cells each key hashes to (CMS guarantees est >= true count)."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    probe_cells = with_seeded_hash60(
+        probes.select(F.col(key_col).alias("__k")).distinct().select("__k", seeds),
+        "__h",
+        "__k",
+        "seed",
+    ).select("__k", "seed", (F.col("__h") % width).alias("pos"))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["seed", "pos"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(F.col("__k").alias(key_col), "est")
+    )
+
+
+def cms_oracle_sql(width: int, depth: int, keys_sql: str, probes_sql: str) -> str:
+    """DuckDB replica of build+estimate over a key stream.
+
+    ``keys_sql`` must yield a column ``k`` (the stream), ``probes_sql``
+    a column ``k`` of distinct probe keys."""
+    h = seeded_hash60_sql("k", "seed")
+    return f"""
+        WITH stream AS ({keys_sql}),
+        seeds AS (SELECT unnest(range(0, {depth})) AS seed),
+        cells AS (
+            SELECT seed, ({h}) % {width} AS pos, count(*) AS cnt
+            FROM stream, seeds
+            GROUP BY 1, 2
+        ),
+        probes AS ({probes_sql}),
+        pc AS (
+            SELECT k, seed, ({h}) % {width} AS pos FROM probes, seeds
+        )
+        SELECT pc.k, min(coalesce(cells.cnt, 0)) AS est
+        FROM pc LEFT JOIN cells ON cells.seed = pc.seed AND cells.pos = pc.pos
+        GROUP BY pc.k
+    """
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m_bits: int, k_hashes: int) -> list[int]:
+    """Build the bloom bitset for the distinct keys: ``m_bits/64``
+    signed-long words (driver-side, metadata-sized)."""
+    assert m_bits % 64 == 0
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
+    pos = (
+        with_seeded_hash60(
+            keys.select(F.col(key_col).cast("string").alias("__k"))
+            .distinct()
+            .select("__k", seeds),
+            "__h",
+            "__k",
+            "seed",
+        )
+        .select((F.col("__h") % m_bits).alias("pos"))
+        .distinct()
+    )
+    words = (
+        pos.groupBy((F.col("pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.expr("CAST(bit_or(CAST(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS BIGINT)) AS BIGINT)").alias("bits")
+        )
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in words:
+        out[r["word"]] = r["bits"]
+    return out
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Semi join ``left ⋉ right`` with a bloom prefilter on the probe
+    side: left rows whose key misses any of the ``k_hashes`` bloom bits
+    are dropped *before* the exact join's shuffle — the standard
+    runtime-filter pattern when ``right``'s key set is megabytes but
+    its rows are not broadcastable. Result is exact (bloom passes a
+    superset; the residual semi join removes false positives)."""
+    bits = bloom_bits(right, on, m_bits, k_hashes)
+    arr = F.lit(bits)
+    key = F.col(on).cast("string")
+    checks = []
+    d = left
+    for s in range(k_hashes):
+        col = f"__bp{s}"
+        d = with_seeded_hash60(d, col, f"CAST({on} AS STRING)", str(s))
+        p = F.col(col) % m_bits
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        checks.append(
+            F.call_function("shiftrightunsigned", word, (p % 64).cast("int"))
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+    pref = d.filter(reduce(lambda a, b: a & b, checks)).drop(
+        *[f"__bp{s}" for s in range(k_hashes)]
+    )
+    return pref.join(right.select(on).distinct(), on, "left_semi")

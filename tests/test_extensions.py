@@ -145,3 +145,69 @@ def test_map_in_arrow_matches_map_in_pandas(spark, sf_dir):
     a = {tuple(r) for r in extract_features(mm).collect()}
     b = {tuple(r) for r in extract_features_arrow(mm).collect()}
     assert a == b
+
+
+def test_cms_overestimates_and_merges(spark, sf_dir):
+    """CMS laws: est >= true count for every key, and the sketch of a
+    union equals the cell-wise sum of the parts' sketches."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.sketch import cms_build, cms_estimate
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    w, d = 64, 4
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens_col("text")).alias("token"))
+        .persist()
+    )
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(
+            cms_build(toks, "token", w, d), toks, "token", w, d
+        ).collect()
+    }
+    exact = {r["token"]: r["cnt"] for r in toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+
+    half_a = toks.filter(F.col("doc_id") % 2 == 0)
+    half_b = toks.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        cms_build(half_a, "token", w, d)
+        .unionByName(cms_build(half_b, "token", w, d))
+        .groupBy("seed", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(toks, "token", w, d)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+    toks.unpersist()
+
+
+def test_bloom_prefilter_superset_and_selectivity(spark, sf_dir):
+    """The bloom bitset passes every true key (no false negatives) and
+    drops most non-matching keys at the tested m/k."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.sketch import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    got = bloom_semi_join(li, urgent, on="l_orderkey", m_bits=1 << 16, k_hashes=3)
+    want = li.join(urgent.distinct(), "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+
+    # prefilter-only survivor count: rerun with an always-true residual
+    # by probing the bitset directly on the distinct probe keys
+    from mapr_plugins_spark.operators.sketch import bloom_bits
+    bits = bloom_bits(urgent, "l_orderkey", 1 << 16, 3)
+    n_set = sum(bin(b & (2**64 - 1)).count("1") for b in bits)
+    assert n_set <= 3 * urgent.distinct().count()  # k bits per key max
+    assert n_set / (1 << 16) < 0.5  # load factor sane for FPR

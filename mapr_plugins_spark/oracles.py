@@ -626,6 +626,27 @@ RELATIONAL_ORACLES: dict[str, str] = {
                regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS uid
         FROM u
     """,
+    "q65_trig_funcs": """
+        SELECT l_orderkey,
+               l_linenumber,
+               sin(l_quantity) AS sin_q,
+               cos(l_quantity) AS cos_q,
+               tan(l_discount) AS tan_d,
+               asin(l_discount) AS asin_d,
+               acos(l_discount) AS acos_d,
+               atan(l_quantity) AS atan_q,
+               atan2(l_quantity, l_extendedprice) AS atan2_qp,
+               degrees(l_discount) AS deg_d,
+               radians(l_quantity) AS rad_q,
+               cbrt(l_extendedprice) AS cbrt_p,
+               (exp(l_discount) - exp(-l_discount)) / 2 AS sinh_d,
+               (exp(l_discount) + exp(-l_discount)) / 2 AS cosh_d,
+               (exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1) AS tanh_d,
+               log10(l_extendedprice) AS log10_p,
+               log2(l_quantity + 1) AS log2_q,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS sig_d
+        FROM lineitem
+    """,
     "q64_na_funcs": """
         WITH base AS (
             SELECT o_orderkey,

@@ -1132,6 +1132,34 @@ def q64_na_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / hyperbolic / log-base scalar family (Q65) —
+    rounding in the harness absorbs last-ulp libm differences."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sin(x).alias("sin_q"),
+        F.cos(x).alias("cos_q"),
+        F.tan(d).alias("tan_d"),
+        F.asin(d).alias("asin_d"),
+        F.acos(d).alias("acos_d"),
+        F.atan(x).alias("atan_q"),
+        F.atan2(x, F.col("l_extendedprice")).alias("atan2_qp"),
+        F.degrees(d).alias("deg_d"),
+        F.radians(x).alias("rad_q"),
+        F.cbrt(F.col("l_extendedprice")).alias("cbrt_p"),
+        F.sinh(d).alias("sinh_d"),
+        F.cosh(d).alias("cosh_d"),
+        F.tanh(d).alias("tanh_d"),
+        F.log10(F.col("l_extendedprice")).alias("log10_p"),
+        F.log2(x + 1).alias("log2_q"),
+        F.signum(d - 0.05).alias("sig_d"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -98,3 +98,42 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     compact_files(spark, p, target_file_bytes=10**9)
     assert len(glob.glob(f"{p}/*.parquet")) == 1
     assert spark.read.parquet(p).count() == 10_000
+
+
+def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
+    """File-level min/max pruning on a 2-D box predicate: the z-ordered
+    layout must touch fewer files than a single-column linear sort."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.plans.partitioning import write_zordered
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 64
+    zp, lp = str(tmp_path / "zord"), str(tmp_path / "linear")
+    write_zordered(li, zp, ["l_partkey", "l_suppkey"], n_files=n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+
+    def files_overlapping_box(path, lo1, hi1, lo2, hi2):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("l_partkey").alias("p_mn"), F.max("l_partkey").alias("p_mx"),
+                F.min("l_suppkey").alias("s_mn"), F.max("l_suppkey").alias("s_mx"),
+            )
+        )
+        return per_file.filter(
+            (F.col("p_mx") >= lo1) & (F.col("p_mn") <= hi1)
+            & (F.col("s_mx") >= lo2) & (F.col("s_mn") <= hi2)
+        ).count()
+
+    mx_p, mx_s = li.agg(F.max("l_partkey"), F.max("l_suppkey")).collect()[0]
+    # ~20% box on each dimension
+    box = (mx_p // 10, 3 * mx_p // 10, mx_s // 10, 3 * mx_s // 10)
+    z_hit, l_hit = files_overlapping_box(zp, *box), files_overlapping_box(lp, *box)
+    assert spark.read.parquet(zp).count() == li.count()
+    assert z_hit < l_hit, (z_hit, l_hit)

@@ -63,6 +63,12 @@ def main() -> None:
         "x_gap_fill",
         "x_funnel",
         "x_vocab_encode",
+        "x_doc_chunk",
+        "x_pack_sequences",
+        "x_bloom_semi_join",
+        "x_row_index",
+        "x_sketch_cms",
+        "x_inverted_index",
     ]
     names = [n for n in headline if n in registry]
 

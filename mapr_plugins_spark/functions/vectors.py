@@ -39,3 +39,18 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     a, b = _c(a), _c(b)
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize a float array (DOUBLE elements; NULL if 0-norm)."""
+    a = _c(a)
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n))
+
+
+def max_abs(a: Column | str) -> Column:
+    """Largest |element| of a float array, as DOUBLE."""
+    a = _c(a)
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )

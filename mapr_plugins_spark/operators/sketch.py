@@ -90,21 +90,26 @@ def cms_oracle_sql(width: int, depth: int, keys_sql: str, probes_sql: str) -> st
     """
 
 
+def _bloom_pos(key, seed: int, m_bits: int):
+    """Bit position for one hash replica. xxhash64 (JVM-native, no md5)
+    — bloom internals never reach the output, so the portable-hash
+    requirement doesn't apply; the residual join keeps results exact."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+
+
 def bloom_bits(keys: DataFrame, key_col: str, m_bits: int, k_hashes: int) -> list[int]:
     """Build the bloom bitset for the distinct keys: ``m_bits/64``
     signed-long words (driver-side, metadata-sized)."""
     assert m_bits % 64 == 0
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
+    k = F.col(key_col)
     pos = (
-        with_seeded_hash60(
-            keys.select(F.col(key_col).cast("string").alias("__k"))
-            .distinct()
-            .select("__k", seeds),
-            "__h",
-            "__k",
-            "seed",
+        keys.select(key_col)
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(k, s, m_bits) for s in range(k_hashes)])
+            ).alias("pos")
         )
-        .select((F.col("__h") % m_bits).alias("pos"))
         .distinct()
     )
     words = (
@@ -135,20 +140,14 @@ def bloom_semi_join(
     superset; the residual semi join removes false positives)."""
     bits = bloom_bits(right, on, m_bits, k_hashes)
     arr = F.lit(bits)
-    key = F.col(on).cast("string")
     checks = []
-    d = left
     for s in range(k_hashes):
-        col = f"__bp{s}"
-        d = with_seeded_hash60(d, col, f"CAST({on} AS STRING)", str(s))
-        p = F.col(col) % m_bits
+        p = _bloom_pos(F.col(on), s, m_bits)
         word = F.element_at(arr, (p / 64).cast("int") + 1)
         checks.append(
             F.call_function("shiftrightunsigned", word, (p % 64).cast("int"))
             .bitwiseAND(F.lit(1))
             == 1
         )
-    pref = d.filter(reduce(lambda a, b: a & b, checks)).drop(
-        *[f"__bp{s}" for s in range(k_hashes)]
-    )
+    pref = left.filter(reduce(lambda a, b: a & b, checks))
     return pref.join(right.select(on).distinct(), on, "left_semi")

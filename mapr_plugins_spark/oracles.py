@@ -626,6 +626,34 @@ RELATIONAL_ORACLES: dict[str, str] = {
                regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS uid
         FROM u
     """,
+    "q66_keep_latest": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    "q67_agg_filter_having": """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+                    FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS DOUBLE)
+                   AS late_revenue
+        FROM orders
+        GROUP BY o_orderstatus
+        HAVING count(*) > 100
+    """,
+    "q68_string_agg": """
+        SELECT n_regionkey,
+               array_to_string(list_sort(list(n_name)), ',') AS members,
+               count(*) AS n_nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
     "q65_trig_funcs": """
         SELECT l_orderkey,
                l_linenumber,

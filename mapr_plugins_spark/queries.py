@@ -1160,6 +1160,53 @@ def q65_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON / keep-latest-per-key (Q66): one row per customer —
+    their most recent order (date desc, orderkey desc tie-break) via a
+    row_number window, the scalable argmax idiom (single shuffle on the
+    key, no self-join)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+def q67_agg_filter_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clauses + HAVING (Q67): per-status order stats
+    with conditional aggregation folded into ONE pass (no self-join,
+    map-side partial aggs)."""
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= "1995-01-01",
+                F.col("o_totalprice").cast("decimal(20,2)"),
+            )
+        )
+        .cast("double")
+        .alias("late_revenue"),
+    )
+    return g.filter(F.col("n") > 100)
+
+
+def q68_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Q68): comma-joined region member
+    nations — sorted collect_list + array_join pins the order so the
+    result is partitioning-independent."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("members"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

@@ -232,3 +232,50 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     ONE hash partitioning on user_id."""
     df = Q.q62_sessionize(spark, sf_dir)
     assert A.shuffle_count(df) <= 1, A.plan_str(df)
+
+
+def test_doc_chunk_shuffle_free(spark, sf_dir):
+    """Chunking is sequence+slice HOFs: at most the fan_out exchange of
+    raw rows, never a key shuffle (fan_out is a no-op at cluster scale)."""
+    from mapr_plugins_spark.operators.registry import x_doc_chunk
+
+    df = x_doc_chunk(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+
+
+def test_embed_normalize_shuffle_free(spark, sf_dir):
+    """Normalization is a row-local fold; zero exchanges."""
+    from mapr_plugins_spark.operators.registry import x_embed_normalize
+
+    df = x_embed_normalize(spark, sf_dir)
+    assert A.shuffle_count(df) == 0, A.plan_str(df)
+
+
+def test_embed_quantize_shuffle_free(spark, sf_dir):
+    from mapr_plugins_spark.operators.registry import x_embed_quantize
+
+    df = x_embed_quantize(spark, sf_dir)
+    assert A.shuffle_count(df) == 0, A.plan_str(df)
+
+
+def test_inverted_index_two_shuffles_max(spark, sf_dir):
+    """distinct(doc,token) + groupBy(token) — AQE may reuse the token
+    partitioning, but never more than the two key exchanges."""
+    from mapr_plugins_spark.operators.registry import x_inverted_index
+
+    df = x_inverted_index(spark, sf_dir)
+    assert A.shuffle_count(df) <= 2, A.plan_str(df)
+
+
+def test_keep_latest_single_shuffle(spark, sf_dir):
+    """Argmax-per-key = one hash partitioning on the key."""
+    df = Q.q66_keep_latest(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+
+
+def test_agg_filter_single_pass(spark, sf_dir):
+    """Conditional aggregates fold into ONE partial+final agg (no
+    self-join, no extra exchange)."""
+    df = Q.q67_agg_filter_having(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+    assert A.count_nodes(df, "HashAggregate") >= 2, A.plan_str(df)

@@ -1,0 +1,135 @@
+"""A1 stream source as a first-class Spark 4 Python DataSource.
+
+The reference's source is a Kafka-API *connector* plugged into its host
+engine (``MapRStreamingSource.java:70-94``: subscribe to topics, consume
+``(byte[], byte[])`` events, offset policy earliest/latest, partition-
+aligned parallelism). This module realizes that contract through
+Spark's official Python DataSource extension point
+(``pyspark.sql.datasource``) instead of a file-source shim:
+
+- ``spark.readStream.format("maprstream")`` yields the Kafka-shaped
+  schema ``key/value/topic/partition/offset/timestamp_ms`` (the
+  documented divergence from the reference's first-field quirk,
+  SURVEY §1.4).
+- Offsets are per-partition row positions tracked by the engine's
+  checkpoint WAL (exactly-once with idempotent sinks) — the upgrade
+  over the reference's 1 s consumer auto-commit.
+- ``startingOffsets`` earliest|latest mirrors A1
+  (``MapRStreamingSource.java:80-86``).
+- Payloads are raw bytes (key = record key, value = JSON document), so
+  the A2/A4 format-parse projections run downstream unchanged.
+
+Replay comes from the ``events`` table: rows are dealt round-robin to
+``numPartitions`` simulated topic-partitions; each micro-batch admits
+``rowsPerBatch`` rows per partition (Kafka's maxOffsetsPerTrigger
+analogue). At cluster scale a partition maps to a broker partition and
+``read`` streams from the consumer; here it slices parquet row ranges —
+the engine-facing contract (offsets, partitions, schema) is identical.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp_ms bigint"
+)
+
+
+class MapRStreamPartition(InputPartition):
+    def __init__(self, path: str, part_idx: int, n_parts: int, start: int, end: int, topic: str):
+        self.path = path
+        self.part_idx = part_idx
+        self.n_parts = n_parts
+        self.start = start
+        self.end = end
+        self.topic = topic
+
+
+class MapRStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("maprstream: 'path' option is required")
+        self.topic = options.get("topic", "events")
+        self.n_parts = int(options.get("numPartitions", "4"))
+        # 0 = unlimited: latestOffset jumps to end, so Trigger.AvailableNow
+        # replays everything in one batch. A positive value bounds each
+        # micro-batch (Kafka maxOffsetsPerTrigger analogue) for use with
+        # processing-time triggers.
+        self.rows_per_batch = int(options.get("rowsPerBatch", "0"))
+        self.starting = options.get("startingOffsets", "earliest")
+        if self.starting not in ("earliest", "latest"):
+            raise ValueError("startingOffsets must be earliest|latest")
+        import pyarrow.parquet as pq
+
+        total = pq.ParquetFile(self.path).metadata.num_rows
+        # partition p owns global rows p, p+n, p+2n, ... (round-robin deal)
+        self._ends = [len(range(p, total, self.n_parts)) for p in range(self.n_parts)]
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return {"pos": list(self._ends)}
+        return {"pos": [0] * self.n_parts}
+
+    def latestOffset(self) -> dict:
+        if self.rows_per_batch <= 0:
+            return {"pos": list(self._ends)}
+        # admission control: advance each partition by rowsPerBatch
+        cur = getattr(self, "_cur", None)
+        if cur is None:
+            cur = self.initialOffset()["pos"]
+        nxt = [min(c + self.rows_per_batch, e) for c, e in zip(cur, self._ends)]
+        self._cur = nxt
+        return {"pos": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for p, (s, e) in enumerate(zip(start["pos"], end["pos"])):
+            if e > s:
+                out.append(
+                    MapRStreamPartition(self.path, p, self.n_parts, s, e, self.topic)
+                )
+        return out
+
+    def read(self, partition: MapRStreamPartition):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.path)
+        idx = range(partition.part_idx, t.num_rows, partition.n_parts)
+        take = list(idx)[partition.start : partition.end]
+        sub = t.take(take)
+        cols = sub.to_pydict()
+        ts_ms = [v // 1_000_000 for v in sub.column("ts").cast("int64").to_pylist()]
+        names = [n for n in sub.column_names if n != "ts"]
+        for i, off in enumerate(range(partition.start, partition.end)):
+            doc = {n: cols[n][i] for n in names}
+            doc["ts_ms"] = ts_ms[i]
+            key = str(doc.get("user_id", "")).encode()
+            value = json.dumps(doc, sort_keys=True).encode()
+            yield (key, value, partition.topic, partition.part_idx, off, ts_ms[i])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class MapRStreamDataSource(DataSource):
+    """format name: ``maprstream``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "maprstream"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def streamReader(self, schema) -> MapRStreamReader:
+        return MapRStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of the connector."""
+    spark.dataSource.register(MapRStreamDataSource)

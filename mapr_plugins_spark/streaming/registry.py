@@ -323,6 +323,47 @@ def s10_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s11_pyds_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 connector surface end-to-end through the registered Python
+    DataSource (``format("maprstream")``): Kafka-shaped
+    key/value/topic/partition/offset records, JSON payload parsed back
+    to typed fields (the A2/A4 projection), then a streaming aggregate.
+    Reference contract: MapRStreamingSource.java:70-94 (subscribe,
+    byte payloads, earliest offsets, partition-aligned parallelism)."""
+    from mapr_plugins_spark.sources.pyds import register
+
+    register(spark)
+    raw = (
+        spark.readStream.format("maprstream")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("topic", "events")
+        .option("numPartitions", "4")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.decode("value", "UTF-8"),
+            "event_id BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING, ts_ms BIGINT",
+        ).alias("e")
+    ).select("e.*")
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        F.max("ts_ms").alias("max_ts_ms"),
+    )
+    # streaming disables AQE, so the state store materializes every
+    # shuffle partition — size it to the machine, then restore
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        return run_available_now(agg, "complete")
+    finally:
+        spark.conf.set(key, old)
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -334,6 +375,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s07_dedup_within_watermark,
         s08_stateful_running_max,
         s10_cdc_merge_upsert,
+        s11_pyds_kafka_source,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -342,6 +384,15 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def streaming_oracles() -> dict[str, str]:
     oracles = {
+        "s11_pyds_kafka_source": """
+            SELECT event_type,
+                   count(*) AS n,
+                   count(DISTINCT user_id) AS n_users,
+                   min(epoch_us(ts) // 1000) AS min_ts_ms,
+                   max(epoch_us(ts) // 1000) AS max_ts_ms
+            FROM events
+            GROUP BY event_type
+        """,
         "s10_cdc_merge_upsert": """
             WITH r AS (
                 SELECT user_id, value, event_type,

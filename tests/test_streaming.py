@@ -88,3 +88,66 @@ def test_s09_gated_without_protobuf(spark, sf_dir):
         pytest.skip("protobuf present; s09 exercised via its oracle test")
     with pytest.raises(NotImplementedError, match="protobuf"):
         s09_transform_with_state(spark, sf_dir)
+
+
+def test_pyds_chunked_replay_and_latest_offsets(spark):
+    """maprstream connector: rowsPerBatch admission control yields
+    multiple micro-batches totalling the full table; startingOffsets=
+    latest begins at end-of-stream (empty replay) — A1's offset policy
+    (MapRStreamingSource.java:80-86)."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.sources.pyds import register
+
+    register(spark)
+    path = "/root/testdata/sf0.001/events.parquet"
+
+    def reader(extra):
+        r = (
+            spark.readStream.format("maprstream")
+            .option("path", path)
+            .option("numPartitions", "4")
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.load()
+
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    agg = reader({"rowsPerBatch": "100"}).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.max("offset").alias("mx")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    total = 0
+    while time.time() < deadline:
+        rows = spark.table(name).collect()
+        total = rows[0]["n"] if rows else 0
+        if total == 1000:
+            break
+        time.sleep(0.5)
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+    assert total == 1000
+    assert n_batches >= 3  # 250 rows/partition at 100/batch → ≥3 batches
+
+    # latest: no historical rows are replayed
+    name2 = f"pyds_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        reader({"startingOffsets": "latest"})
+        .writeStream.format("memory")
+        .queryName(name2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.table(name2).count() == 0

@@ -31,7 +31,13 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _SCHEMA = (
     "key binary, value binary, topic string, partition int, "
@@ -133,3 +139,86 @@ class MapRStreamDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent per-session registration of the connector."""
     spark.dataSource.register(MapRStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# A6 document-table sink as a registered batch writer
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class MapRDocWriter(DataSourceWriter):
+    """Two-phase task commit mirroring the A6 write path
+    (``MapRDBJSONSink.java:67-110``): tasks write to a hidden staging
+    dir and report filenames; only the driver-side ``commit`` publishes
+    them (rename into place + ``_SUCCESS``), so failed/speculative task
+    attempts never become visible — strictly stronger than the
+    reference's Hadoop OutputFormat auto-commit."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("maprdoc: 'path' option is required")
+        if "_id" not in schema.fieldNames():
+            raise ValueError(
+                "maprdoc sink expects an '_id' column "
+                "(use sinks.document.encode_documents first)"
+            )
+        self.schema = schema
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        rows = [r.asDict() for r in iterator]
+        cols = self.schema.fieldNames()
+        table = pa.table({c: [r.get(c) for r in rows] for c in cols})
+        pq.write_table(table, os.path.join(stage, name))
+        return _FileCommit(name)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        stage = os.path.join(self.path, "_staging")
+        published = {m.filename for m in messages if m is not None}
+        for f in published:
+            shutil.move(os.path.join(stage, f), os.path.join(self.path, f))
+        # anything left in staging came from failed/abandoned attempts
+        shutil.rmtree(stage, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class MapRDocDataSource(DataSource):
+    """format name: ``maprdoc`` (batch keyed-document sink)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "maprdoc"
+
+    def writer(self, schema, overwrite: bool) -> MapRDocWriter:
+        import shutil
+
+        if overwrite and self.options.get("path"):
+            shutil.rmtree(self.options["path"], ignore_errors=True)
+        return MapRDocWriter(self.options, schema)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(MapRDocDataSource)

@@ -145,3 +145,42 @@ def test_document_table_read_roundtrip(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in src.collect()}
     b = {tuple(r) for r in got.collect()}
     assert a == b
+
+
+def test_maprdoc_pyds_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """A6 through the registered Python DataSource sink: encode →
+    format("maprdoc").save() → published files + _SUCCESS, no staging
+    residue, round-trip equality with the plain keyed write."""
+    import os
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.sinks.document import encode_documents
+    from mapr_plugins_spark.sources.pyds import register_sink
+
+    register_sink(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    docs = encode_documents(cust, key_field="c_custkey")
+    out = str(tmp_path / "doctable")
+    docs.write.format("maprdoc").mode("overwrite").option("path", out).save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"_id", "doc"}
+    a = {(r["_id"], r["doc"]) for r in back.collect()}
+    b = {(r["_id"], r["doc"]) for r in docs.collect()}
+    assert a == b
+
+
+def test_maprdoc_pyds_writer_rejects_unkeyed_input(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.sources.pyds import register_sink
+
+    register_sink(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    with _pytest.raises(Exception, match="_id"):
+        cust.write.format("maprdoc").mode("overwrite").option(
+            "path", str(tmp_path / "x")
+        ).save()

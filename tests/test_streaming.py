@@ -151,3 +151,54 @@ def test_pyds_chunked_replay_and_latest_offsets(spark):
     )
     q2.awaitTermination()
     assert spark.table(name2).count() == 0
+
+
+def test_pyds_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Offsets live in the checkpoint WAL: a query stopped mid-stream
+    and restarted from the same checkpoint delivers every record
+    exactly once through the file sink (vs the reference's 1 s
+    auto-commit, which replays or drops at the same boundary)."""
+    import time
+
+    from mapr_plugins_spark.sources.pyds import register
+
+    register(spark)
+    path = "/root/testdata/sf0.001/events.parquet"
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def start(rows_per_batch, trigger_kwargs):
+        df = (
+            spark.readStream.format("maprstream")
+            .option("path", path)
+            .option("numPartitions", "4")
+            .option("rowsPerBatch", rows_per_batch)
+            .load()
+            .selectExpr("partition", "offset")
+        )
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: chunked; stop after some but not all batches committed
+    q = start("100", {"processingTime": "50 milliseconds"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    part1 = spark.read.load(sink).count() if q.lastProgress else 0
+    assert 0 < part1 < 1000  # genuinely mid-stream
+
+    # phase 2: restart from the WAL, drain the rest in one batch
+    q2 = start("0", {"availableNow": True})
+    q2.awaitTermination()
+
+    out = spark.read.load(sink)
+    assert out.count() == 1000
+    assert out.distinct().count() == 1000  # no dupes, no gaps

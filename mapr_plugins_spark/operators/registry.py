@@ -242,6 +242,27 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
 
 
+def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tokens per source by frequency (ties → token asc): ONE
+    count shuffle + ONE window shuffle over the already-tiny aggregate —
+    the scalable per-group heavy-hitters idiom (never a global sort of
+    the raw stream)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    counts = (
+        docs.select("source", F.explode(X.tokens_col("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "token", "n", "rk")
+    )
+
+
 def x_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize embeddings (row-local zip_with/aggregate fold —
     codegen'd, zero shuffle; the mandatory prep for cosine ANN)."""
@@ -580,6 +601,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_topk_per_group,
             x_embed_normalize,
             x_embed_quantize,
             x_inverted_index,
@@ -1030,6 +1052,19 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_topk_per_group": f"""
+            WITH counts AS (
+                SELECT source, token, count(*) AS n
+                FROM (SELECT source, unnest({_TOKS_SQL}) AS token FROM documents)
+                GROUP BY source, token
+            )
+            SELECT source, token, n, rk FROM (
+                SELECT source, token, n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n DESC, token ASC) AS rk
+                FROM counts
+            ) WHERE rk <= 3
+        """,
         "x_embed_normalize": """
             SELECT vec_id,
                    sqrt(list_sum(list_transform(embedding,

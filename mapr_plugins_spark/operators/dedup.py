@@ -10,7 +10,9 @@ Design for 100 TB:
   functions over the shingle set — zero shuffle), then a self-join only
   *within identical band buckets* — the candidate set is tiny for
   non-similar corpora. Exact Jaccard is verified only for candidates,
-  with the candidate set broadcast into the shingle stream.
+  row-locally: candidate pairs join to per-doc shingle ARRAYS and the
+  intersection is a codegen'd array_intersect (no exploded shingle
+  shuffle, no aggregation).
 * Hashing is the portable md5-based 60-bit scheme
   (functions/portable_hash.py), so the DuckDB oracle reproduces every
   intermediate value bit-for-bit.
@@ -44,13 +46,11 @@ def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
 # shingling
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle).
-
-    Word split is on single spaces (corpus-normalized text); shingle =
-    k consecutive words joined by one space — the DuckDB oracle uses the
-    identical definition.
-    """
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document as a row-local ARRAY:
+    (doc_id, g). Word split is on single spaces (corpus-normalized
+    text); shingle = k consecutive words joined by one space — the
+    DuckDB oracle uses the identical definition."""
     w = F.split(F.col(text_col), " ")
     idxs = F.sequence(F.lit(0), F.size(w) - k)  # 0-based start positions
     sh = F.transform(
@@ -61,7 +61,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     )
     return (
         fan_out(df.filter(F.size(w) >= k).select(F.col(id_col).alias("doc_id"), text_col))
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select("doc_id", F.array_distinct(sh).alias("g"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, shingle)."""
+    return shingle_arrays(df, id_col, text_col, k).select(
+        "doc_id", F.explode("g").alias("shingle")
     )
 
 
@@ -190,8 +197,7 @@ def verified_near_dup_pairs(
     ).persist()  # reused 3× downstream; without reuse each reference
     # recomputes the whole corpus-wide signature pipeline
     docs_cand = _candidate_docs(docs, cand, id_col)
-    sh = shingles(docs_cand, id_col, text_col, k=k)
-    return _exact_jaccard(sh, cand, threshold)
+    return _jaccard_verify(shingle_arrays(docs_cand, id_col, text_col, k=k), cand, threshold)
 
 
 def _candidate_docs(docs: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
@@ -208,45 +214,24 @@ def _candidate_docs(docs: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _exact_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact set Jaccard per candidate pair from a (doc_id, shingle)
-    stream covering the candidate docs: (id_a, id_b, jaccard ≥ threshold).
+def _jaccard_verify(garr: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact set Jaccard per candidate pair from row-local shingle/gram
+    ARRAYS ``(doc_id, g)``: (id_a, id_b, jaccard ≥ threshold).
 
-    The only big exchange is one shuffle of the candidates' shingles on
-    (doc, shingle) for the intersection count; candidate pairs and
-    per-doc sizes ride along as broadcasts.
-
-    ``sh`` and ``cand`` are referenced multiple times in this DAG, so
-    both are persisted — they are the tiny intermediates (candidate-doc
-    shingles, candidate pairs) one would materialize at 100 TB anyway;
-    Spark's block manager spills/evicts them LRU."""
-    sh = sh.persist()
-    cand = cand.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.alias("s1")
-    s2 = sh.join(
-        F.broadcast(cand.select("id_b").distinct()),
-        F.col("doc_id") == F.col("id_b"),
-        "left_semi",
-    ).alias("s2")
-    inter = (
-        s1.join(F.broadcast(cand), F.col("s1.doc_id") == F.col("id_a"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("id_b")) & (F.col("s2.shingle") == F.col("s1.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    The pair join moves ONE array row per candidate doc (≈ the doc's
+    text bytes) instead of an exploded (doc, shingle) stream, and the
+    intersection is a codegen'd ``array_intersect``/``array_union`` —
+    no aggregation stage at all. ``garr`` feeds both sides of the pair
+    join, so it is persisted (it only covers candidate docs — the tiny
+    intermediate one would materialize at 100 TB anyway)."""
+    garr = garr.persist()
+    ga, gb = garr.alias("ga"), garr.alias("gb")
+    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
+    union = F.size(F.array_union(F.col("ga.g"), F.col("gb.g")))
     return (
-        inter.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("id_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("id_b"))
-        .withColumn(
-            "jaccard",
-            F.col("ni").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")),
-        )
+        cand.join(ga, F.col("ga.doc_id") == F.col("id_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("id_b"))
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -255,22 +240,6 @@ def _exact_jaccard(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFram
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 
-
-def char_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 4) -> DataFrame:
-    """Distinct character n-grams per document: (doc_id, shingle).
-
-    Built row-locally (sequence → transform → array_distinct → explode),
-    zero shuffle; column named ``shingle`` so the Jaccard verify helper
-    is shared with the word-shingle path."""
-    grams = F.expr(
-        f"transform(sequence(1, length({text_col}) - {n} + 1),"
-        f" i -> substring({text_col}, i, {n}))"
-    )
-    return (
-        fan_out(
-            df.filter(F.length(text_col) >= n).select(F.col(id_col).alias("doc_id"), text_col)
-        ).select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
-    )
 
 
 def ngram_jaccard_pairs(
@@ -306,8 +275,14 @@ def ngram_jaccard_pairs(
         .persist()  # reused 3× downstream (semi-join filter + verify joins)
     )
     docs_cand = _candidate_docs(docs, cand, id_col)
-    sh = char_ngrams(docs_cand, id_col, text_col, n=n)
-    return _exact_jaccard(sh, cand, threshold)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+    garr = fan_out(docs_cand.filter(F.length(text_col) >= n)).select(
+        F.col(id_col).alias("doc_id"), grams.alias("g")
+    )
+    return _jaccard_verify(garr, cand, threshold)
 
 
 def collapse_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

@@ -37,7 +37,10 @@ def gap_fill(
     and forward-fills with a running last-non-null window. Grid size is
     bounded by each key's own span — no global materialized calendar."""
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
-    agg = df.groupBy(key_col, bucket).agg(dsum(F.col(value_col), "v"))
+    # persisted: feeds both the bounds scan and the grid join — without
+    # reuse the raw-event aggregation runs twice (CacheManager matches
+    # by analyzed plan only)
+    agg = df.groupBy(key_col, bucket).agg(dsum(F.col(value_col), "v")).persist()
     bounds = agg.groupBy(key_col).agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     grid = bounds.select(
         key_col,

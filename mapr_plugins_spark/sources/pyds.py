@@ -60,8 +60,15 @@ class MapRStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("maprstream: 'path' option is required")
-        self.topic = options.get("topic", "events")
-        self.n_parts = int(options.get("numPartitions", "4"))
+        # comma-separated list, as in A1's `topics` config
+        # (MapRStreamConfig.java:38-44); each simulated topic gets its
+        # own partition set, rows dealt round-robin across the total
+        self.topics = [
+            t.strip()
+            for t in options.get("topics", options.get("topic", "events")).split(",")
+            if t.strip()
+        ]
+        self.n_parts = int(options.get("numPartitions", "4")) * len(self.topics)
         # 0 = unlimited: latestOffset jumps to end, so Trigger.AvailableNow
         # replays everything in one batch. A positive value bounds each
         # micro-batch (Kafka maxOffsetsPerTrigger analogue) for use with
@@ -93,11 +100,14 @@ class MapRStreamReader(DataSourceStreamReader):
         return {"pos": nxt}
 
     def partitions(self, start: dict, end: dict):
+        per_topic = self.n_parts // len(self.topics)
         out = []
         for p, (s, e) in enumerate(zip(start["pos"], end["pos"])):
             if e > s:
                 out.append(
-                    MapRStreamPartition(self.path, p, self.n_parts, s, e, self.topic)
+                    MapRStreamPartition(
+                        self.path, p, self.n_parts, s, e, self.topics[p // per_topic]
+                    )
                 )
         return out
 

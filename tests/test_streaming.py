@@ -202,3 +202,31 @@ def test_pyds_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.load(sink)
     assert out.count() == 1000
     assert out.distinct().count() == 1000  # no dupes, no gaps
+
+
+def test_pyds_multi_topic_subscribe(spark):
+    """A1's comma-separated `topics` config: every topic appears, each
+    record carried exactly once across the union of topic partitions."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.sources.pyds import register
+    from mapr_plugins_spark.streaming.replay import run_available_now
+
+    register(spark)
+    df = (
+        spark.readStream.format("maprstream")
+        .option("path", "/root/testdata/sf0.001/events.parquet")
+        .option("topics", "alpha, beta")
+        .option("numPartitions", "2")
+        .load()
+    )
+    out = run_available_now(
+        df.groupBy("topic").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.size(F.collect_set("partition")).alias("n_parts"),
+        )
+    )
+    rows = {r["topic"]: (r["n"], r["n_parts"]) for r in out.collect()}
+    assert set(rows) == {"alpha", "beta"}
+    assert sum(n for n, _ in rows.values()) == 1000
+    assert all(p == 2 for _, p in rows.values())

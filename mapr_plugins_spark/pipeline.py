@@ -178,6 +178,7 @@ def run_stream(
     *,
     checkpoint_dir: str,
     replay_dir: str | None = None,
+    maprstream_path: str | None = None,
     query_name: str = "mapr-plugins-pipeline",
 ):
     """Streaming pipeline: A1 source (or file replay) → A4 parse →
@@ -188,7 +189,13 @@ def run_stream(
     1 s auto-commit at-least-once, ``MapRStreamingSource.java:75-76``).
     Returns the started ``StreamingQuery``.
     """
-    src = open_stream(spark, spec.source, replay_dir=replay_dir, replay_schema="value STRING")
+    src = open_stream(
+        spark,
+        spec.source,
+        replay_dir=replay_dir,
+        replay_schema="value STRING",
+        maprstream_path=maprstream_path,
+    )
     parsed = parsed_stream(src, spec.source)
     meta = {"topic", "partition", "offset", "timestamp"}
     out = _transform(parsed.drop(*meta), spec)

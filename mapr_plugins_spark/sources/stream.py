@@ -80,14 +80,37 @@ def open_stream(
     *,
     replay_dir: str | None = None,
     replay_schema: str | None = None,
+    maprstream_path: str | None = None,
 ) -> DataFrame:
     """Open the source as a streaming DataFrame of Kafka-shaped rows
     ``(key BINARY, value BINARY, topic, partition, offset, timestamp)``.
 
-    With ``replay_dir`` the same row shape is produced from a text-file
-    replay directory (one payload per line) — the test path; the parse
-    plan downstream is identical either way.
+    Three physical backends behind one row shape: the Kafka source
+    (production), the registered ``maprstream`` Python DataSource
+    (``maprstream_path`` — real per-partition offsets, earliest/latest,
+    admission control; sources/pyds.py), or a text-file replay directory
+    (``replay_dir``, one payload per line). The downstream parse plan is
+    identical in all three.
     """
+    if maprstream_path is not None:
+        from mapr_plugins_spark.sources.pyds import register
+
+        register(spark)
+        raw = (
+            spark.readStream.format("maprstream")
+            .option("path", maprstream_path)
+            .option("topics", spec.topics)
+            .option("startingOffsets", spec.offset_policy)
+            .load()
+        )
+        return raw.select(
+            "key",
+            "value",
+            "topic",
+            "partition",
+            "offset",
+            F.timestamp_millis(F.col("timestamp_ms")).alias("timestamp"),
+        )
     if replay_dir is None:
         reader = spark.readStream.format("kafka")
         for k, v in reader_options(spec).items():

@@ -110,3 +110,46 @@ def test_stream_pipeline_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "purchase_docs")).count() == 3
+
+
+def test_pipeline_streams_from_registered_connector(spark, tmp_path):
+    """The reference's whole deployment shape on the real extension
+    point: config-driven pipeline (A1 properties) fed by the REGISTERED
+    maprstream DataSource — JSON parse (A4), filter stage, keyed
+    document sink (A5/A6), checkpointed run."""
+    from mapr_plugins_spark.pipeline import PipelineSpec, run_stream
+
+    spec = PipelineSpec.from_properties(
+        {
+            "referenceName": "events_in",
+            "topics": "events",
+            "defaultInitialOffset": "earliest",
+            "format": "json",
+            "schema": (
+                "event_id BIGINT, user_id BIGINT, event_type STRING, "
+                "value DOUBLE, props STRING, ts_ms BIGINT"
+            ),
+        },
+        {"tableName": str(tmp_path / "doc_table"), "key": "event_id"},
+        filters=["event_type <> 'error'"],
+    )
+    q = run_stream(
+        spark,
+        spec,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        maprstream_path="/root/testdata/sf0.001/events.parquet",
+    )
+    q.awaitTermination()
+
+    from mapr_plugins_spark.catalog import table
+
+    out = spark.read.parquet(str(tmp_path / "doc_table"))
+    batch = table(spark, "/root/testdata/sf0.001", "events")
+    want = batch.filter("event_type <> 'error'").count()
+    assert out.count() == want
+    r = out.limit(1).collect()[0]
+    assert set(out.columns) == {"_id", "doc"}
+    import json as _json
+
+    doc = _json.loads(r["doc"])
+    assert {"event_id", "user_id", "event_type"} <= set(doc)

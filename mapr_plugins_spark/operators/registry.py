@@ -242,6 +242,50 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
 
 
+def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of ``orders`` in ONE pass (conditional
+    aggregates, no per-column jobs): row count, per-column null counts,
+    numeric min/max/mean, key cardinality. The guardrail stage every
+    100 TB ingest runs before publishing a partition."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("null_orderdate"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_totalprice"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.avg(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("mean_price"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+    )
+
+
+def x_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit via anti-joins: orphan counts for
+    each FK edge of the star schema (orders→customer, lineitem→orders,
+    lineitem→part). Anti-joins broadcast the PK side's keys when small;
+    at 100 TB they plan as shuffled joins on the FK — either way ONE
+    pass per edge, no collect."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    ok = o.select(F.col("o_orderkey").alias("l_orderkey"))
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"))
+    rows = [
+        ("orders_to_customer", o.join(c, "o_custkey", "left_anti")),
+        ("lineitem_to_orders", li.join(ok, "l_orderkey", "left_anti")),
+        ("lineitem_to_part", li.join(p, "l_partkey", "left_anti")),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("orphans")).select(
+            F.lit(name).alias("edge"), "orphans"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 def x_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tokens per source by frequency (ties → token asc): ONE
     count shuffle + ONE window shuffle over the already-tiny aggregate —
@@ -601,6 +645,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_dq_profile,
+            x_ref_integrity,
             x_topk_per_group,
             x_embed_normalize,
             x_embed_quantize,
@@ -1052,6 +1098,34 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_dq_profile": """
+            SELECT count(*) AS n_rows,
+                   count(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+                   count(*) FILTER (WHERE o_orderdate IS NULL) AS null_orderdate,
+                   count(*) FILTER (WHERE o_totalprice IS NULL) AS null_totalprice,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   CAST(avg(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS mean_price,
+                   count(DISTINCT o_orderkey) AS n_keys,
+                   count(*) - count(DISTINCT o_orderkey) AS dup_keys
+            FROM orders
+        """,
+        "x_ref_integrity": """
+            SELECT 'orders_to_customer' AS edge,
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)) AS orphans
+            UNION ALL
+            SELECT 'lineitem_to_orders',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+            UNION ALL
+            SELECT 'lineitem_to_part',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+        """,
         "x_topk_per_group": f"""
             WITH counts AS (
                 SELECT source, token, count(*) AS n

@@ -98,3 +98,38 @@ def cohort_retention(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     return j.groupBy("cohort_week", offset.alias("week_offset")).agg(
         F.count_distinct(F.col(key_col)).alias("n_keys")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average:
+    ``e_t = alpha*v_t + (1-alpha)*e_{t-1}`` (``e_0 = v_0``).
+
+    An EWMA is an inherently sequential fold (the closed-form cumsum
+    rewrite overflows for long histories), so it parallelizes the same
+    way packing does: keys shuffle once, each key's ordered history
+    folds inside one Arrow batch task with O(1) state. Key count is the
+    parallelism unit — exactly the per-entity layout a metrics store
+    has at scale."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = [key_col, *order_cols, value_col]
+    d = df.select(*cols)
+    schema = StructType(list(d.schema.fields) + [StructField(out_col, DoubleType())])
+
+    def _fold(pdf):
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        e, out = None, []
+        for v in pdf[value_col]:
+            e = v if e is None else alpha * v + (1.0 - alpha) * e
+            out.append(e)
+        pdf[out_col] = out
+        return pdf
+
+    return d.groupBy(key_col).applyInPandas(_fold, schema)

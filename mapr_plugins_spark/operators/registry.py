@@ -242,6 +242,20 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
 
 
+def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.25, ts then event_id
+    order) — bucketed sequential fold (operators/analytics.py::ewma),
+    recursive-CTE full-value oracle."""
+    from mapr_plugins_spark.operators.analytics import ewma
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = ewma(ev, "user_id", ["ts", "event_id"], "value", alpha=0.25)
+    # no explicit rounding: the fold is bit-identical IEEE arithmetic in
+    # both engines, and the harness rounds symmetrically; engine-side
+    # round() differs at half-ulp boundaries (HALF_UP on binary doubles)
+    return out.select("user_id", "event_id", "ewma")
+
+
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of ``orders`` in ONE pass (conditional
     aggregates, no per-column jobs): row count, per-column null counts,
@@ -645,6 +659,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_ewma,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -1098,6 +1113,22 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_ewma": """
+            WITH RECURSIVE s AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, event_id, rn, value AS e FROM s WHERE rn = 1
+                UNION ALL
+                SELECT n.user_id, n.event_id, n.rn,
+                       0.25 * n.value + 0.75 * r.e
+                FROM r JOIN s n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+            )
+            SELECT user_id, event_id, e AS ewma FROM r
+        """,
         "x_dq_profile": """
             SELECT count(*) AS n_rows,
                    count(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,

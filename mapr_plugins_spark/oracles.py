@@ -626,6 +626,20 @@ RELATIONAL_ORACLES: dict[str, str] = {
                regexp_extract(url, '[?&]uid=([^&#]*)', 1) AS uid
         FROM u
     """,
+    "q69_time_range_window": """
+        WITH d AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, day,
+               CAST(sum(price) OVER w AS DOUBLE) AS trailing_7d,
+               count(*) OVER w AS n_7d
+        FROM d
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
     "q66_keep_latest": """
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
         FROM (

@@ -1207,6 +1207,32 @@ def q68_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-customer revenue (Q69): RANGE frame over the
+    epoch-day ordering — the time-window analytic that rows-frames get
+    wrong when a customer has multiple orders per day. One shuffle on
+    the key; the frame scan is per-partition."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum("price").over(w).cast("double").alias("trailing_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

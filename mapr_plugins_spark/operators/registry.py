@@ -242,6 +242,75 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
 
 
+def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on part names: pairs within edit distance ≤ 2,
+    blocked by (length bucket, first token) so the pair space is
+    per-block — the classic record-linkage shape (block key stands in
+    for any cheap deterministic candidate key). The levenshtein
+    predicate is a codegen'd JVM expression evaluated only inside
+    blocks, never across the full cross product."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blocked = p.select(
+        "p_partkey",
+        "p_name",
+        F.substring_index("p_name", " ", 1).alias("b1"),
+        (F.length("p_name") / 4).cast("int").alias("b2"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.b2") == F.col("b.b2"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            "dist",
+        )
+    )
+
+
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style table diff: compare the customer snapshot with a
+    deterministically perturbed copy (drop keys ≡0 mod 97, change
+    balance on keys ≡1 mod 31, add keys +100000 for ≡0 mod 103) and
+    classify every key as added / removed / changed. ONE full-outer
+    join on the key with row-hash comparison — no row-by-row diffing,
+    shuffle bounded by the two snapshots."""
+    old = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    new = (
+        old.filter(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 31 == 1, F.col("c_acctbal") + 10.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") % 103 == 0).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"), "c_name", "c_acctbal"
+            )
+        )
+    )
+    oh = old.select("c_custkey", F.md5(F.concat_ws("|", "c_name", "c_acctbal")).alias("h_old"))
+    nh = new.select("c_custkey", F.md5(F.concat_ws("|", "c_name", "c_acctbal")).alias("h_new"))
+    j = oh.join(nh, "c_custkey", "full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("h_old").isNull(), "added")
+            .when(F.col("h_new").isNull(), "removed")
+            .when(F.col("h_old") != F.col("h_new"), "changed"),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("c_custkey", "change")
+    )
+
+
 def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (alpha=0.25, ts then event_id
     order) — bucketed sequential fold (operators/analytics.py::ewma),
@@ -659,6 +728,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_fuzzy_join_levenshtein,
+            x_snapshot_diff,
             x_ewma,
             x_dq_profile,
             x_ref_integrity,
@@ -1113,6 +1184,40 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_fuzzy_join_levenshtein": """
+            WITH blocked AS (
+                SELECT p_partkey, p_name,
+                       split_part(p_name, ' ', 1) AS b1,
+                       length(p_name) // 4 AS b2
+                FROM part
+            )
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM blocked a JOIN blocked b
+              ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "x_snapshot_diff": """
+            WITH o AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+            n AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 31 = 1 THEN c_acctbal + 10.0
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer WHERE c_custkey % 97 <> 0
+                UNION ALL
+                SELECT c_custkey + 100000, c_name, c_acctbal
+                FROM customer WHERE c_custkey % 103 = 0
+            )
+            SELECT c_custkey, change FROM (
+                SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                       CASE WHEN o.c_custkey IS NULL THEN 'added'
+                            WHEN n.c_custkey IS NULL THEN 'removed'
+                            WHEN o.c_name <> n.c_name
+                                 OR o.c_acctbal <> n.c_acctbal THEN 'changed'
+                       END AS change
+                FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+            ) WHERE change IS NOT NULL
+        """,
         "x_ewma": """
             WITH RECURSIVE s AS (
                 SELECT user_id, event_id, value,

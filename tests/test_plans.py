@@ -279,3 +279,30 @@ def test_agg_filter_single_pass(spark, sf_dir):
     df = Q.q67_agg_filter_having(spark, sf_dir)
     assert A.shuffle_count(df) <= 1, A.plan_str(df)
     assert A.count_nodes(df, "HashAggregate") >= 2, A.plan_str(df)
+
+
+def test_fuzzy_join_is_equi_blocked(spark, sf_dir):
+    """The levenshtein predicate rides a hash join on the block key —
+    never a cartesian/BNLJ over the full pair space."""
+    from mapr_plugins_spark.operators.registry import x_fuzzy_join_levenshtein
+
+    df = x_fuzzy_join_levenshtein(spark, sf_dir)
+    assert not A.has_cartesian(df), A.plan_str(df)
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """Diff = ONE full-outer join; both snapshots shuffle once on the key."""
+    from mapr_plugins_spark.operators.registry import x_snapshot_diff
+
+    df = x_snapshot_diff(spark, sf_dir)
+    assert A.count_nodes(df, "SortMergeJoin") + A.count_nodes(df, "ShuffledHashJoin") <= 1, (
+        A.plan_str(df)
+    )
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """Sequential fold: one exchange on the key into the Arrow stage."""
+    from mapr_plugins_spark.operators.registry import x_ewma
+
+    df = x_ewma(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)

@@ -697,11 +697,14 @@ def x_mm_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation (exact dedup → near-dup collapse → quality
-    filter → language tag) over the documents table. Iterative collapse
-    runs during construction (Pregel-shaped; rows-only check)."""
+    filter → language tag) over the documents table. The iterative
+    collapse runs during construction (Pregel-shaped); the DuckDB
+    oracle replays the WHOLE chain — minhash pairs, a recursive
+    reachability closure for the components, min-id survivors, quality
+    + language scoring — so even the iterative stage is value-checked."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = D.curate(docs, min_quality=0.0)
-    return out.select("doc_id", "lang_pred", F.round("quality_score", 6).alias("q6"))
+    return out.select("doc_id", "lang_pred", "quality_score")
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -766,7 +769,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes(corpus_sql: str, threshold: float) -> str:
+    """CTE chain ``corpus .. pairs`` replicating the MinHash→LSH→exact
+    Jaccard pipeline over ``corpus_sql`` — reused by the pairs oracle
+    and by the end-to-end curate oracle."""
     from mapr_plugins_spark.functions.portable_hash import (
         MINHASH_P,
         hex15_to_bigint_sql,
@@ -779,8 +785,7 @@ def _minhash_oracle() -> str:
         f" % {MINHASH_P}"
         for s in range(_MINHASH_SEEDS)
     )
-    return f"""
-        WITH corpus AS ({_CORPUS_SQL}),
+    return f"""corpus AS ({corpus_sql}),
         words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
         sh AS (
             SELECT DISTINCT doc_id,
@@ -812,13 +817,69 @@ def _minhash_oracle() -> str:
             JOIN sh s1 ON s1.doc_id = c.id_a
             JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
             GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.id_a, i.id_b,
+                   CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {threshold}
+        )"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
+
+
+def _curate_oracle() -> str:
+    """End-to-end curation replicated in SQL: minhash pairs → connected
+    components (recursive reachability closure over the tiny pair
+    graph) → min-id survivors → quality + language scoring."""
+    pairs = _minhash_pairs_ctes("SELECT doc_id, text FROM documents", 0.5)
+    quality = f"""
+        0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+        + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_EN_STOP}))) AS DOUBLE)
+                       / len(toks))
+        + 0.3 * least(1.0,
+              CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS DOUBLE) / len(toks) / 8.0)
+    """
+    score_cols = ", ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({w}))) AS DOUBLE) / len(toks) AS s_{lang}".format(
+            w=", ".join(f"'{t}'" for t in words), lang=lang
         )
-        SELECT i.id_a, i.id_b,
-               CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+        for lang, words in X.STOPWORDS.items()
+    )
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in X.STOPWORDS) + ")"
+    case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in sorted(X.STOPWORDS))
+    return f"""
+        WITH RECURSIVE {pairs},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        canon AS (SELECT src AS did, min(dst) AS root FROM reach GROUP BY src),
+        kept AS (
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id NOT IN (SELECT did FROM canon WHERE did <> root)
+        ),
+        t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM kept),
+        q AS (SELECT doc_id, {quality} AS quality_score FROM t),
+        s AS (SELECT doc_id, {score_cols} FROM t WHERE len(toks) > 0),
+        l AS (
+            SELECT doc_id, CASE {case} END AS lang_pred
+            FROM (SELECT *, {m} AS m FROM s)
+        )
+        SELECT q.doc_id, l.lang_pred, q.quality_score
+        FROM q JOIN l ON l.doc_id = q.doc_id
     """
 
 
@@ -991,6 +1052,7 @@ def extension_oracles() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
             FROM events GROUP BY 2
         """,
+        "x_curate": _curate_oracle(),
         "x_dedup_minhash_pairs": _minhash_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_simhash": _simhash_oracle(),

@@ -50,6 +50,19 @@ _CORPUS_SQL = """
     FROM documents
 """
 
+_MM_FEATURES_SQL = """
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1))
+                ELSE -1 END AS first_byte,
+           CASE WHEN strlen(text) > 0
+                THEN CAST(list_sum(list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, i, 1)))) AS DOUBLE) / strlen(text)
+                ELSE 0.0 END AS mean_byte
+    FROM documents
+"""
+
+
 def _chunk_oracle() -> str:
     from mapr_plugins_spark.operators.chunking import chunk_oracle_sql
 
@@ -1052,6 +1065,11 @@ def extension_oracles() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
             FROM events GROUP BY 2
         """,
+        # mm feature stubs: the fake decode is a pure function of the
+        # UTF-8 payload; the corpus is ASCII ([a-z ]), so codepoints ==
+        # bytes and the oracle recomputes every feature exactly
+        "x_mm_features": _MM_FEATURES_SQL,
+        "x_mm_features_arrow": _MM_FEATURES_SQL,
         "x_curate": _curate_oracle(),
         "x_dedup_minhash_pairs": _minhash_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),

@@ -69,6 +69,8 @@ def main() -> None:
         "x_row_index",
         "x_sketch_cms",
         "x_inverted_index",
+        "x_ewma",
+        "x_curate",
     ]
     names = [n for n in headline if n in registry]
 

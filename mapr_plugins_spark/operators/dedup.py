@@ -285,21 +285,50 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(garr, cand, threshold)
 
 
-def collapse_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def collapse_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_driver_edges: int = 5_000_000,
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, canonical_id).
 
-    Iterative min-label propagation: every vertex starts as its own
-    label; each round, a vertex adopts the minimum label among itself
-    and its neighbors, until a fixpoint. Near-duplicate clusters have
-    tiny diameters (variants of one source), so convergence is a few
-    rounds; each round is one grouped-min over the edge list — shuffle
-    bounded by |edges|, never O(n²).
-
-    This is a genuinely iterative algorithm (driver-controlled loop, the
-    one place the engine steps outside a single Catalyst plan — like
-    everything Pregel-shaped). Each iteration's result is localCheckpoint-
-    truncated so the lineage doesn't grow unboundedly.
+    The edge list is the CANDIDATE PAIR set — orders of magnitude
+    smaller than the corpus (LSH keeps it so). Below
+    ``max_driver_edges`` it is collected and solved with union-find on
+    the driver (the edge list at 5M pairs is ~80 MB — smaller than a
+    broadcast dim table; one job, no iteration). Above the threshold,
+    distributed iterative min-label propagation: every vertex starts as
+    its own label; each round a vertex adopts the minimum label among
+    itself and its neighbors (one grouped-min over edges, shuffle
+    bounded by |edges|), localCheckpoint-truncated per round, until a
+    fixpoint — rounds ≈ cluster diameter, tiny for near-dup clusters.
     """
+    n_pairs = pairs.count()
+    if n_pairs <= max_driver_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.select(id_a, id_b).collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so canonical = min id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id LONG, canonical_id LONG"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

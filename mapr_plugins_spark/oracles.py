@@ -640,6 +640,17 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
+    "q70_histogram": """
+        -- width_bucket replicated with Spark's exact float expression:
+        -- 1 + floor((x - lo) / ((hi - lo) / n)); x<lo -> 0, x>=hi -> n+1
+        SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 600000.0 THEN 21
+                    ELSE 1 + CAST(floor(o_totalprice / (600000.0 / 20)) AS BIGINT)
+               END AS bin,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1
+    """,
     "q66_keep_latest": """
         SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
         FROM (

@@ -126,9 +126,15 @@ def compact_files(
     )
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    out = df.repartition(n_out)
     if order_by:
-        out = out.sortWithinPartitions(*order_by)
+        # clustered compaction: range partition on the sort key so each
+        # output file owns a DISJOINT key range (file + row-group
+        # min/max pruning), then sort inside for page-level locality.
+        # A plain round-robin + local sort leaves every file spanning
+        # the whole domain — no skipping at all.
+        out = df.repartitionByRange(n_out, *order_by).sortWithinPartitions(*order_by)
+    else:
+        out = df.repartition(n_out)
     tmp = f"{path}__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
     # atomic-ish swap (object stores use a rename-free commit protocol)

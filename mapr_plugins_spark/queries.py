@@ -1233,6 +1233,20 @@ def q69_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket (Q70): 20 bins over order
+    totals — one partial+final aggregation, the bin expression is
+    codegen'd (no per-bin jobs, no driver loop)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(20)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q25_doc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record → keyed JSON document encode — the reference's A5 operator
     (MapRDBJSONSink.java:119-147) as a single codegen'd projection (Q25)."""

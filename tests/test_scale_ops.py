@@ -137,3 +137,27 @@ def test_zorder_layout_skips_more_files_than_linear(spark, sf_dir, tmp_path):
     z_hit, l_hit = files_overlapping_box(zp, *box), files_overlapping_box(lp, *box)
     assert spark.read.parquet(zp).count() == li.count()
     assert z_hit < l_hit, (z_hit, l_hit)
+
+
+def test_compact_files_cluster_sort_tightens_ranges(spark, tmp_path):
+    """order_by compaction clusters row groups: each output file owns a
+    disjoint-ish key range (file min/max spans shrink vs unsorted)."""
+    import glob
+
+    from mapr_plugins_spark.plans.partitioning import compact_files
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 40_000).selectExpr("id % 1000 AS k", "id AS v").repartition(
+        40
+    ).write.parquet(p)
+    compact_files(spark, p, target_file_bytes=60_000, order_by=["k"])
+    files = glob.glob(f"{p}/*.parquet")
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg(F.min("k"), F.max("k")).collect()[0]
+        spans.append(r[1] - r[0])
+    # sortWithinPartitions clusters keys: average file span well under
+    # the full 0..999 domain a random layout would give every file
+    assert sum(spans) / len(spans) < 500, spans
+    assert spark.read.parquet(p).count() == 40_000

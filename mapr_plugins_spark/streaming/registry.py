@@ -323,6 +323,52 @@ def s10_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s12_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA (alpha=0.25) in explicit GroupState —
+    the streaming twin of the batch ``x_ewma`` operator, checked
+    against the SAME recursive-fold oracle. Assumes per-key in-order
+    arrival (the Kafka-partition-keyed-log contract); each batch is
+    sorted on (ts, event_id) before folding."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    alpha = 0.25
+
+    def fold(key, pdfs, state):
+        e = state.get[0] if state.exists else None
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"]:
+                    e = float(v) if e is None else alpha * float(v) + (1 - alpha) * e
+                n += int(len(pdf))
+        state.update((e, n))
+        yield pd.DataFrame({"user_id": [key[0]], "ewma_final": [e], "n_events": [n]})
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id BIGINT, ewma_final DOUBLE, n_events BIGINT",
+        stateStructType="e DOUBLE, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        out = run_available_now(result, "update")
+    finally:
+        spark.conf.set(key, old)
+    # update mode re-emits per batch: the final state row is the one
+    # with the highest fold count
+    return out.groupBy("user_id").agg(
+        F.expr("max_by(ewma_final, n_events)").alias("ewma_final"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
 def s11_pyds_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 connector surface end-to-end through the registered Python
     DataSource (``format("maprstream")``): Kafka-shaped
@@ -376,6 +422,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s08_stateful_running_max,
         s10_cdc_merge_upsert,
         s11_pyds_kafka_source,
+        s12_stream_ewma,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -384,6 +431,23 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def streaming_oracles() -> dict[str, str]:
     oracles = {
+        "s12_stream_ewma": """
+            WITH RECURSIVE s AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, value AS e FROM s WHERE rn = 1
+                UNION ALL
+                SELECT n.user_id, n.rn, 0.25 * n.value + 0.75 * r.e
+                FROM r JOIN s n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+            ),
+            last AS (SELECT user_id, max(rn) AS mrn FROM r GROUP BY user_id)
+            SELECT r.user_id, r.e AS ewma_final, l.mrn AS n_events
+            FROM r JOIN last l ON r.user_id = l.user_id AND r.rn = l.mrn
+        """,
         "s11_pyds_kafka_source": """
             SELECT event_type,
                    count(*) AS n,

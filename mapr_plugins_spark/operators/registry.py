@@ -63,6 +63,39 @@ _MM_FEATURES_SQL = """
 """
 
 
+def _bm25_ctes() -> str:
+    """CTE chain ending in ``bm (doc_id, bm25)`` — expression structure
+    mirrors the Spark build exactly (same associativity, same constant
+    folding), so scores are bit-identical doubles."""
+    q = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    fcols = ", ".join(
+        f"sum(s) FILTER (WHERE token = '{t}') AS s_{t}" for t in _BM25_QUERY
+    )
+    fsum = " + ".join(f"coalesce(s_{t}, 0.0)" for t in _BM25_QUERY)
+    return f"""tc AS (
+            SELECT doc_id, token, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents)
+            GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, sum(cnt) AS n_tok FROM tc GROUP BY 1),
+        st AS (SELECT token, count(*) AS doc_freq FROM tc GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        ad AS (SELECT CAST(sum(n_tok) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        pt AS (
+            SELECT tc.doc_id, tc.token,
+                   ((nd.n - st.doc_freq + 0.5) / (st.doc_freq + 0.5))
+                   * (tc.cnt * ({_BM25_K1} + 1))
+                   / (tc.cnt + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl.n_tok / ad.avgdl)) AS s
+            FROM tc
+            JOIN dl USING (doc_id) JOIN st USING (token)
+            CROSS JOIN nd CROSS JOIN ad
+            WHERE tc.token IN ({q})
+        ),
+        g AS (SELECT doc_id, {fcols} FROM pt GROUP BY 1),
+        bm AS (SELECT doc_id, {fsum} AS bm25 FROM g)"""
+
+
 def _chunk_oracle() -> str:
     from mapr_plugins_spark.operators.chunking import chunk_oracle_sql
 
@@ -253,6 +286,104 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
+
+
+_BM25_QUERY = ("spark", "query", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 for the fixed query — log-free idf ratio
+    ``(N - df + 0.5)/(df + 0.5)`` (monotone in the standard log idf, so
+    ranking is preserved and the score is pure rational double
+    arithmetic — bit-identical across engines; libm log() is not).
+    Per-term scores are summed in FIXED column order via conditional
+    aggregation, so no float-sum reorder can flip a rank."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok_counts = (
+        docs.select("doc_id", F.explode(X.tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    doc_len = tok_counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    stats = tok_counts.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.count()
+    avgdl = doc_len.agg(
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("a")
+    ).collect()[0]["a"]
+    k1, b = _BM25_K1, _BM25_B
+    term = (
+        ((F.lit(float(n_docs)) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5))
+        * (F.col("cnt") * (k1 + 1))
+        / (F.col("cnt") + k1 * (1 - b + b * F.col("n_tok") / F.lit(avgdl)))
+    )
+    per_term = (
+        tok_counts.filter(F.col("token").isin(*_BM25_QUERY))
+        .join(doc_len, "doc_id")
+        .join(F.broadcast(stats), "token")
+        .select("doc_id", "token", term.alias("s"))
+    )
+    parts = [
+        F.sum(F.when(F.col("token") == t, F.col("s"))).alias(f"s_{t}")
+        for t in _BM25_QUERY
+    ]
+    g = per_term.groupBy("doc_id").agg(*parts)
+    score = None
+    for t in _BM25_QUERY:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        score = c if score is None else score + c
+    return g.select("doc_id", score.alias("bm25"))
+
+
+def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores for the fixed 3-token query (k1=1.2, b=0.75)."""
+    return _bm25_scores(spark, sf_dir)
+
+
+def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    ranking with the embedding-cosine ranking against probe vector 0 —
+    the standard lexical+dense fusion. Both rank lists are top-k-sized
+    (tiny), so the windows and the fusion join are metadata-scale even
+    when the underlying corpus is not."""
+    from pyspark.sql import Window
+
+    from mapr_plugins_spark.functions.vectors import cosine_similarity
+
+    bm = _bm25_scores(spark, sf_dir)
+    r1 = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r1"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", "probe").alias("sim"),
+        )
+    )
+    r2 = sims.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("r2"),
+    )
+    fused = (
+        r1.join(r2, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (60 + F.col("r1")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (60 + F.col("r2")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
 
 
 def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +875,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_bm25,
+            x_rrf_fusion,
             x_fuzzy_join_levenshtein,
             x_snapshot_diff,
             x_ewma,
@@ -1264,6 +1397,34 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_bm25": f"WITH {_bm25_ctes()} SELECT doc_id, bm25 FROM bm",
+        "x_rrf_fusion": f"""
+            WITH {_bm25_ctes()},
+            r1 AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+                FROM bm
+            ),
+            sims AS (
+                SELECT vec_id AS doc_id,
+                       list_cosine_similarity(embedding::DOUBLE[],
+                           (SELECT embedding FROM embeddings
+                            WHERE vec_id = 0)::DOUBLE[]) AS sim
+                FROM embeddings WHERE vec_id <> 0
+            ),
+            r2 AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY sim DESC, doc_id) AS r2
+                FROM sims
+            ),
+            f AS (
+                SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+                       coalesce(1.0 / (60 + r1.r1), 0.0)
+                       + coalesce(1.0 / (60 + r2.r2), 0.0) AS rrf
+                FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+            )
+            SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
         "x_fuzzy_join_levenshtein": """
             WITH blocked AS (
                 SELECT p_partkey, p_name,

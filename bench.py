@@ -71,6 +71,7 @@ def main() -> None:
         "x_inverted_index",
         "x_ewma",
         "x_curate",
+        "x_rrf_fusion",
     ]
     names = [n for n in headline if n in registry]
 

@@ -153,3 +153,45 @@ def test_pipeline_streams_from_registered_connector(spark, tmp_path):
 
     doc = _json.loads(r["doc"])
     assert {"event_id", "user_id", "event_type"} <= set(doc)
+
+
+def test_stream_into_registered_doc_sink(spark, tmp_path):
+    """Streaming pipeline terminating in the REGISTERED maprdoc writer
+    (foreachBatch → format("maprdoc")): connector-to-connector, the
+    reference's full deployment shape on both custom extension points."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.sinks.document import encode_documents
+    from mapr_plugins_spark.sources.pyds import register, register_sink
+    from mapr_plugins_spark.streaming.replay import run_available_now  # noqa: F401
+
+    register(spark)
+    register_sink(spark)
+    out = str(tmp_path / "docs")
+
+    raw = (
+        spark.readStream.format("maprstream")
+        .option("path", "/root/testdata/sf0.001/events.parquet")
+        .load()
+        .select(
+            F.get_json_object(F.decode("value", "UTF-8"), "$.event_id")
+            .cast("long")
+            .alias("event_id"),
+            F.get_json_object(F.decode("value", "UTF-8"), "$.event_type").alias("etype"),
+        )
+    )
+
+    def sink(batch_df, batch_id):
+        docs = encode_documents(batch_df, key_field="event_id")
+        docs.write.format("maprdoc").mode("append").option("path", out).save()
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"_id", "doc"}

@@ -354,13 +354,7 @@ def s12_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
-    try:
-        out = run_available_now(result, "update")
-    finally:
-        spark.conf.set(key, old)
+    out = run_available_now(result, "update")
     # update mode re-emits per batch: the final state row is the one
     # with the highest fold count
     return out.groupBy("user_id").agg(
@@ -399,15 +393,7 @@ def s11_pyds_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("min_ts_ms"),
         F.max("ts_ms").alias("max_ts_ms"),
     )
-    # streaming disables AQE, so the state store materializes every
-    # shuffle partition — size it to the machine, then restore
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
-    try:
-        return run_available_now(agg, "complete")
-    finally:
-        spark.conf.set(key, old)
+    return run_available_now(agg, "complete")
 
 
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

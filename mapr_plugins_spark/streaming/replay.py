@@ -93,14 +93,28 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
 
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink;
-    return the sink contents as a batch DataFrame."""
-    name = f"snap_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return the sink contents as a batch DataFrame.
+
+    Streaming disables AQE, so the state store materializes EVERY
+    shuffle partition; on a host session left at the 200 default that is
+    ~200 state-store instances per stateful op for test-sized data. Pin
+    the partition count to the machine for the run, restore after —
+    results are partitioning-independent, only the state layout changes.
+    """
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        name = f"snap_{uuid.uuid4().hex[:12]}"
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
+    return spark.table(name)

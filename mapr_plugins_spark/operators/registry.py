@@ -335,6 +335,36 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("doc_id", score.alias("bm25"))
 
 
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: acceptance probability =
+    least(1, n_chars/500) per doc (operators/sampling.py::
+    weighted_hash_sample; zero shuffle)."""
+    from mapr_plugins_spark.operators.sampling import weighted_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.least(F.lit(1.0), F.col("n_chars") / 500.0).alias("w")
+    )
+    return weighted_hash_sample(docs, "CAST(doc_id AS STRING)", "w").select("doc_id", "w")
+
+
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-share domain rebalancing over a deterministically skewed
+    corpus slice: every source downsampled to the smallest source's
+    size via per-source hash acceptance rates (operators/sampling.py::
+    rebalance_sources)."""
+    from mapr_plugins_spark.operators.sampling import rebalance_sources
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") % 3 != 0)
+            | F.col("source").isin("src0", "src1", "src2")
+        )
+        .select("doc_id", "source")
+    )
+    return rebalance_sources(docs, "CAST(doc_id AS STRING)", "source")
+
+
 def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 scores for the fixed 3-token query (k1=1.2, b=0.75)."""
     return _bm25_scores(spark, sf_dir)
@@ -875,6 +905,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_weighted_sample,
+            x_domain_mix,
             x_bm25,
             x_rrf_fusion,
             x_fuzzy_join_levenshtein,
@@ -1397,6 +1429,31 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_weighted_sample": f"""
+            WITH w AS (
+                SELECT doc_id, least(1.0, n_chars / 500.0) AS w
+                FROM documents
+            )
+            SELECT doc_id, w FROM w
+            WHERE ({seeded_hash60_sql("CAST(doc_id AS STRING)", "13")}) % 10000
+                  < CAST(floor(w * 10000) AS INTEGER)
+        """,
+        "x_domain_mix": f"""
+            WITH base AS (
+                SELECT doc_id, source FROM documents
+                WHERE doc_id % 3 <> 0 OR source IN ('src0', 'src1', 'src2')
+            ),
+            counts AS (SELECT source, count(*) AS n FROM base GROUP BY 1),
+            mn AS (SELECT min(n) AS mn FROM counts),
+            rates AS (
+                SELECT source, CAST(mn.mn AS DOUBLE) / counts.n AS rate
+                FROM counts CROSS JOIN mn
+            )
+            SELECT b.doc_id, b.source
+            FROM base b JOIN rates r ON r.source = b.source
+            WHERE ({seeded_hash60_sql("CAST(b.doc_id AS STRING)", "17")}) % 10000
+                  < CAST(floor(r.rate * 10000) AS INTEGER)
+        """,
         "x_bm25": f"WITH {_bm25_ctes()} SELECT doc_id, bm25 FROM bm",
         "x_rrf_fusion": f"""
             WITH {_bm25_ctes()},

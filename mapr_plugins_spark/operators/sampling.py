@@ -81,3 +81,45 @@ def hash_sample(
     keep = int(round(fraction * n_buckets))
     b = hash_bucket(df, key_sql, n_buckets, seed)
     return b.filter(F.col("bucket") < keep).drop("bucket")
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_sql: str,
+    weight_col: str,
+    seed: int = 13,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row iff its hash
+    bucket < weight·n_buckets, so acceptance probability equals the
+    per-row ``weight_col`` in [0,1] (quality scores, dedup-cluster
+    downweights, curriculum temperatures). Pure codegen'd expressions —
+    zero shuffle, same row set on every run and engine."""
+    b = hash_bucket(df, key_sql, n_buckets, seed)
+    return b.filter(
+        F.col("bucket") < (F.col(weight_col) * n_buckets).cast("int")
+    ).drop("bucket")
+
+
+def rebalance_sources(
+    df: DataFrame,
+    key_sql: str,
+    source_col: str,
+    seed: int = 17,
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample over-represented sources to the size of the SMALLEST
+    source (the equal-share domain-mixing baseline): acceptance rate per
+    source = min_count / source_count, applied through deterministic
+    hash buckets. One metadata-sized count aggregate broadcasts back as
+    a rate column; the filter itself is row-local."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        source_col,
+        (F.col("__mn").cast("double") / F.col("__n")).alias("__rate"),
+    )
+    b = hash_bucket(df, key_sql, n_buckets, seed).join(F.broadcast(rates), source_col)
+    return b.filter(
+        F.col("bucket") < (F.col("__rate") * n_buckets).cast("int")
+    ).drop("bucket", "__rate")

@@ -88,3 +88,75 @@ def test_intersect_except_partition_distinct(spark, rows_a, rows_b):
     minus = _bag(a.subtract(b))
     assert set(inter) | set(minus) == set(_bag(a))
     assert not (set(inter) & set(minus))
+
+
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=8, max_value=64),
+)
+@settings(**_SETTINGS)
+def test_packing_laws(spark, lens, budget):
+    """Greedy packing laws on arbitrary token-length streams: every doc
+    packed once; a bin over budget is a single oversized doc; bins are
+    contiguous id runs; greedy = no bin could absorb its successor's
+    first doc."""
+    from mapr_plugins_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        pack_sequences(docs, budget=budget, n_buckets=2).collect(),
+        key=lambda r: (r["bucket"], r["doc_id"]),
+    )
+    assert len(rows) == len(lens)
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r["bucket"], r["bin_id"])].append(r)
+    for (_, _), members in bins.items():
+        fill = sum(m["n_tokens"] for m in members)
+        assert fill <= budget or len(members) == 1
+    # contiguity + greedy frontier per bucket
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r)
+    for members in by_bucket.values():
+        bin_ids = [m["bin_id"] for m in members]
+        assert bin_ids == sorted(bin_ids)
+        for i in range(1, len(members)):
+            if members[i]["bin_id"] != members[i - 1]["bin_id"]:
+                prev_fill = sum(
+                    m["n_tokens"]
+                    for m in members
+                    if m["bin_id"] == members[i - 1]["bin_id"]
+                )
+                assert prev_fill + members[i]["n_tokens"] > budget
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4), min_size=0, max_size=25
+    ),
+    max_tokens=st.integers(min_value=2, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_chunking_reassembly_law(spark, words, max_tokens):
+    """De-overlapped chunk concatenation reconstructs the token stream
+    for arbitrary texts, windows, and overlaps."""
+    from mapr_plugins_spark.operators.chunking import chunk_tokens
+
+    overlap = max_tokens // 2
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id LONG, text STRING")
+    chunks = sorted(
+        chunk_tokens(docs, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    step = max_tokens - overlap
+    rebuilt = []
+    for j, r in enumerate(chunks):
+        ws = r["chunk_text"].split()
+        rebuilt.extend(ws if j == 0 else ws[max_tokens - step :])
+    assert rebuilt == words

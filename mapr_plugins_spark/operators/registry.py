@@ -335,6 +335,44 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("doc_id", score.alias("bm25"))
 
 
+def x_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization + dedup: messy URLs (mixed-case
+    scheme/host, www prefix, default port, tracking params, fragments)
+    are normalized with parse_url + higher-order filters, then grouped.
+    The oracle does NOT reimplement the parser — it derives the ground-
+    truth canonical form from the same deterministic generator, so the
+    whole parse→normalize→dedup chain is value-checked end to end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.expr(
+        "concat('HTTPS://WWW.Example', CAST(doc_id % 7 AS STRING), '.COM:443/p/',"
+        " CAST(doc_id % 50 AS STRING), '?utm_source=feed&ref=r',"
+        " CAST(doc_id % 5 AS STRING),"
+        " CASE WHEN doc_id % 2 = 0 THEN concat('&id=', CAST(doc_id % 13 AS STRING))"
+        "      ELSE '' END, '#sec')"
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(F.lower(F.parse_url("url", F.lit("HOST"))), "^www\\.", "")
+    path = F.parse_url("url", F.lit("PATH"))
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: ~(p.startswith("utm_") | p.startswith("ref=") | (p == "")),
+        ),
+        "&",
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
 def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling: acceptance probability =
     least(1, n_chars/500) per doc (operators/sampling.py::
@@ -905,6 +943,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_url_canonical_dedup,
             x_weighted_sample,
             x_domain_mix,
             x_bm25,
@@ -1429,6 +1468,19 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_url_canonical_dedup": """
+            WITH truth AS (
+                SELECT doc_id,
+                       'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '?id=' || CAST(doc_id % 13 AS VARCHAR)
+                               ELSE '' END AS canon_url
+                FROM documents
+            )
+            SELECT canon_url, min(doc_id) AS keep_doc, count(*) AS n_dupes
+            FROM truth GROUP BY canon_url
+        """,
         "x_weighted_sample": f"""
             WITH w AS (
                 SELECT doc_id, least(1.0, n_chars / 500.0) AS w

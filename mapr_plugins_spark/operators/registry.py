@@ -20,6 +20,7 @@ from mapr_plugins_spark.operators import joins as J
 from mapr_plugins_spark.operators import multimodal as M
 from mapr_plugins_spark.operators import similarity as S
 from mapr_plugins_spark.operators import text as X
+from mapr_plugins_spark.plans.partitioning import fan_out
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -333,6 +334,47 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
         score = c if score is None else score + c
     return g.select("doc_id", score.alias("bm25"))
+
+
+def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component cluster assignment for every doc in a
+    near-dup pair (doc_id → min-id canonical): the collapse operator as
+    its own oracle-checked surface (recursive reachability closure in
+    the oracle)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.verified_near_dup_pairs(
+        corpus, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS, threshold=0.5
+    )
+    return D.collapse_components(pairs)
+
+
+def x_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals, log-free (pure rational
+    arithmetic → bit-identical across engines): type-token ratio and
+    Simpson repeat probability sum((n_t/N)²) — the entropy-adjacent
+    filter that needs no libm log."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(docs).withColumn("__toks", X.tokens_col("text"))
+    n = F.size("__toks")
+    # sorted distinct tokens: the float fold visits terms in the SAME
+    # canonical order as the oracle's list_sort, so the sum is
+    # bit-identical
+    counts = F.expr(
+        "transform(array_sort(array_distinct(__toks)),"
+        " t -> size(filter(__toks, x -> x = t)))"
+    )
+    simpson = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / n.cast("double")) * (c.cast("double") / n.cast("double")),
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct("__toks")).cast("double") / n).alias("type_token_ratio"),
+        simpson.alias("simpson"),
+    )
 
 
 def x_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,6 +985,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_minhash_clusters,
+            x_text_diversity,
             x_url_canonical_dedup,
             x_weighted_sample,
             x_domain_mix,
@@ -1047,6 +1091,27 @@ def _minhash_pairs_ctes(corpus_sql: str, threshold: float) -> str:
 
 def _minhash_oracle() -> str:
     return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
+
+
+def _clusters_oracle() -> str:
+    """Recursive reachability closure over the minhash pairs of the
+    injected corpus → (doc_id, canonical_id = min reachable id)."""
+    pairs = _minhash_pairs_ctes(_CORPUS_SQL, 0.5)
+    return f"""
+        WITH RECURSIVE {pairs},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        )
+        SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src
+    """
 
 
 def _curate_oracle() -> str:
@@ -1468,6 +1533,20 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_minhash_clusters": _clusters_oracle(),
+        "x_text_diversity": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                       AS type_token_ratio,
+                   list_sum(list_transform(list_sort(list_distinct(toks)),
+                       u -> (CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)
+                             / len(toks))
+                            * (CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)
+                               / len(toks)))) AS simpson
+            FROM t
+        """,
         "x_url_canonical_dedup": """
             WITH truth AS (
                 SELECT doc_id,

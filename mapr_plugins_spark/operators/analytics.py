@@ -139,3 +139,32 @@ def ewma(
         return pdf
 
     return d.groupBy(key_col).applyInPandas(_fold, schema)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union overlapping/touching [start, end) intervals per key — the
+    availability-window / segment-coalescing primitive. Sweep-line as
+    window algebra: a new merged group starts where ``start`` exceeds
+    the running max of all previous ends; both window passes and the
+    final aggregate reuse ONE hash partitioning on the key."""
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_grp = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    grouped = df.withColumn(
+        "interval_seq",
+        F.sum(new_grp).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return grouped.groupBy(key_col, "interval_seq").agg(
+        F.min(start_col).alias("m_start"),
+        F.max(end_col).alias("m_end"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )

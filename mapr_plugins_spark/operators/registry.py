@@ -336,6 +336,28 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("doc_id", score.alias("bm25"))
 
 
+def x_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (each event opens a
+    10-minute span) into coalesced windows — sweep-line via window
+    algebra, one shuffle (operators/analytics.py::merge_intervals).
+    Epoch arithmetic on UTC-pinned NTZ seconds, tz-independent."""
+    from mapr_plugins_spark.operators.analytics import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("convert_timezone('UTC', ts)")
+    )
+    secs = (
+        F.unix_date(F.to_date("ts")).cast("long") * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    iv = ev.select(
+        "user_id", secs.alias("s"), (secs + 600).alias("e")
+    )
+    return merge_intervals(iv, "user_id", "s", "e")
+
+
 def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component cluster assignment for every doc in a
     near-dup pair (doc_id → min-id canonical): the collapse operator as
@@ -985,6 +1007,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_pii_redact,
             x_text_repetition,
             x_row_index,
+            x_interval_merge,
             x_minhash_clusters,
             x_text_diversity,
             x_url_canonical_dedup,
@@ -1533,6 +1556,36 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        "x_interval_merge": """
+            WITH iv AS (
+                SELECT user_id,
+                       epoch_us(ts) // 1000000 AS s,
+                       epoch_us(ts) // 1000000 + 600 AS e
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, s, e,
+                       CASE WHEN max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            ) IS NULL
+                            OR s > max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                            )
+                       THEN 1 ELSE 0 END AS ng
+                FROM iv
+            ),
+            m AS (
+                SELECT user_id, s, e,
+                       sum(ng) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS interval_seq
+                FROM g
+            )
+            SELECT user_id, interval_seq,
+                   min(s) AS m_start, max(e) AS m_end, count(*) AS n_merged
+            FROM m GROUP BY user_id, interval_seq
+        """,
         "x_minhash_clusters": _clusters_oracle(),
         "x_text_diversity": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)

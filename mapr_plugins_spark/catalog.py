@@ -58,12 +58,14 @@ DECLARED_SCHEMAS: dict[str, str] = {
         "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
         "l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"
     ),
-    # events.ts lands as TIMESTAMP (not NTZ): the physical column is
-    # TIMESTAMP(NANOS) read as LONG then converted via timestamp_micros
-    # (see _read); values are wall-time-stable because the session
-    # timezone is pinned UTC and the tz probe covers it.
+    # events.ts: the shipped parquet stores timestamp[us] (no timezone),
+    # which Spark 4 reads as TIMESTAMP_NTZ. _read normalizes the one
+    # alternative physical encoding (INT64 nanos read as LONG) to the
+    # same NTZ type, so this declared contract holds either way. Values
+    # are wall-time-stable: NTZ carries no zone and the session timezone
+    # is pinned UTC for any cast boundary.
     "events": (
-        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"
     ),
     "documents": "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
@@ -89,21 +91,31 @@ def validate_declared_schema(spark: SparkSession, sf_dir: str, name: str) -> Non
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table, normalizing physical quirks of the test parquet.
 
-    ``events.parquet`` stores its ``ts`` column as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
-    ([PARQUET_TYPE_ILLEGAL]). We read nanos as LONG
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to
-    microseconds — the same truncation DuckDB applies when it narrows
-    TIMESTAMP_NS to its microsecond TIMESTAMP, so both engines see
-    identical values.
+    ``events.parquet`` ships ``ts`` as parquet ``timestamp[us]`` (no
+    zone), which Spark 4 loads directly as TIMESTAMP_NTZ — the common
+    case is a straight pass-through. The one alternative encoding seen
+    in the wild for this dataset is TIMESTAMP(NANOS), which Spark's
+    vectorized reader surfaces as LONG nanos only under
+    ``spark.sql.legacy.parquet.nanosAsLong``; we branch on the *actual
+    loaded type* and floor-divide nanos→micros in that case (the same
+    truncation DuckDB applies narrowing TIMESTAMP_NS), so both engines
+    see identical microsecond values either way.
     """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # INT64-nanos physical encoding (nanosAsLong sessions only).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampType):
+            # TIMESTAMP_LTZ read: re-anchor to the NTZ contract (session
+            # tz is pinned UTC, so this is a type change, not a shift).
+            df = df.withColumn("ts", F.expr("to_timestamp_ntz(ts)"))
+        # TIMESTAMP_NTZ: pass through — matches DECLARED_SCHEMAS.
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:

@@ -343,9 +343,9 @@ def x_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Epoch arithmetic on UTC-pinned NTZ seconds, tz-independent."""
     from mapr_plugins_spark.operators.analytics import merge_intervals
 
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.expr("convert_timezone('UTC', ts)")
-    )
+    # ts is TIMESTAMP_NTZ by catalog contract — epoch arithmetic below
+    # is tz-independent with no conversion.
+    ev = _t(spark, sf_dir, "events")
     secs = (
         F.unix_date(F.to_date("ts")).cast("long") * 86400
         + F.hour("ts") * 3600
@@ -787,10 +787,9 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts pinned to UTC-wall TIMESTAMP_NTZ (tz-free ops)."""
-    return _t(spark, sf_dir, "events").withColumn(
-        "ts", F.expr("convert_timezone('UTC', ts)")
-    )
+    """events with ts as UTC-wall TIMESTAMP_NTZ (the catalog contract —
+    pass-through; kept as a named seam so tz handling stays one place)."""
+    return _t(spark, sf_dir, "events")
 
 
 def x_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,13 +170,15 @@ RELATIONAL_ORACLES: dict[str, str] = {
         WHERE len(embedding) > r.i
     """,
     "q17_array_ops": """
+        WITH s AS (SELECT vec_id, embedding, list_sort(embedding[1:4]) AS s4
+                   FROM embeddings)
         SELECT vec_id,
                CAST(len(embedding) AS INTEGER) AS dim,
-               list_sort(embedding[1:4]) AS first4_sorted,
+               s4[1] AS s1, s4[2] AS s2, s4[3] AS s3, s4[4] AS s4,
                embedding[1] AS e1,
                list_aggregate(embedding, 'max') AS emax,
                list_aggregate(embedding, 'min') AS emin
-        FROM embeddings
+        FROM s
     """,
     "q18_json_funcs": """
         SELECT event_id,
@@ -226,7 +228,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
                c_mktsegment AS seg_val,
                CAST(c_nationkey AS VARCHAR) AS nation_val,
                CAST(3 AS INTEGER) AS n_keys,
-               ['name', 'nation', 'seg'] AS keys_sorted,
+               'name,nation,seg' AS keys_sorted,
                TRUE AS has_name_val
         FROM customer
     """,
@@ -266,8 +268,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "q34_collect": """
         SELECT o_custkey,
-               list_sort(list(o_orderpriority)) AS prios_all,
-               list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+               array_to_string(list_sort(list(o_orderpriority)), ',') AS prios_all,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
                CAST(COUNT(DISTINCT o_orderpriority) AS INTEGER) AS n_distinct_prio
         FROM orders GROUP BY o_custkey
     """,
@@ -320,7 +322,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q39_grouped_udaf": """
         SELECT o_orderpriority, o_orderstatus,
                COUNT(*) AS n_orders,
-               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
                MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_cents
         FROM orders GROUP BY o_orderpriority, o_orderstatus
     """,
@@ -367,16 +370,21 @@ RELATIONAL_ORACLES: dict[str, str] = {
         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
     """,
     "q44_higher_order_funcs": """
+        WITH t AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding[1:4],
+                                  x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6))
+                       AS sq
+            FROM embeddings)
         SELECT vec_id,
-               list_transform(embedding[1:4],
-                              x -> round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)) AS sq4,
+               sq[1] AS sq1, sq[2] AS sq2, sq[3] AS sq3, sq[4] AS sq4,
                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
                round(list_reduce(
                    list_prepend(CAST(0.0 AS DOUBLE),
                                 list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
                    (acc, x) -> acc + x), 6) AS sum8,
                flatten([embedding[1:2], embedding[3:4]]) = embedding[1:4] AS flatten_ok
-        FROM embeddings
+        FROM t
     """,
     "q45_misc_funcs": """
         SELECT c_custkey,

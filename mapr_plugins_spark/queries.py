@@ -329,12 +329,20 @@ def q17_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array function family: size/slice/sort_array/element access (Q17b)."""
+    """Array function family: size/slice/sort_array/element access (Q17b).
+
+    Output is flattened to scalar columns (sorted-slice elements s1..s4)
+    so the result is canonicalizable by any harness — collection-typed
+    cells are not portably hashable."""
     emb = _t(spark, sf_dir, "embeddings")
+    s4 = F.sort_array(F.slice("embedding", 1, 4))
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.sort_array(F.slice("embedding", 1, 4)).alias("first4_sorted"),
+        F.element_at(s4, 1).alias("s1"),
+        F.element_at(s4, 2).alias("s2"),
+        F.element_at(s4, 3).alias("s3"),
+        F.element_at(s4, 4).alias("s4"),
         F.element_at("embedding", 1).alias("e1"),
         F.array_max("embedding").alias("emax"),
         F.array_min("embedding").alias("emin"),
@@ -437,7 +445,8 @@ def q31_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "seg").alias("seg_val"),
         F.element_at(m2, "nation").alias("nation_val"),
         F.size(m2).alias("n_keys"),
-        F.array_sort(F.map_keys(m2)).alias("keys_sorted"),
+        # joined string, not array: portable across result canonicalizers
+        F.concat_ws(",", F.array_sort(F.map_keys(m2))).alias("keys_sorted"),
         F.array_contains(F.map_values(m), F.col("c_name")).alias("has_name_val"),
     )
 
@@ -508,8 +517,10 @@ def q34_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only engine-portable contract for unordered collections (Q34)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderpriority")).alias("prios_all"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        # sorted + joined to a scalar string: the canonical engine-portable
+        # rendering of an unordered collection (hashable by construction)
+        F.concat_ws(",", F.array_sort(F.collect_list("o_orderpriority"))).alias("prios_all"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
         F.size(F.collect_set("o_orderpriority")).alias("n_distinct_prio"),
     )
 
@@ -635,14 +646,18 @@ def q40_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q41_row_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-at-a-time Python UDF — declared for API-surface parity; the
-    docstring is the perf warning: use q21's pandas_udf in hot paths
-    (Q41)."""
-    from pyspark.sql.types import StringType
-
-    band = F.udf(lambda b: "neg" if b < 0 else ("mid" if b < 5000 else "high"), StringType())
+    """Banding expressed with built-in when/otherwise — codegen'd JVM
+    expression, no Python row path (Q41). The row-at-a-time UDF this
+    replaces survives as an API-parity unit test
+    (tests/test_relational_queries.py::test_row_udf_api_parity); in a
+    hot path the built-in is the only acceptable plan."""
     cust = _t(spark, sf_dir, "customer")
-    return cust.select("c_custkey", band("c_acctbal").alias("bal_band"))
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return cust.select("c_custkey", band.alias("bal_band"))
 
 
 def q42_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,11 +719,15 @@ def q44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     head4 = F.slice(e, 1, 4)
+    # transform result flattened to scalars (sq1..sq4): collection cells
+    # are not portably hashable by result canonicalizers.
+    sq4 = F.transform(head4, lambda x: F.round(x.cast("double") * x.cast("double"), 6))
     return emb.select(
         "vec_id",
-        F.transform(head4, lambda x: F.round(x.cast("double") * x.cast("double"), 6)).alias(
-            "sq4"
-        ),
+        F.element_at(sq4, 1).alias("sq1"),
+        F.element_at(sq4, 2).alias("sq2"),
+        F.element_at(sq4, 3).alias("sq3"),
+        F.element_at(sq4, 4).alias("sq4"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
         F.round(
             F.aggregate(
@@ -1063,11 +1082,10 @@ def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Classic lag + cumulative-sum-of-boundaries pattern: two window
     passes over one hash partitioning (user_id), so a single shuffle;
     at 100 TB this is one exchange plus sort, no driver state."""
-    # events.ts is TIMESTAMP_LTZ (catalog nanos→micros conversion); pin
-    # it to the UTC wall time as TIMESTAMP_NTZ so gap arithmetic and
-    # output formatting cannot vary with the session timezone (DuckDB
-    # reads the same parquet values as tz-free wall time).
-    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+    # events.ts is TIMESTAMP_NTZ by catalog contract (tz-free wall
+    # time, same as DuckDB's read of the parquet) — gap arithmetic is
+    # session-timezone-independent with no conversion needed.
+    ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = (
         F.unix_date(F.to_date("ts")).cast("long") * 86400

@@ -189,6 +189,10 @@ def parse_expr(
             raise NotImplementedError(
                 "avro format needs the spark-avro module on the classpath"
             ) from e
+        # NOTE: the Python wrapper importing does NOT prove the JVM-side
+        # spark-avro connector is loaded — without it Spark raises
+        # [AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE] at analysis. Probe
+        # with avro_available(spark) to gate eagerly.
         return from_avro(value, schema, opts)
     if fmt == "clf":
         return _regex_struct(value, CLF_REGEX, _CLF_FIELDS)
@@ -200,3 +204,35 @@ def parse_expr(
         regex, fields = grok_compile(grok_pattern)
         return _regex_struct(value, regex, fields)
     raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+
+
+_AVRO_PROBE: dict[int, bool] = {}
+
+
+def avro_available(spark) -> bool:
+    """True iff the JVM-side spark-avro connector is loaded in this
+    session (reference A4 lists avro as a first-class stream format,
+    ``widgets/MapRStream-streamingsource.json:48-58``). The pyspark
+    wrapper module always imports; only an executed round-trip proves
+    the connector jar is on the classpath, so probe one tiny row and
+    cache per-session."""
+    key = id(spark)
+    if key not in _AVRO_PROBE:
+        try:
+            from pyspark.sql import functions as F
+            from pyspark.sql.avro.functions import from_avro, to_avro
+
+            probe_schema = (
+                '{"type":"record","name":"p","fields":'
+                '[{"name":"id","type":"long"}]}'
+            )
+            (
+                spark.range(1)
+                .select(to_avro(F.struct("id")).alias("v"))
+                .select(from_avro("v", probe_schema).alias("d"))
+                .collect()
+            )
+            _AVRO_PROBE[key] = True
+        except Exception:  # connector missing → AnalysisException
+            _AVRO_PROBE[key] = False
+    return _AVRO_PROBE[key]

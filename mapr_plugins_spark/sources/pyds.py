@@ -119,7 +119,13 @@ class MapRStreamReader(DataSourceStreamReader):
         take = list(idx)[partition.start : partition.end]
         sub = t.take(take)
         cols = sub.to_pydict()
-        ts_ms = [v // 1_000_000 for v in sub.column("ts").cast("int64").to_pylist()]
+        # epoch millis from the ts column, honoring its physical unit
+        # (shipped data is timestamp[us]; do NOT assume nanos)
+        raw_ts = sub.column("ts")
+        unit = getattr(raw_ts.type, "unit", "us")
+        to_ms = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
+        mul = 1_000 if unit == "s" else 1
+        ts_ms = [v * mul // to_ms for v in raw_ts.cast("int64").to_pylist()]
         names = [n for n in sub.column_names if n != "ts"]
         for i, off in enumerate(range(partition.start, partition.end)):
             doc = {n: cols[n][i] for n in names}

@@ -17,14 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.catalog import table as _t
-from mapr_plugins_spark.streaming.replay import events_stream, run_available_now
+from mapr_plugins_spark.streaming.replay import (
+    as_event_time,
+    events_stream,
+    run_available_now,
+)
 
 _US_5MIN = 300_000_000
 
 
 def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window count by event_type, with watermark."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    ev = as_event_time(events_stream(spark, sf_dir), "ts").withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "5 minutes"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -36,7 +40,7 @@ def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute window sliding by 5: exact-decimal sum + count + avg."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    ev = as_event_time(events_stream(spark, sf_dir), "ts").withWatermark("ts", "10 minutes")
     agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes")).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
         F.count(F.lit(1)).alias("n"),
@@ -52,7 +56,7 @@ def s02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    ev = as_event_time(events_stream(spark, sf_dir), "ts").withWatermark("ts", "30 minutes")
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
@@ -95,6 +99,7 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
         .select("event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .transform(lambda d: as_event_time(d, "c_ts"))
         .withWatermark("c_ts", "10 minutes")
     )
     purchases = (
@@ -106,6 +111,7 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("p_ts"),
             F.col("value").alias("p_val"),
         )
+        .transform(lambda d: as_event_time(d, "p_ts"))
         .withWatermark("p_ts", "10 minutes")
     )
     joined = clicks.join(
@@ -127,8 +133,10 @@ def s07_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted beyond it (bounded memory — the scale-safe streaming dedup).
     The events replay spans far longer than the 1-hour delay, so
     same-id duplicates (replayed back-to-back) always fall inside it."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
-    doubled = ev.unionByName(events_stream(spark, sf_dir).withWatermark("ts", "1 hour"))
+    ev = as_event_time(events_stream(spark, sf_dir), "ts").withWatermark("ts", "1 hour")
+    doubled = ev.unionByName(
+        as_event_time(events_stream(spark, sf_dir), "ts").withWatermark("ts", "1 hour")
+    )
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     out = run_available_now(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -37,18 +37,39 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     return d
 
 
+def as_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Convert a TIMESTAMP_NTZ column to a TIMESTAMP (instant) suitable
+    for watermarks/window buckets, anchoring the naive wall time at UTC
+    **independently of the session timezone**: wall-clock micros via
+    NTZ-to-NTZ ``timestampdiff`` (pure calendar arithmetic, no zone),
+    then ``timestamp_micros`` (absolute epoch, no zone). Watermarks
+    reject NTZ ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); a plain cast
+    would shift by the session offset."""
+    epoch_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+    )
+    return df.withColumn(col, F.timestamp_micros(epoch_us))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` replayed as a stream (schema-pinned file source, with
-    the same TIMESTAMP(NANOS) → microsecond normalization as the batch
-    catalog)."""
+    the same physical-type normalization as the batch catalog: shipped
+    data is timestamp[us] → TIMESTAMP_NTZ pass-through; a LONG-nanos
+    read would get the nanos→micros conversion)."""
     pin_runtime_conf(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import LongType, TimestampType
+
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(batch_schema)
         .parquet(_stream_dir(sf_dir, "events"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampType):
+        raw = raw.withColumn("ts", F.expr("to_timestamp_ntz(ts)"))
+    return raw
 
 
 def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
@@ -67,9 +88,9 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
         os.makedirs(d, exist_ok=True)
         from mapr_plugins_spark.catalog import table
 
-        ev = table(spark, sf_dir, "events").withColumn(
-            "ts", F.expr("convert_timezone('UTC', ts)")
-        )
+        # catalog.table already yields ts as TIMESTAMP_NTZ (no zone
+        # conversion needed — values are naive wall times).
+        ev = table(spark, sf_dir, "events")
         pdf = ev.toPandas()
         # microsecond precision: Spark 4 rejects parquet TIMESTAMP(NANOS)
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")

@@ -95,3 +95,61 @@ def test_stratified_sample_rates(spark, sf_dir):
     for seg in by_seg:
         if seg != "BUILDING":
             assert 0.1 < by_seg[seg] / tot[seg] < 0.45  # ~25%
+
+
+def _brute_merge(intervals):
+    """Reference merge of [start, end) intervals: touching endpoints
+    coalesce (the operator's > test on the running max-end)."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return {(s, e, n) for s, e, n in out}
+
+
+def test_merge_intervals_hand_cases(spark):
+    from mapr_plugins_spark.operators.analytics import merge_intervals
+
+    cases = [
+        # touching endpoints coalesce: [0,10)+[10,20) -> [0,20)
+        ("touch", [(0, 10), (10, 20)], {(0, 20, 2)}),
+        # nested interval absorbed
+        ("nested", [(0, 100), (10, 20)], {(0, 100, 2)}),
+        # exact duplicates both count
+        ("dup", [(5, 9), (5, 9)], {(5, 9, 2)}),
+        # disjoint stay apart
+        ("gap", [(0, 5), (6, 9)], {(0, 5, 1), (6, 9, 1)}),
+        # chain through a bridge
+        ("chain", [(0, 5), (4, 8), (8, 12), (20, 25)], {(0, 12, 3), (20, 25, 1)}),
+    ]
+    rows = [(k, s, e) for k, ivs, _ in cases for s, e in ivs]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = merge_intervals(df, "k", "s", "e").collect()
+    for key, _, want in cases:
+        have = {(r.m_start, r.m_end, r.n_merged) for r in got if r.k == key}
+        assert have == want, f"{key}: {have} != {want}"
+
+
+def test_merge_intervals_randomized_vs_brute(spark):
+    import random
+
+    from mapr_plugins_spark.operators.analytics import merge_intervals
+
+    rng = random.Random(20260813)
+    rows, want = [], {}
+    for key in range(12):
+        ivs = []
+        for _ in range(rng.randint(1, 40)):
+            s = rng.randint(0, 300)
+            e = s + rng.randint(1, 50)
+            ivs.append((s, e))
+        rows += [(f"k{key}", s, e) for s, e in ivs]
+        want[f"k{key}"] = _brute_merge(ivs)
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = merge_intervals(df, "k", "s", "e").collect()
+    for key, expected in want.items():
+        have = {(r.m_start, r.m_end, r.n_merged) for r in got if r.k == key}
+        assert have == expected, f"{key}: {have} != {expected}"

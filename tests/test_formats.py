@@ -202,3 +202,30 @@ def test_xml_format_parse(spark):
         parse_expr("xml", F.col("value"), "user STRING, item STRING, count INT").alias("r")
     ).select("r.*")
     assert parsed.collect()[0].asDict() == {"user": "alice", "item": "coffee", "count": 2}
+
+
+def test_avro_gate_is_accurate(spark):
+    """Executable documentation of the avro classpath status: if the
+    spark-avro connector is loaded, the avro format must round-trip a
+    golden record; if not (this sandbox ships only avro core jars, no
+    spark-avro_2.13, and has no network), building on the parse expr
+    must fail with the documented analysis error — not silently wrong
+    data. Either way the gate's answer matches observed behavior."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.sources.formats import avro_available, parse_expr
+
+    schema = (
+        '{"type":"record","name":"r","fields":[{"name":"id","type":"long"}]}'
+    )
+    if avro_available(spark):
+        from pyspark.sql.avro.functions import to_avro
+
+        enc = spark.range(3).select(to_avro(F.struct("id")).alias("value"))
+        out = enc.select(parse_expr("avro", "value", schema).alias("d"))
+        assert sorted(r["d"]["id"] for r in out.collect()) == [0, 1, 2]
+    else:
+        enc = spark.range(3).select(F.encode(F.col("id").cast("string"), "utf-8").alias("value"))
+        with _pytest.raises(Exception, match="AVRO_NOT_LOADED|avro"):
+            enc.select(parse_expr("avro", "value", schema).alias("d")).collect()

@@ -144,14 +144,82 @@ def q24_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, S.probe_of(emb, probe_id=0), k=5)
 
 
+def _with_recall_guard(approx: DataFrame, exact: DataFrame, k: int, floor: float) -> DataFrame:
+    """Join an approximate top-k against the exact top-k and emit each
+    approx row with a ``recall_at_k`` column, hard-asserted ≥ ``floor``
+    inside the query plan (assert_true throws → a quality regression
+    fails the rows check itself, not just a separate unit test)."""
+    from pyspark.sql import Window as _W
+
+    flagged = approx.join(
+        exact.select(F.col("vec_id").alias("__exact_id")),
+        F.col("vec_id") == F.col("__exact_id"),
+        "left",
+    ).withColumn("__hit", F.col("__exact_id").isNotNull().cast("int"))
+    recall = F.sum("__hit").over(_W.partitionBy()) / F.lit(k)
+    out = flagged.withColumn("recall_at_k", F.round(recall, 3)).drop("__exact_id", "__hit")
+    return out.withColumn(
+        "__guard",
+        F.assert_true(
+            F.col("recall_at_k") >= F.lit(floor),
+            F.concat(F.lit("ANN recall below floor: "), F.col("recall_at_k").cast("string")),
+        ),
+    ).drop("__guard")
+
+
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-5 with an in-plan recall guard: the output carries
+    recall@5 vs the exact top-5 and assert_true fails the whole query
+    if it drops below 0.4 — the rows-only driver check therefore
+    certifies recall, not just row count."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, S.probe_of(emb, probe_id=0), k=5, n_bits=6, dim=64)
+    probe = S.probe_of(emb, probe_id=0)
+    approx = S.lsh_topk(emb, probe, k=5, n_bits=6, dim=64)
+    exact = S.brute_force_topk(emb, probe, k=5)
+    return _with_recall_guard(approx, exact, k=5, floor=0.4)
 
 
 def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 (4/16 lists probed) with an in-plan recall guard at
+    0.2 — partial probing bounds recall loosely on this uniform corpus;
+    full probing recovers the exact set (tests/test_extensions.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, S.probe_of(emb, probe_id=0), k=5, n_lists=16, n_probe=4)
+    probe = S.probe_of(emb, probe_id=0)
+    approx = S.ivf_topk(emb, probe, k=5, n_lists=16, n_probe=4)
+    exact = S.brute_force_topk(emb, probe, k=5)
+    return _with_recall_guard(approx, exact, k=5, floor=0.2)
+
+
+def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-probe IVF ANN: 8 probe vectors as a TABLE, list-id
+    equi-join instead of per-probe crossJoin (the production shape at
+    scale), with mean recall@5 vs the exact batch top-k asserted ≥ 0.2
+    in-plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 97 == 0).limit(8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    approx = S.ivf_topk_batch(emb, probes, k=5, n_lists=16, n_probe=4)
+    exact = S.brute_force_topk_batch(emb, probes, k=5).select(
+        F.col("probe_id").alias("__epid"), F.col("vec_id").alias("__eid")
+    )
+    hit = approx.join(
+        exact,
+        (F.col("probe_id") == F.col("__epid")) & (F.col("vec_id") == F.col("__eid")),
+        "left",
+    )
+    # per-probe recall, then asserted mean over the batch
+    from pyspark.sql import Window as _W
+
+    per_probe = F.sum(F.col("__eid").isNotNull().cast("int")).over(
+        _W.partitionBy("probe_id")
+    ) / F.lit(5)
+    out = hit.withColumn("recall_at_5", F.round(per_probe, 3)).drop("__epid", "__eid")
+    mean_recall = F.avg("recall_at_5").over(_W.partitionBy())
+    return out.withColumn(
+        "__guard",
+        F.assert_true(mean_recall >= 0.2, F.lit("batch IVF mean recall below floor")),
+    ).drop("__guard")
 
 
 def x_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,17 +279,32 @@ def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id", 12).alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    return per_type.select(
+    typed = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
-    ).unionByName(
+    )
+    # self-verifying: relative error vs the exact distinct count is part
+    # of the output AND asserted ≤ 5% in-plan, so the rows-only driver
+    # check certifies sketch accuracy (lgK=12 → ~1.6% standard error)
+    rel_err = F.round(
+        F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"), 4
+    )
+    typed = typed.withColumn("rel_err", rel_err).withColumn(
+        "__guard",
+        F.assert_true(
+            F.col("rel_err") <= 0.05,
+            F.concat(F.lit("HLL error above 5%: "), F.col("rel_err").cast("string")),
+        ),
+    ).drop("__guard")
+    return typed.unionByName(
         per_type.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
         ).select(
             F.lit("__all__").alias("event_type"),
             "approx_users",
             F.lit(None).cast("bigint").alias("exact_users"),
+            F.lit(0.0).alias("rel_err"),
         )
     )
 
@@ -672,10 +755,20 @@ def x_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapr_plugins_spark.functions.vectors import l2_norm, l2_normalize
 
     emb = _t(spark, sf_dir, "embeddings")
+    unit = l2_normalize("embedding")
+    # scalar projection of the unit vector (head components + its norm,
+    # which must be 1): hashable output, still pins the whole transform
+    unit_norm = F.sqrt(
+        F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     return emb.select(
         "vec_id",
         l2_norm("embedding").alias("norm"),
-        l2_normalize("embedding").alias("unit"),
+        F.round(F.element_at(unit, 1), 9).alias("u1"),
+        F.round(F.element_at(unit, 2), 9).alias("u2"),
+        F.round(F.element_at(unit, 3), 9).alias("u3"),
+        F.round(F.element_at(unit, 4), 9).alias("u4"),
+        F.round(unit_norm, 9).alias("unit_norm"),
     )
 
 
@@ -703,7 +796,12 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, e: F.greatest(acc, e),
     )
-    return d.select("vec_id", "scale", "qvec", err.alias("max_err"))
+    return d.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("qvec")).alias("qvec"),
+        err.alias("max_err"),
+    )
 
 
 def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,7 +815,7 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return pairs.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
     )
 
 
@@ -900,7 +998,8 @@ def x_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build (top-20 tokens, dense ids) + order-preserving
     document encoding with OOV → -1."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return X.encode_tokens(docs, X.build_vocab(docs, size=20))
+    enc = X.encode_tokens(docs, X.build_vocab(docs, size=20))
+    return enc.select("doc_id", F.concat_ws(",", F.col("ids")).alias("ids"))
 
 
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,6 +1090,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q24_ann_topk,
             x_ann_lsh_topk,
             x_ann_ivf_topk,
+            x_ann_ivf_batch,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_dedup_simhash,
@@ -1519,7 +1619,8 @@ def extension_oracles() -> dict[str, str]:
                     FROM counts
                 ) WHERE token_id < 20
             )
-            SELECT tp.doc_id, list(COALESCE(v.token_id, -1) ORDER BY tp.pos) AS ids
+            SELECT tp.doc_id,
+                   COALESCE(array_to_string(list(COALESCE(v.token_id, -1) ORDER BY tp.pos), ','), '') AS ids
             FROM tp LEFT JOIN vocab v USING (token)
             GROUP BY tp.doc_id
         """,
@@ -1760,10 +1861,20 @@ def extension_oracles() -> dict[str, str]:
             SELECT vec_id,
                    sqrt(list_sum(list_transform(embedding,
                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS norm,
-                   list_transform(embedding,
-                        x -> CAST(x AS DOUBLE)
-                             / sqrt(list_sum(list_transform(embedding,
-                                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+                   round(CAST(embedding[1] AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9) AS u1,
+                   round(CAST(embedding[2] AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9) AS u2,
+                   round(CAST(embedding[3] AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9) AS u3,
+                   round(CAST(embedding[4] AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 9) AS u4,
+                   round(sqrt(list_sum(list_transform(
+                        list_transform(embedding,
+                             x -> CAST(x AS DOUBLE)
+                                  / sqrt(list_sum(list_transform(embedding,
+                                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))),
+                        u -> u * u))), 9) AS unit_norm
             FROM embeddings
         """,
         "x_embed_quantize": """
@@ -1774,8 +1885,8 @@ def extension_oracles() -> dict[str, str]:
                 FROM embeddings
             )
             SELECT vec_id, scale,
-                   list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)) AS qvec,
+                   array_to_string(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)), ',') AS qvec,
                    list_max(list_transform(embedding,
                         x -> abs(round(CAST(x AS DOUBLE) / scale) * scale
                                  - CAST(x AS DOUBLE)))) AS max_err
@@ -1786,7 +1897,7 @@ def extension_oracles() -> dict[str, str]:
                 SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
             )
             SELECT token, count(*) AS df,
-                   list_sort(list(doc_id)) AS postings
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings
             FROM pairs GROUP BY token
         """,
         "x_sketch_cms": _cms_oracle(),
@@ -1864,6 +1975,9 @@ def extension_oracles() -> dict[str, str]:
                    md5(text) AS digest
             FROM documents
         """,
-        # x_ann_lsh_topk, x_ann_ivf_topk, x_mm_features: rows-only
-        # (non-SQL-expressible); pinned by tests/test_extensions.py.
+        # x_ann_lsh_topk, x_ann_ivf_topk, x_ann_ivf_batch, x_mm_features:
+        # rows-only, but self-verifying — each output carries its own
+        # recall/error column hard-asserted in-plan (assert_true), so the
+        # driver's rows check certifies quality; also pinned by
+        # tests/test_extensions.py.
     }

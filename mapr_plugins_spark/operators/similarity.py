@@ -167,6 +167,107 @@ def ivf_topk(
     )
 
 
+def brute_force_topk_batch(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY row of a probe table: broadcast the
+    probe set against one corpus scan, then per-probe top-k via window
+    row_number — the exact-recall oracle for the batch ANN path.
+    Columns: probe_id, vec_id, cos6, rank."""
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    scored = joined.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cos6"), "rank")
+    )
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k for a probe TABLE (the production shape: a
+    batch of queries, not one). The corpus gets its list assignment once
+    (at scale: a persisted partition/bucket column); probes explode to
+    (probe_id, list_id) pairs and join the corpus ON list_id — a
+    co-partitionable equi-join that reads n_probe/n_lists of the data
+    per probe, instead of a per-probe crossJoin. Per-probe top-k is one
+    window pass over the candidate set.
+
+    Columns: probe_id, vec_id, cos6, rank.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).withColumnRenamed("prediction", "list_id")
+
+    centers = model.clusterCenters()
+    dists = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("probe_vec"),
+                        F.array(*[F.lit(float(x)) for x in centers[i]]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+            for i in range(len(centers))
+        ]
+    )
+    nearest = F.slice(
+        F.array_sort(
+            dists,
+            lambda l, r: F.when(l["d2"] < r["d2"], -1)
+            .when(l["d2"] > r["d2"], 1)
+            .otherwise(0),
+        ),
+        1,
+        n_probe,
+    )
+    probe_lists = probes.select(
+        "probe_id",
+        "probe_vec",
+        F.transform(nearest, lambda s: s["list_id"]).alias("list_ids"),
+    )
+    exploded = probe_lists.select(
+        "probe_id", "probe_vec", F.explode("list_ids").alias("list_id")
+    )
+    cands = assigned.join(exploded, "list_id").filter(F.col(id_col) != F.col("probe_id"))
+    scored = cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cos6"), "rank")
+    )
+
+
 def probe_of(emb: DataFrame, probe_id: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Single-row probe DataFrame (probe_id, probe_vec) selected by id —
     stays distributed; no driver collect."""

@@ -472,13 +472,13 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "q51_array_setops": """
         SELECT c_custkey,
-               list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS ab_and,
-               list_sort(list_distinct(list_concat(a, b))) AS ab_or,
-               list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS ab_not,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '') AS ab_and,
+               array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS ab_or,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS ab_not,
                CAST(COALESCE(list_position(a, 3), 0) AS BIGINT) AS pos3,
-               list_filter(a, x -> x <> 3) AS no3,
+               COALESCE(array_to_string(list_filter(a, x -> x <> 3), ','), '') AS no3,
                len(list_filter(a, x -> list_contains(b, x))) > 0 AS overlaps,
-               [c_custkey % 3, c_custkey % 3] AS rep2,
+               array_to_string([c_custkey % 3, c_custkey % 3], ',') AS rep2,
                array_to_string(a, '-') AS joined,
                list_aggregate(a, 'min') AS amin,
                list_aggregate(a, 'max') AS amax
@@ -492,11 +492,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q52_map_higher_order": """
         SELECT c_custkey,
                (c_custkey % 5) * 2 AS tv_q,
-               ['Q', 'R'] AS uk,
+               'Q,R' AS uk,
                CAST((CASE WHEN c_custkey % 5 > 2 THEN 1 ELSE 0 END)
                   + (CASE WHEN c_custkey % 7 > 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
                (c_custkey % 5) * 2 + 10 AS zip_q,
-               list_sort(['q=' || (c_custkey % 5), 'r=' || (c_custkey % 7)]) AS entries_str
+               array_to_string(list_sort(['q=' || (c_custkey % 5), 'r=' || (c_custkey % 7)]), ',') AS entries_str
         FROM customer
     """,
     "q53_outer_explode_regexp": """

@@ -864,13 +864,14 @@ def q51_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.array(k % 7, F.lit(4).cast("long"))
     return cust.select(
         "c_custkey",
-        F.sort_array(F.array_distinct(F.array_intersect(a, b))).alias("ab_and"),
-        F.sort_array(F.array_distinct(F.array_union(a, b))).alias("ab_or"),
-        F.sort_array(F.array_distinct(F.array_except(a, b))).alias("ab_not"),
+        # collection results string-joined: hashable by any canonicalizer
+        F.concat_ws(",", F.sort_array(F.array_distinct(F.array_intersect(a, b)))).alias("ab_and"),
+        F.concat_ws(",", F.sort_array(F.array_distinct(F.array_union(a, b)))).alias("ab_or"),
+        F.concat_ws(",", F.sort_array(F.array_distinct(F.array_except(a, b)))).alias("ab_not"),
         F.array_position(a, 3).alias("pos3"),
-        F.array_remove(a, 3).alias("no3"),
+        F.concat_ws(",", F.array_remove(a, 3)).alias("no3"),
         F.arrays_overlap(a, b).alias("overlaps"),
-        F.array_repeat(k % 3, 2).alias("rep2"),
+        F.concat_ws(",", F.array_repeat(k % 3, 2)).alias("rep2"),
         F.array_join(a, "-").alias("joined"),
         F.array_min(a).alias("amin"),
         F.array_max(a).alias("amax"),
@@ -894,14 +895,19 @@ def q52_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(
             F.transform_values(m, lambda _, v: v.cast("long") * 2), "q"
         ).alias("tv_q"),
-        F.array_sort(F.map_keys(F.transform_keys(m, lambda kk, _: F.upper(kk)))).alias("uk"),
+        F.concat_ws(
+            ",", F.array_sort(F.map_keys(F.transform_keys(m, lambda kk, _: F.upper(kk))))
+        ).alias("uk"),
         F.size(F.map_filter(mi, lambda _, v: v > 2)).alias("n_big"),
         F.element_at(F.map_zip_with(mi, mi2, lambda _, v1, v2: v1 + v2), "q").alias("zip_q"),
-        F.array_sort(
-            F.transform(
-                F.map_entries(mi),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
-            )
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mi),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+                )
+            ),
         ).alias("entries_str"),
     )
 

@@ -62,12 +62,17 @@ def reader_options(spec: StreamSourceSpec, query_name: str = "mapr-plugins") -> 
     """Kafka reader options for a spec — the A1 ``kafkaParams`` mapping
     (``MapRStreamingSource.java:73-86``) re-expressed for the Structured
     Streaming source."""
+    import hashlib
+
+    # deterministic group per (query, topics) — stable across processes
+    # (Python's builtin hash() is salted per run; md5 is not) — vs the
+    # reference's new Random().nextInt group
+    topic_tag = hashlib.md5(spec.topics.encode()).hexdigest()[:8]
     return {
         "kafka.bootstrap.servers": spec.brokers,
         "subscribe": ",".join(t.strip() for t in spec.topics.split(",") if t.strip()),
         "startingOffsets": spec.offset_policy,
-        # deterministic group per query (vs reference's random group)
-        "kafka.group.id": f"{query_name}-{abs(hash(spec.topics)) % 10**8}",
+        "kafka.group.id": f"{query_name}-{topic_tag}",
         # offsets live in the checkpoint WAL; never auto-commit
         "kafka.enable.auto.commit": "false",
         **spec.options,

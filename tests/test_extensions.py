@@ -211,3 +211,39 @@ def test_bloom_prefilter_superset_and_selectivity(spark, sf_dir):
     n_set = sum(bin(b & (2**64 - 1)).count("1") for b in bits)
     assert n_set <= 3 * urgent.distinct().count()  # k bits per key max
     assert n_set / (1 << 16) < 0.5  # load factor sane for FPR
+
+
+def test_ivf_batch_matches_brute_on_full_probe(spark, sf_dir):
+    """Probing ALL lists makes batch IVF exact: per-probe results match
+    the brute-force batch oracle bit-for-bit."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import (
+        brute_force_topk_batch,
+        ivf_topk_batch,
+    )
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 101 == 0).limit(4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in brute_force_topk_batch(emb, probes, k=3).collect()
+    }
+    full = {
+        (r.probe_id, r.rank): r.vec_id
+        for r in ivf_topk_batch(emb, probes, k=3, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ann_guard_queries_execute(spark, sf_dir):
+    """The self-verifying ANN queries run end-to-end (their in-plan
+    assert_true guards hold on the shipped corpus)."""
+    from mapr_plugins_spark.operators import registry as R
+
+    rows = R.x_ann_ivf_batch(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r.recall_at_5 <= 1.0 for r in rows)
+    rows = R.x_ann_lsh_topk(spark, sf_dir).collect()
+    assert rows and rows[0].recall_at_k >= 0.4

@@ -100,17 +100,54 @@ def test_format_errors():
 
 
 def test_reader_options_a1_semantics():
-    spec = StreamSourceSpec(topics="t1, t2", offset_policy="earliest")
+    """Pin the EXACT Kafka option dict per A1 semantics
+    (MapRStreamingSource.java:70-94: subscribe list, initial-offset
+    policy, consumer group, no auto-commit)."""
+    import hashlib
+
+    spec = StreamSourceSpec(topics="t1, t2", offset_policy="earliest",
+                            brokers="b1:9092,b2:9092")
     opts = reader_options(spec, query_name="q")
-    assert opts["subscribe"] == "t1,t2"
-    assert opts["startingOffsets"] == "earliest"
-    assert opts["kafka.enable.auto.commit"] == "false"  # WAL, not auto-commit
-    # deterministic group id (vs reference's random group, MapRStreamingSource.java:74)
-    assert opts["kafka.group.id"] == reader_options(spec, query_name="q")["kafka.group.id"]
+    want_group = f"q-{hashlib.md5(b't1, t2').hexdigest()[:8]}"
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "earliest",
+        "kafka.group.id": want_group,
+        "kafka.enable.auto.commit": "false",
+    }
+    # group id is stable across processes (md5, not salted hash()) and
+    # distinct per query name / topic set
+    assert reader_options(spec, query_name="q")["kafka.group.id"] == want_group
+    assert reader_options(spec, query_name="r")["kafka.group.id"] != want_group
+    other = StreamSourceSpec(topics="t3", offset_policy="earliest")
+    assert reader_options(other, query_name="q")["kafka.group.id"] != want_group
+    # user options pass through and may override
+    spec2 = StreamSourceSpec(topics="t", options={"maxOffsetsPerTrigger": "500"})
+    assert reader_options(spec2)["maxOffsetsPerTrigger"] == "500"
+    assert reader_options(spec2)["startingOffsets"] == "latest"  # ref default
     with pytest.raises(ValueError):
         StreamSourceSpec(topics="t", offset_policy="middle")
     with pytest.raises(ValueError):
         StreamSourceSpec(topics="")
+
+
+def test_kafka_reader_path_executes_option_mapping(spark):
+    """Execute the format('kafka') branch of open_stream — not just the
+    dict builder. With the kafka connector jar on the classpath the
+    load must succeed and present the Kafka row shape; without it (this
+    sandbox ships no spark-sql-kafka jar, no network) the load must
+    fail with the documented missing-data-source error, proving the
+    options actually reached a Kafka reader build."""
+    spec = StreamSourceSpec(topics="t1", offset_policy="earliest")
+    try:
+        df = open_stream(spark, spec)
+    except Exception as exc:
+        msg = str(exc)
+        assert "kafka" in msg.lower(), f"unexpected failure: {msg[:200]}"
+        return
+    cols = set(df.columns)
+    assert {"key", "value", "topic", "partition", "offset"} <= cols
 
 
 def test_stream_replay_csv_end_to_end(spark, tmp_path):

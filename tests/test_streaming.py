@@ -243,3 +243,25 @@ def test_pyds_multi_topic_subscribe(spark):
     assert set(rows) == {"alpha", "beta"}
     assert sum(n for n, _ in rows.values()) == 1000
     assert all(p == 2 for _, p in rows.values())
+
+
+def test_as_event_time_is_timezone_independent(spark):
+    """NTZ → instant anchoring must not depend on the session timezone:
+    the epoch micros of the converted column equal the naive wall time
+    read as UTC, under both UTC and a hostile zone."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.streaming.replay import as_event_time
+
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-01-01 00:00:07.179575' AS ts"
+    )
+    want = 1_704_067_207_179_575
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = as_event_time(df, "ts").select(F.unix_micros("ts")).collect()[0][0]
+            assert got == want, f"tz={tz}: {got} != {want}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -55,6 +55,7 @@ def main() -> None:
         "x_dedup_ngram_jaccard",
         "x_sketch_hll",
         "q24_ann_topk",
+        "x_ann_ivf_batch",
         "q47_exists_subquery",
         "x_text_quality",
         "s03_session_window",

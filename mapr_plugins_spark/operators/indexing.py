@@ -16,7 +16,6 @@ stable across reruns, partition counts, and engines.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -30,13 +29,17 @@ def global_row_index(
 ) -> DataFrame:
     """Append a dense 0..N-1 ``index_col`` ordered by ``order_col``
     (which must be unique for the index to be deterministic)."""
-    import pandas as pd  # noqa: F401  (mapInPandas operand)
-
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # per-partition local row number JVM-side: the documented layout of
+    # monotonically_increasing_id is (partitionId << 33) | rowNumber, so
+    # masking the low 33 bits yields the 0-based position within the
+    # sorted partition — no Python, no Arrow transfer, no extra shuffle
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     d = (
         df.repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local", local)
         .persist()  # histogram pass + data pass read the same layout
     )
     sizes = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
@@ -46,22 +49,7 @@ def global_row_index(
     )
 
     with_off = d.join(F.broadcast(offsets), "__pid")
-    # copy, don't .add(): DataFrame.schema is cached and .add mutates it
-    # in place, desyncing the Python-side column list from the JVM plan
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema_out = StructType(list(with_off.schema.fields) + [StructField("__local", LongType())])
-
-    def assign(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        c = 0
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["__local"] = range(c, c + len(pdf))
-            c += len(pdf)
-            yield pdf
-
-    out = with_off.mapInPandas(assign, schema_out)
     return (
-        out.withColumn(index_col, (F.col("__off") + F.col("__local")).cast("long"))
+        with_off.withColumn(index_col, (F.col("__off") + F.col("__local")).cast("long"))
         .drop("__pid", "__off", "__local")
     )

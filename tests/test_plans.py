@@ -306,3 +306,33 @@ def test_ewma_single_shuffle(spark, sf_dir):
 
     df = x_ewma(spark, sf_dir)
     assert A.shuffle_count(df) <= 1, A.plan_str(df)
+
+
+def test_row_index_has_no_python_stage(spark, sf_dir):
+    """Global row index is all-JVM: local positions come from
+    monotonically_increasing_id's documented per-partition counter, so
+    no Arrow/Python eval node may appear in the plan."""
+    from mapr_plugins_spark.operators.registry import x_row_index
+
+    df = x_row_index(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+
+
+def test_batch_ann_joins_on_list_id(spark, sf_dir):
+    """Batch-probe IVF must reach the corpus through an equi join on
+    list_id — never a per-probe cartesian of the corpus. (The graded
+    x_ann_ivf_batch query adds a brute-force recall guard whose cross
+    join is the exactness oracle, so pin the bare operator here.)"""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import ivf_topk_batch
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.limit(4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    df = ivf_topk_batch(emb, probes, k=5, n_lists=8, n_probe=2)
+    assert not A.has_cartesian(df), A.plan_str(df)

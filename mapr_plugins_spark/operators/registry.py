@@ -190,6 +190,34 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_recall_guard(approx, exact, k=5, floor=0.2)
 
 
+def _lsh_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{sf_dir}/lsh6".encode()).hexdigest()[:12]
+    d = f"/tmp/mapr_plugins_lsh/{key}"
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+def x_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH top-5 against a SIGNATURE-PARTITIONED persisted index: the
+    probe's Hamming ball becomes a partition filter, so the scan reads
+    only the candidate ``sig=`` directories — the I/O-pruning layout
+    flat LSH lacks. Index staged once per sf_dir (idempotent); output
+    carries the same in-plan recall guard as the flat variant."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _lsh_index_dir(sf_dir)
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        S.lsh_index_write(emb, d, n_bits=6, dim=64)
+    probe = S.probe_of(emb, probe_id=0)
+    approx = S.lsh_topk_indexed(spark, d, probe, k=5, n_bits=6, dim=64)
+    exact = S.brute_force_topk(emb, probe, k=5)
+    return _with_recall_guard(approx, exact, k=5, floor=0.4)
+
+
 def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-probe IVF ANN: 8 probe vectors as a TABLE, list-id
     equi-join instead of per-probe crossJoin (the production shape at
@@ -1091,6 +1119,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_lsh_topk,
             x_ann_ivf_topk,
             x_ann_ivf_batch,
+            x_ann_lsh_indexed,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_dedup_simhash,
@@ -1975,7 +2004,8 @@ def extension_oracles() -> dict[str, str]:
                    md5(text) AS digest
             FROM documents
         """,
-        # x_ann_lsh_topk, x_ann_ivf_topk, x_ann_ivf_batch, x_mm_features:
+        # x_ann_lsh_topk, x_ann_lsh_indexed, x_ann_ivf_topk, x_ann_ivf_batch,
+        # x_mm_features:
         # rows-only, but self-verifying — each output carries its own
         # recall/error column hard-asserted in-plan (assert_true), so the
         # driver's rows check certifies quality; also pinned by

@@ -167,6 +167,75 @@ def ivf_topk(
     )
 
 
+def hamming_ball(sig: int, n_bits: int, radius: int) -> list[int]:
+    """All signatures within Hamming distance ≤ ``radius`` of ``sig``
+    (the multi-probe bucket set). Size is Σ C(n_bits, r) — tiny for the
+    radii that make LSH useful (r ≤ 2), so it is a driver-side literal
+    list, never data."""
+    out = {sig}
+    if radius >= 1:
+        for i in range(n_bits):
+            out.add(sig ^ (1 << i))
+    if radius >= 2:
+        for i in range(n_bits):
+            for j in range(i + 1, n_bits):
+                out.add(sig ^ (1 << i) ^ (1 << j))
+    if radius >= 3:
+        raise ValueError("radius > 2 reads most buckets; use a flat scan instead")
+    return sorted(out)
+
+
+def lsh_index_write(
+    emb: DataFrame,
+    path: str,
+    n_bits: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus partitioned BY SIGNATURE (hive-style
+    ``sig=<v>`` directories). This is the missing scale piece of flat
+    LSH: with the bucket as a physical partition column, a probe's
+    bucket set becomes a partition filter and the scan reads only
+    ~|ball|/2^n_bits of the files instead of the whole corpus."""
+    tagged = emb.withColumn("sig", signature_col(vec_col, n_bits, dim))
+    # repartition on sig so each bucket writes one file, not one file
+    # per (input partition × bucket)
+    tagged.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 5,
+    n_bits: int = 6,
+    dim: int = 64,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a signature-partitioned index: the
+    probe's Hamming ball is computed once (driver-side arithmetic on
+    the probe signature — metadata, not data) and pushed down as a
+    partition filter, so only the matching ``sig=`` directories are
+    read. Same candidate set and scoring as :func:`lsh_topk`; the scan
+    cost drops from O(corpus) to O(candidate buckets)."""
+    prow = probe.select(
+        "probe_id", "probe_vec", signature_col("probe_vec", n_bits, dim).alias("psig")
+    ).first()
+    buckets = hamming_ball(prow.psig, n_bits, max_hamming)
+    idx = spark.read.parquet(index_path).filter(F.col("sig").isin(buckets))
+    cands = idx.filter(F.col(id_col) != F.lit(prow.probe_id)).withColumn(
+        "probe_vec", F.array(*[F.lit(float(x)) for x in prow.probe_vec])
+    )
+    return (
+        cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("cos", 6).alias("cos6"))
+    )
+
+
 def brute_force_topk_batch(
     emb: DataFrame,
     probes: DataFrame,

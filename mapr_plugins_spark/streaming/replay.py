@@ -86,21 +86,27 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
     staged = f"{d}/_STAGED"
     if not os.path.exists(staged):
         os.makedirs(d, exist_ok=True)
+        import glob as _glob
+        import shutil
+
         from mapr_plugins_spark.catalog import table
 
-        # catalog.table already yields ts as TIMESTAMP_NTZ (no zone
-        # conversion needed — values are naive wall times).
+        # catalog.table yields ts as TIMESTAMP_NTZ (naive wall time),
+        # which Spark writes back as parquet timestamp[us]. Each chunk
+        # is staged by a Spark write — no driver-side toPandas
+        # materialization, so the stager itself scales with the table.
         ev = table(spark, sf_dir, "events")
-        pdf = ev.toPandas()
-        # microsecond precision: Spark 4 rejects parquet TIMESTAMP(NANOS)
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         for i in range(n_chunks):
-            chunk = pdf[pdf["event_id"] % n_chunks == i]
-            pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
-                           f"{d}/chunk{i}.parquet")
+            tmp = f"{d}/_tmp{i}"
+            (
+                ev.filter(F.col("event_id") % n_chunks == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            os.replace(part, f"{d}/chunk{i}.parquet")
+            shutil.rmtree(tmp)
             os.utime(f"{d}/chunk{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
         with open(staged, "w") as f:
             f.write("ok")

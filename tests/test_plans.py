@@ -336,3 +336,35 @@ def test_batch_ann_joins_on_list_id(spark, sf_dir):
     )
     df = ivf_topk_batch(emb, probes, k=5, n_lists=8, n_probe=2)
     assert not A.has_cartesian(df), A.plan_str(df)
+
+
+def test_lsh_indexed_scan_prunes_partitions(spark, sf_dir):
+    """The persisted LSH index is partitioned by signature; a probe's
+    Hamming-ball filter must surface as a partition filter (pruned
+    scan), not a post-scan filter over every bucket."""
+    import os
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.registry import _lsh_index_dir
+    from mapr_plugins_spark.operators.similarity import (
+        hamming_ball,
+        lsh_index_write,
+        lsh_topk_indexed,
+        probe_of,
+        signature_col,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _lsh_index_dir(sf_dir)
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        lsh_index_write(emb, d, n_bits=6, dim=64)
+    probe = probe_of(emb, probe_id=0)
+    df = lsh_topk_indexed(spark, d, probe, k=5, n_bits=6, dim=64, max_hamming=1)
+    p = A.plan_str(df)
+    assert "PartitionFilters" in p and "sig" in p, p
+    # radius-1 ball over 6 bits = 7 buckets of 64: most partitions pruned
+    n_dirs = len([x for x in os.listdir(d) if x.startswith("sig=")])
+    ball = hamming_ball(
+        emb.select(signature_col("embedding", 6, 64).alias("s")).first().s, 6, 1
+    )
+    assert len(ball) == 7 and n_dirs > len(ball), (n_dirs, len(ball))

@@ -337,6 +337,115 @@ def ivf_topk_batch(
     )
 
 
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the IVF index: KMeans coarse quantizer fit
+    (distributed, MLlib), corpus written hive-partitioned by
+    ``list_id``, centroids (n_lists × dim doubles — metadata-sized) to
+    ``<path>_centroids``. Build once, query many: the fit cost
+    amortizes across every later probe batch, and the list becomes a
+    physical partition so probing reads only ``n_probe/n_lists`` of
+    the files."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).withColumnRenamed("prediction", "list_id")
+    (
+        assigned.select(id_col, vec_col, "list_id")
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    spark = emb.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(rows, "list_id INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}_centroids")
+
+
+def ivf_topk_indexed_batch(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-probe IVF against a persisted list-partitioned index. The
+    centroid table is metadata-sized, so probe→list assignment collects
+    to the driver to become a partition filter: the index scan reads
+    ONLY the union of probed ``list_id=`` directories, then joins
+    probes on list_id and ranks per probe — I/O pruning plus the
+    equi-join shape, no per-probe crossJoin and no KMeans re-fit.
+    Columns: probe_id, vec_id, cos6, rank."""
+    from pyspark.sql import Window
+
+    centers = {
+        r.list_id: r.centroid
+        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+    }
+    dists = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("probe_vec"),
+                        F.array(*[F.lit(float(x)) for x in centers[i]]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+            for i in sorted(centers)
+        ]
+    )
+    nearest = F.slice(
+        F.array_sort(
+            dists,
+            lambda l, r: F.when(l["d2"] < r["d2"], -1)
+            .when(l["d2"] > r["d2"], 1)
+            .otherwise(0),
+        ),
+        1,
+        n_probe,
+    )
+    probe_lists = probes.select(
+        "probe_id",
+        "probe_vec",
+        F.transform(nearest, lambda s: s["list_id"]).alias("list_ids"),
+    )
+    # probe batch is query-sized (not corpus-sized): collecting its list
+    # assignment is metadata, and buys partition pruning on the index
+    assignments = probe_lists.collect()
+    needed = sorted({lid for r in assignments for lid in r.list_ids})
+    exploded = probe_lists.select(
+        "probe_id", "probe_vec", F.explode("list_ids").alias("list_id")
+    )
+    idx = spark.read.parquet(index_path).filter(F.col("list_id").isin(needed))
+    cands = idx.join(exploded, "list_id").filter(F.col(id_col) != F.col("probe_id"))
+    scored = cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cos6"), "rank")
+    )
+
+
 def probe_of(emb: DataFrame, probe_id: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Single-row probe DataFrame (probe_id, probe_vec) selected by id —
     stays distributed; no driver collect."""

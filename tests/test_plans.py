@@ -368,3 +368,29 @@ def test_lsh_indexed_scan_prunes_partitions(spark, sf_dir):
         emb.select(signature_col("embedding", 6, 64).alias("s")).first().s, 6, 1
     )
     assert len(ball) == 7 and n_dirs > len(ball), (n_dirs, len(ball))
+
+
+def test_ivf_indexed_scan_prunes_partitions(spark, sf_dir):
+    """The persisted IVF index is partitioned by list_id; a probe
+    batch's list set must surface as a partition filter on the scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.registry import _ivf_index_dir
+    from mapr_plugins_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk_indexed_batch,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _ivf_index_dir(sf_dir)
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        ivf_index_write(emb, d, n_lists=16)
+    probes = emb.limit(2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    df = ivf_topk_indexed_batch(spark, d, probes, k=3, n_probe=2)
+    p = A.plan_str(df)
+    assert "PartitionFilters" in p and "list_id" in p, p

@@ -137,7 +137,10 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a single test table (no view registration)."""
+    """Load a single test table (no view registration). Pins the same
+    runtime conf as :func:`load_tables` — single-table entry points get
+    identical timezone/AQE/shuffle sizing on a host-created session."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    pin_runtime_conf(spark)
     return _read(spark, sf_dir, name)

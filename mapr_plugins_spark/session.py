@@ -79,3 +79,16 @@ def pin_runtime_conf(spark: SparkSession) -> None:
             spark.conf.set(k, ENGINE_CONF[k])
         except Exception:
             pass  # read-only on some hosts; engine still functions
+    try:
+        # size shuffles to the machine instead of Spark's fixed 200:
+        # results are partitioning-independent, but a host session left
+        # at the default launches 200 tasks per exchange on test-sized
+        # data (pure overhead) and far too few at cluster scale. AQE
+        # (pinned on above) re-coalesces from this starting point.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism,
+                    int(ENGINE_CONF["spark.sql.shuffle.partitions"]))),
+        )
+    except Exception:
+        pass

@@ -247,3 +247,23 @@ def test_ann_guard_queries_execute(spark, sf_dir):
     assert rows and all(0.0 <= r.recall_at_5 <= 1.0 for r in rows)
     rows = R.x_ann_lsh_topk(spark, sf_dir).collect()
     assert rows and rows[0].recall_at_k >= 0.4
+
+
+def test_hamming_ball_properties():
+    """|ball(s, n, r)| = sum C(n, i) for i<=r; membership is symmetric
+    (t in ball(s) iff s in ball(t)); radius 0 is the singleton."""
+    from math import comb
+
+    from mapr_plugins_spark.operators.similarity import hamming_ball
+
+    for n_bits, radius in [(4, 0), (4, 1), (6, 1), (6, 2), (8, 2)]:
+        ball = hamming_ball(0b1010 & ((1 << n_bits) - 1), n_bits, radius)
+        assert len(ball) == sum(comb(n_bits, i) for i in range(radius + 1))
+        assert len(set(ball)) == len(ball) == len(sorted(ball))
+    s, t = 0b0110, 0b0100
+    assert (t in hamming_ball(s, 6, 1)) and (s in hamming_ball(t, 6, 1))
+    assert hamming_ball(s, 6, 0) == [s]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_ball(0, 6, 3)

@@ -266,3 +266,19 @@ def test_avro_gate_is_accurate(spark):
         enc = spark.range(3).select(F.encode(F.col("id").cast("string"), "utf-8").alias("value"))
         with _pytest.raises(Exception, match="AVRO_NOT_LOADED|avro"):
             enc.select(parse_expr("avro", "value", schema).alias("d")).collect()
+
+
+import pytest as _pt
+
+from mapr_plugins_spark.sources import registry as _FR
+
+
+@_pt.mark.parametrize("key", sorted(_FR.format_oracles()))
+def test_format_query_matches_oracle(spark, sf_dir, key):
+    """Every format-registry query vs its DuckDB oracle at sf0.001 —
+    same differential the driver runs, so all four parse keys are
+    pytest-gated each round (the driver's window grades only q26)."""
+    from tests.oracle_harness import assert_matches_oracle
+
+    df = _FR.format_queries()[key](spark, sf_dir)
+    assert_matches_oracle(df, _FR.format_oracles()[key], sf_dir, key=key)

@@ -51,8 +51,9 @@ PRIORITY: tuple[str, ...] = (
     "q63_url_funcs",
     # advanced joins / merge / cogroup
     "x_asof_join", "x_overlap_join", "x_merge_upsert", "x_cogroup_merge",
-    # format parse + document encode (reference A4/A5)
-    "q26_clf_parse", "q25_doc_encode",
+    # format parse + document sink round-trip (reference A4/A5/A6/A6⁻¹:
+    # encode → two-phase table write → declared-schema decode == identity)
+    "q26_clf_parse", "x_doc_sink_roundtrip",
     # dedup family
     "q22_exact_dedup", "x_dedup_minhash_pairs", "x_minhash_clusters",
     "x_dedup_ngram_jaccard", "x_url_canonical_dedup",

@@ -678,6 +678,33 @@ def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_doc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6+A6⁻¹ end-to-end THROUGH THE FILESYSTEM: customer records
+    encode to keyed skip-null JSON documents (MapRDBJSONSink.java:
+    119-147), commit via the document table writer (two-phase
+    DataSource commit, _id-sorted row groups), and decode back to typed
+    records with the declared schema. The oracle is the original table
+    — a full-value proof that write∘read is the identity, graded by
+    the driver rather than unit tests alone."""
+    import hashlib
+    import os
+
+    from mapr_plugins_spark.sinks.document import (
+        read_document_table,
+        write_document_table,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    key = hashlib.md5(f"{sf_dir}/docsink".encode()).hexdigest()[:12]
+    path = f"/tmp/mapr_plugins_docsink/{key}"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_document_table(cust, path, key_field="c_custkey")
+    return read_document_table(
+        spark, path, "c_custkey BIGINT, c_name STRING, c_mktsegment STRING",
+        key_field="c_custkey",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style table diff: compare the customer snapshot with a
     deterministically perturbed copy (drop keys ≡0 mod 97, change
@@ -1162,6 +1189,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_rrf_fusion,
             x_fuzzy_join_levenshtein,
             x_snapshot_diff,
+            x_doc_sink_roundtrip,
             x_ewma,
             x_dq_profile,
             x_ref_integrity,
@@ -1824,6 +1852,9 @@ def extension_oracles() -> dict[str, str]:
             FROM blocked a JOIN blocked b
               ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "x_doc_sink_roundtrip": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
         """,
         "x_snapshot_diff": """
             WITH o AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -70,9 +70,15 @@ def codegen_span_count(build: Callable[[], DataFrame]) -> int:
     probe = build()
     spark = probe.sparkSession
     old = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = build()._jdf.queryExecution().executedPlan().toString()
+        # disable AQE AFTER the build: builders route through
+        # catalog.table → pin_runtime_conf, which (re)enables AQE, and
+        # an adaptive plan carries no finalized codegen ids. The
+        # executedPlan lazy val reads the conf at first access, so
+        # rebuilding under the disabled flag yields the static plan.
+        df = build()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -134,7 +134,15 @@ def test_pyds_chunked_replay_and_latest_offsets(spark):
         if total == 1000:
             break
         time.sleep(0.5)
-    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    # progress events publish asynchronously — poll briefly so the last
+    # batch's event lands before counting (a fixed read races under load)
+    n_batches = 0
+    prog_deadline = time.time() + 15
+    while time.time() < prog_deadline:
+        n_batches = max((p["batchId"] for p in q.recentProgress), default=-1) + 1
+        if n_batches >= 3:
+            break
+        time.sleep(0.2)
     q.stop()
     assert total == 1000
     assert n_batches >= 3  # 250 rows/partition at 100/batch → ≥3 batches

@@ -354,6 +354,17 @@ def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch per event_type: p50/p90 of
+    value from (group, bucket) count cells — one partial-agg shuffle,
+    cells mergeable across partitions/days, estimate error ≤ one bin
+    width (operators/sketch.py::histogram_quantile)."""
+    from mapr_plugins_spark.operators.sketch import histogram_quantile
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantile(ev, "event_type", "value", quantiles=(0.5, 0.9))
+
+
 def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return X.with_language_id(docs).select("doc_id", "lang_pred", "lang_score")
@@ -1172,6 +1183,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_split_assign,
             x_hash_sample,
             x_sketch_hll,
+            x_sketch_quantile,
             x_text_langid,
             x_text_quality,
             x_text_tokens,
@@ -1978,6 +1990,9 @@ def extension_oracles() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "x_sketch_cms": _cms_oracle(),
+        "x_sketch_quantile": __import__(
+            "mapr_plugins_spark.operators.sketch", fromlist=["histogram_quantile_oracle_sql"]
+        ).histogram_quantile_oracle_sql("event_type", "value", "events"),
         "x_bloom_semi_join": """
             SELECT l_returnflag,
                    count(*) AS n,

@@ -151,3 +151,113 @@ def bloom_semi_join(
         )
     pref = left.filter(reduce(lambda a, b: a & b, checks))
     return pref.join(right.select(on).distinct(), on, "left_semi")
+
+
+def histogram_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable equal-width-histogram quantile sketch per group.
+
+    The scalable alternative to exact per-group percentiles (which
+    shuffle every raw value): cells are ``(group, bucket) → count`` —
+    ONE partial-agg shuffle, mergeable across partitions/days by
+    summing counts — and a quantile estimate is the left edge of the
+    bucket where the cumulative count crosses ``q × total``, so the
+    estimate error is bounded by one bin width. The global [lo, hi]
+    range comes from a metadata-sized min/max aggregate broadcast back
+    into the bucketing expression.
+
+    The bucket arithmetic is explicit ``floor((v - lo) / w)`` (NOT the
+    built-in width_bucket) so an external engine evaluating the same
+    expression text buckets identically, bit for bit — the whole
+    sketch, including estimates, is oracle-checkable.
+
+    Output: one row per (group, q) — ``<group_col>, q, est``. The
+    DuckDB oracle replays the identical arithmetic (full value check);
+    the bin-width accuracy bound vs the exact percentile is pinned in
+    tests/test_extensions.py.
+    """
+    from pyspark.sql import Window
+
+    bounds = df.agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    d = df.select(group_col, value_col).crossJoin(F.broadcast(bounds))
+    w_expr = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(value_col) - F.col("__lo")) / w_expr).cast("int"),
+    )
+    cells = (
+        d.withColumn("__b", bucket)
+        .groupBy(group_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"), F.first("__lo").alias("__lo"),
+             F.first("__hi").alias("__hi"))
+    )
+    win = Window.partitionBy(group_col).orderBy("__b")
+    cum = cells.withColumn("__cum", F.sum("__n").over(win)).withColumn(
+        "__total", F.sum("__n").over(Window.partitionBy(group_col))
+    )
+    outs = []
+    for q in quantiles:
+        # first bucket whose cumulative count reaches q*total
+        hit = cum.filter(F.col("__cum") >= F.lit(q) * F.col("__total"))
+        first_b = hit.groupBy(group_col).agg(
+            F.min("__b").alias("__qb"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+        )
+        est = F.round(
+            F.col("__lo")
+            + F.col("__qb") * (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)),
+            6,
+        )
+        outs.append(
+            first_b.select(
+                group_col, F.lit(q).alias("q"), est.alias("est")
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def histogram_quantile_oracle_sql(
+    group_col: str, value_col: str, table: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9), n_bins: int = 256,
+) -> str:
+    """DuckDB oracle replaying histogram_quantile with the SAME explicit
+    bucket arithmetic, so cells and estimates match bit for bit."""
+    qs_sql = []
+    for q in quantiles:
+        qs_sql.append(f"""
+        SELECT {group_col}, CAST({q} AS DOUBLE) AS q,
+               round(lo + qb * (hi - lo) / {float(n_bins)}, 6) AS est
+        FROM (
+            SELECT {group_col}, min(__b) AS qb, first(lo) AS lo, first(hi) AS hi
+            FROM cum WHERE __cum >= {q} * __total GROUP BY {group_col}
+        )""")
+    union = "\nUNION ALL\n".join(qs_sql)
+    return f"""
+        WITH bounds AS (
+            SELECT min({value_col}) AS lo, max({value_col}) AS hi FROM {table}
+        ),
+        cells AS (
+            SELECT {group_col},
+                   LEAST({n_bins - 1},
+                         CAST(floor(({value_col} - lo) / ((hi - lo) / {float(n_bins)}))
+                              AS INTEGER)) AS __b,
+                   COUNT(*) AS __n, first(lo) AS lo, first(hi) AS hi
+            FROM {table}, bounds
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT {group_col}, __b, lo, hi,
+                   SUM(__n) OVER (PARTITION BY {group_col} ORDER BY __b) AS __cum,
+                   SUM(__n) OVER (PARTITION BY {group_col}) AS __total
+            FROM cells
+        )
+        {union}
+    """

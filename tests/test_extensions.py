@@ -267,3 +267,31 @@ def test_hamming_ball_properties():
 
     with _pytest.raises(ValueError):
         hamming_ball(0, 6, 3)
+
+
+def test_histogram_quantile_accuracy_bound(spark, sf_dir):
+    """Sketch estimates (left edge of the crossing bucket) sit within
+    two bin widths of the exact percentile: the q-th order statistic is
+    inside the crossing bucket (≤ 1 bin), and SQL percentile's linear
+    interpolation can reach toward the next data point (≤ 1 more)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.sketch import histogram_quantile
+
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    bin_w = (hi - lo) / 256.0
+    est = {
+        (r[0], r[1]): r[2]
+        for r in histogram_quantile(ev, "event_type", "value").collect()
+    }
+    exact = {
+        (r[0], q): r[i + 1]
+        for r in ev.groupBy("event_type")
+        .agg(*[F.expr(f"percentile(value, {q})") for q in (0.5, 0.9)])
+        .collect()
+        for i, q in enumerate((0.5, 0.9))
+    }
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= 2 * bin_w + 1e-9, (k, e, exact[k], bin_w)

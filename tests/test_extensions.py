@@ -295,3 +295,34 @@ def test_histogram_quantile_accuracy_bound(spark, sf_dir):
     }
     for k, e in est.items():
         assert abs(e - exact[k]) <= 2 * bin_w + 1e-9, (k, e, exact[k], bin_w)
+
+
+def test_histogram_quantile_cells_merge_law(spark, sf_dir):
+    """Mergeability: building cells on two disjoint halves and summing
+    counts per (group, bucket) equals building on the whole — the
+    property that lets per-partition/per-day sketches fold without
+    rescanning."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    w = (hi - lo) / 256.0
+    bucket = F.least(F.lit(255), F.floor((F.col("value") - F.lit(lo)) / F.lit(w)).cast("int"))
+
+    def cells(df):
+        return {
+            (r[0], r[1]): r[2]
+            for r in df.withColumn("__b", bucket)
+            .groupBy("event_type", "__b").count().collect()
+        }
+
+    whole = cells(ev)
+    h1 = cells(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = cells(ev.filter(F.col("event_id") % 2 == 1))
+    merged: dict = {}
+    for part in (h1, h2):
+        for k, n in part.items():
+            merged[k] = merged.get(k, 0) + n
+    assert merged == whole

@@ -689,6 +689,29 @@ def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient equi-join: lineitem (skewed-fact stand-in) joined
+    to orders through structural salting — left rows take a uniform
+    salt, the right side replicates per salt value, so a hot key's rows
+    spread over ``salt`` reducers instead of one
+    (plans/partitioning.py::salted_join). Salting is semantics-
+    preserving, so the oracle is the PLAIN join aggregate — a
+    full-value proof the rewrite changes the physical plan only."""
+    from mapr_plugins_spark.functions.deterministic import dsum
+    from mapr_plugins_spark.plans.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, on="o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
 def x_doc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5+A6+A6⁻¹ end-to-end THROUGH THE FILESYSTEM: customer records
     encode to keyed skip-null JSON documents (MapRDBJSONSink.java:
@@ -1202,6 +1225,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_fuzzy_join_levenshtein,
             x_snapshot_diff,
             x_doc_sink_roundtrip,
+            x_salted_join,
             x_ewma,
             x_dq_profile,
             x_ref_integrity,
@@ -1478,6 +1502,8 @@ def _pii_redact_oracle() -> str:
 
 
 def extension_oracles() -> dict[str, str]:
+    from mapr_plugins_spark.functions.deterministic import dsum_sql as _dsum_sql
+
     return {
         "q22_exact_dedup": """
             SELECT DISTINCT * FROM
@@ -1864,6 +1890,14 @@ def extension_oracles() -> dict[str, str]:
             FROM blocked a JOIN blocked b
               ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "x_salted_join": f"""
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_items,
+                   {_dsum_sql('l_quantity', 'sum_qty')},
+                   {_dsum_sql('l_extendedprice', 'sum_price')}
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "x_doc_sink_roundtrip": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -33,47 +33,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Explicit registration priority. The verify protocol grades a prefix
 #: window of the registry, so the leading keys are chosen to represent
-#: EVERY engine family — relational core, advanced joins, format parse,
-#: dedup, ANN, text analysis, curation, sampling, sketches, analytics,
-#: multimodal, and streaming — not just definition order. Keys not
-#: listed here follow in their module definition order.
+#: EVERY engine family. Round-3 structure: ~30 STABLE family
+#: representatives (keep driver regression coverage on every family,
+#: including the three round-2 fix-flips q62/x_interval_merge/
+#: x_ann_ivf_topk) + ~20 ROTATED slots cycling through keys the driver
+#: has never graded, so every registry key eventually earns a driver
+#: row. All 50 carry full-value DuckDB oracles (a rows-only key in the
+#: window burns a graded slot on a weaker check — round-2 lesson).
+#: Keys not listed here follow in their module definition order.
 PRIORITY: tuple[str, ...] = (
+    # --- stable family representatives (30) ---
     # relational core
     "q01_filter_project", "q02_groupagg", "q03_revenue_by_nation",
     "q04_broadcast_join", "q07_range_join", "q10_window_rank",
-    "q21_pandas_udf",
-    # collection/UDF families (hashable canonical outputs)
-    "q17_array_ops", "q31_map_funcs", "q34_collect", "q39_grouped_udaf",
-    "q41_row_udf", "q44_higher_order_funcs",
+    "q21_pandas_udf", "q39_grouped_udaf",
     # events-table paths (catalog NTZ contract)
-    "q18_json_funcs", "q20_scalar_subquery", "q36_grouping_sets",
-    "q47_exists_subquery", "q57_recursive_cte", "q62_sessionize",
-    "q63_url_funcs",
-    # advanced joins / merge / cogroup
-    "x_asof_join", "x_overlap_join", "x_merge_upsert", "x_cogroup_merge",
-    # format parse + document sink round-trip (reference A4/A5/A6/A6⁻¹:
-    # encode → two-phase table write → declared-schema decode == identity)
+    "q62_sessionize",
+    # advanced joins / merge
+    "x_asof_join", "x_merge_upsert",
+    # format parse + document sink round-trip (reference A4/A5/A6/A6⁻¹)
     "q26_clf_parse", "x_doc_sink_roundtrip",
     # dedup family
     "q22_exact_dedup", "x_dedup_minhash_pairs", "x_minhash_clusters",
-    "x_dedup_ngram_jaccard", "x_url_canonical_dedup",
-    # similarity search
+    # similarity search (x_ann_ivf_topk: index-backed exhaustive probe,
+    # full cosine oracle — replaces the round-2 rows-only slot)
     "q24_ann_topk", "x_ann_ivf_topk",
-    # text analysis / retrieval scoring
-    "x_text_tokens", "x_text_langid", "x_tfidf", "x_bm25",
-    # curation: redaction, chunking, packing
-    "x_text_pii_redact", "x_doc_chunk", "x_pack_sequences",
-    # sampling / splits
-    "x_split_assign",
-    # sketches / layout
-    "x_sketch_cms", "x_row_index",
-    # event analytics
-    "x_ewma", "x_interval_merge",
+    # text analysis / retrieval scoring / curation
+    "x_text_tokens", "x_tfidf", "x_text_pii_redact", "x_doc_chunk",
+    "x_pack_sequences",
+    # sampling / sketches / analytics
+    "x_split_assign", "x_sketch_cms", "x_ewma", "x_interval_merge",
     # multimodal plumbing
     "x_mm_meta",
     # streaming
-    "s01_tumbling_window", "s03_session_window", "s04_stateful_dedup",
-    "s10_cdc_merge_upsert",
+    "s01_tumbling_window", "s10_cdc_merge_upsert",
+    # --- rotation slots (20, round 3: never-graded keys) ---
+    # relational tail incl. the four keys whose dtype/date artifacts the
+    # round-3 harness caught and fixed — prove them under the driver
+    "q05_left_join", "q09_rollup", "q15_date_funcs",
+    "q38_window_analytics", "q49_date_extras", "q50_null_order_try_arith",
+    # format parse tail
+    "q27_syslog_parse", "q28_grok_parse", "q29_csv_parse",
+    # extension tail
+    "x_curate", "x_rrf_fusion", "x_gap_fill", "x_cohort_retention",
+    # streaming tail (s11: the A1 Kafka-API DataSource; s12: GroupState
+    # fold — both full-value-oracled, zero driver rows before round 3)
+    "s02_sliding_window", "s05_stream_static_join",
+    "s06_stream_stream_join", "s07_dedup_within_watermark",
+    "s08_stateful_running_max", "s11_pyds_kafka_source", "s12_stream_ewma",
 )
 
 
@@ -82,30 +89,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     PRIORITY order first so any graded prefix covers the whole engine."""
     from mapr_plugins_spark import queries as Q
 
+    # No try/except here: an unimportable family must fail LOUDLY with
+    # its real cause, not silently shrink the registry (a silent except
+    # would drop PRIORITY keys and trip the missing-check below with a
+    # misleading KeyError instead of the actual ImportError).
+    from mapr_plugins_spark.operators.registry import extension_queries
+    from mapr_plugins_spark.sources.registry import format_queries
+    from mapr_plugins_spark.streaming.registry import streaming_queries
+
     reg: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, fn in vars(Q).items():
         if callable(fn) and name.startswith("q") and getattr(fn, "__module__", "").endswith(
             "queries"
         ):
             reg[name] = fn
-    try:
-        from mapr_plugins_spark.operators.registry import extension_queries
-
-        reg.update(extension_queries())
-    except ImportError:
-        pass
-    try:
-        from mapr_plugins_spark.streaming.registry import streaming_queries
-
-        reg.update(streaming_queries())
-    except ImportError:
-        pass
-    try:
-        from mapr_plugins_spark.sources.registry import format_queries
-
-        reg.update(format_queries())
-    except ImportError:
-        pass
+    reg.update(extension_queries())
+    reg.update(streaming_queries())
+    reg.update(format_queries())
     missing = [k for k in PRIORITY if k not in reg]
     if missing:  # a priority key must never silently vanish
         raise KeyError(f"PRIORITY keys missing from registry: {missing}")
@@ -118,23 +118,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key (omitted keys → rows-only check)."""
     from mapr_plugins_spark.oracles import RELATIONAL_ORACLES
 
+    from mapr_plugins_spark.operators.registry import extension_oracles
+    from mapr_plugins_spark.sources.registry import format_oracles
+    from mapr_plugins_spark.streaming.registry import streaming_oracles
+
     out = dict(RELATIONAL_ORACLES)
-    try:
-        from mapr_plugins_spark.operators.registry import extension_oracles
-
-        out.update(extension_oracles())
-    except ImportError:
-        pass
-    try:
-        from mapr_plugins_spark.streaming.registry import streaming_oracles
-
-        out.update(streaming_oracles())
-    except ImportError:
-        pass
-    try:
-        from mapr_plugins_spark.sources.registry import format_oracles
-
-        out.update(format_oracles())
-    except ImportError:
-        pass
+    out.update(extension_oracles())
+    out.update(streaming_oracles())
+    out.update(format_oracles())
     return out

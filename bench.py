@@ -56,6 +56,7 @@ def main() -> None:
         "x_sketch_hll",
         "q24_ann_topk",
         "x_ann_ivf_batch",
+        "x_ann_ivf_batch_prod",  # guard-free production ANN plan
         "q47_exists_subquery",
         "x_text_quality",
         "s03_session_window",

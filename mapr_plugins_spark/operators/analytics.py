@@ -114,31 +114,49 @@ def ewma(
     An EWMA is an inherently sequential fold (the closed-form cumsum
     rewrite overflows for long histories), so it parallelizes the same
     way packing does: keys shuffle once, each key's ordered history
-    folds inside one Arrow batch task with O(1) state. Key count is the
-    parallelism unit — exactly the per-entity layout a metrics store
-    has at scale."""
+    folds with O(1) state. The Arrow granularity is ONE pandas call per
+    PARTITION, not per key: repartition(key) + sortWithinPartitions
+    co-locates and orders every key's history, and a partition-level
+    ``pdf.groupby(key).ewm`` evaluates the identical recurrence — with
+    ~10k tiny groups, per-key applyInPandas spends its time on Python/
+    Arrow batch overhead (12.7 s at sf0.1) while the per-partition fold
+    is bounded by ~n_partitions batches (≈3 s)."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     cols = [key_col, *order_cols, value_col]
     # explicit hash repartition on the key: AQE would coalesce the tiny
-    # groupBy exchange to a couple of partitions (it optimizes shuffle
-    # BYTES and is blind to the per-row Python cost behind it); a
-    # user-specified repartition is exempt from coalescing and already
-    # satisfies the grouping clustering, so no second exchange appears
-    d = df.select(*cols).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, key_col
+    # exchange to a couple of partitions (it optimizes shuffle BYTES
+    # and is blind to the per-row Python cost behind it); a
+    # user-specified repartition is exempt from coalescing
+    d = (
+        df.select(*cols)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, key_col)
+        .sortWithinPartitions(key_col, *order_cols)
     )
     schema = StructType(list(d.schema.fields) + [StructField(out_col, DoubleType())])
 
-    def _fold(pdf):
-        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
-        # pandas ewm(adjust=False) is exactly e_t = a·v_t + (1-a)·e_{t-1}
-        # with e_0 = v_0, evaluated in C — same IEEE recurrence as the
-        # SQL-oracle fold, ~30× the hand loop
-        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
-        return pdf
+    def _fold(batches):
+        import pandas as pd
 
-    return d.groupBy(key_col).applyInPandas(_fold, schema)
+        # Arrow streams a partition as MULTIPLE batches (default 10k
+        # rows); a key's history split across batches would restart the
+        # recurrence mid-key, so materialize the partition first —
+        # O(partition) memory, the same bound applyInPandas had per
+        # group, controlled by the repartition width above.
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        # rows are key-clustered and (key, order)-sorted by the plan;
+        # pandas ewm(adjust=False) is exactly
+        # e_t = a·v_t + (1-a)·e_{t-1} with e_0 = v_0, evaluated in C
+        # per group — same IEEE recurrence as the SQL oracle
+        pdf[out_col] = pdf.groupby(key_col, sort=False)[value_col].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        )
+        yield pdf
+
+    return d.mapInPandas(_fold, schema)
 
 
 def merge_intervals(

@@ -146,9 +146,10 @@ def q24_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_recall_guard(approx: DataFrame, exact: DataFrame, k: int, floor: float) -> DataFrame:
     """Join an approximate top-k against the exact top-k and emit each
-    approx row with a ``recall_at_k`` column, hard-asserted ≥ ``floor``
-    inside the query plan (assert_true throws → a quality regression
-    fails the rows check itself, not just a separate unit test)."""
+    approx row with a ``recall_at_k`` column whose expression IS the
+    assertion: when(recall >= floor, recall).otherwise(raise_error) —
+    a quality regression fails the rows check itself, and Catalyst
+    cannot prune the guard because it's the retained column."""
     from pyspark.sql import Window as _W
 
     flagged = approx.join(
@@ -156,15 +157,17 @@ def _with_recall_guard(approx: DataFrame, exact: DataFrame, k: int, floor: float
         F.col("vec_id") == F.col("__exact_id"),
         "left",
     ).withColumn("__hit", F.col("__exact_id").isNotNull().cast("int"))
-    recall = F.sum("__hit").over(_W.partitionBy()) / F.lit(k)
-    out = flagged.withColumn("recall_at_k", F.round(recall, 3)).drop("__exact_id", "__hit")
-    return out.withColumn(
-        "__guard",
-        F.assert_true(
-            F.col("recall_at_k") >= F.lit(floor),
-            F.concat(F.lit("ANN recall below floor: "), F.col("recall_at_k").cast("string")),
-        ),
-    ).drop("__guard")
+    recall = F.round(F.sum("__hit").over(_W.partitionBy()) / F.lit(k), 3)
+    # The assertion is folded INTO the retained recall column — a
+    # standalone `withColumn(assert_true).drop()` is eliminated by
+    # Catalyst column pruning and never evaluates (verified by
+    # tests/test_extensions.py::test_recall_guard_throws_on_violation).
+    guarded = F.when(recall >= F.lit(floor), recall).otherwise(
+        F.raise_error(
+            F.concat(F.lit("ANN recall below floor: "), recall.cast("string"))
+        ).cast("double")
+    )
+    return flagged.withColumn("recall_at_k", guarded).drop("__exact_id", "__hit")
 
 
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,22 +183,67 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 (4/16 lists probed) with an in-plan recall guard at
-    0.2 — partial probing bounds recall loosely on this uniform corpus;
-    full probing recovers the exact set (tests/test_extensions.py)."""
+    """Index-backed IVF top-5 with EXHAUSTIVE probing (n_probe =
+    n_lists), which is provably identical to brute force
+    (tests/test_extensions.py pins the equivalence) — so this key
+    carries the same full-value DuckDB cosine oracle as q24 while
+    transiting the production machinery: persisted list-partitioned
+    index staged once per data fingerprint (NO query-time KMeans fit),
+    centroid-routed list assignment, list-id equi-join, per-probe
+    window ranking. The approximate paths (partial probe, LSH) stay
+    rows-only with in-plan recall floors: x_ann_ivf_batch,
+    x_ann_lsh_topk, x_ann_lsh_indexed."""
     emb = _t(spark, sf_dir, "embeddings")
+    d = _ivf_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.ivf_index_write(emb, tmp, n_lists=16))
     probe = S.probe_of(emb, probe_id=0)
-    approx = S.ivf_topk(emb, probe, k=5, n_lists=16, n_probe=4)
-    exact = S.brute_force_topk(emb, probe, k=5)
-    return _with_recall_guard(approx, exact, k=5, floor=0.2)
+    out = S.ivf_topk_indexed_batch(spark, d, probe, k=5, n_probe=16)
+    return out.select("vec_id", "cos6")
 
 
-def _lsh_index_dir(sf_dir: str) -> str:
+def _data_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Fingerprint the source parquet (path + size + mtime of every
+    file) so a staged index is keyed on the DATA, not just the
+    directory string — regenerated data at the same path can never be
+    served a stale index."""
     import hashlib
     import os
 
-    key = hashlib.md5(f"{sf_dir}/lsh6".encode()).hexdigest()[:12]
-    d = f"/tmp/mapr_plugins_lsh/{key}"
+    h = hashlib.md5()
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    paths = (
+        sorted(os.path.join(p, f) for f in os.listdir(p)) if os.path.isdir(p) else [p]
+    )
+    for q in paths:
+        st = os.stat(q)
+        h.update(f"{q}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def _ensure_staged(d: str, build) -> None:
+    """Build a persisted index into a temp sibling and atomically
+    rename it into place, so concurrent stagers (parallel graders)
+    race safely: exactly one rename wins, the loser discards its
+    tree and uses the winner's."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(f"{d}/_SUCCESS"):
+        return
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    tmp = f"{d}.tmp-{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    import os
+
+    d = f"/tmp/mapr_plugins_lsh/{_data_fingerprint(sf_dir)}-lsh6"
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 
@@ -206,12 +254,9 @@ def x_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the candidate ``sig=`` directories — the I/O-pruning layout
     flat LSH lacks. Index staged once per sf_dir (idempotent); output
     carries the same in-plan recall guard as the flat variant."""
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     d = _lsh_index_dir(sf_dir)
-    if not os.path.exists(f"{d}/_SUCCESS"):
-        S.lsh_index_write(emb, d, n_bits=6, dim=64)
+    _ensure_staged(d, lambda tmp: S.lsh_index_write(emb, tmp, n_bits=6, dim=64))
     probe = S.probe_of(emb, probe_id=0)
     approx = S.lsh_topk_indexed(spark, d, probe, k=5, n_bits=6, dim=64)
     exact = S.brute_force_topk(emb, probe, k=5)
@@ -219,13 +264,37 @@ def x_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
-    import hashlib
     import os
 
-    key = hashlib.md5(f"{sf_dir}/ivf16".encode()).hexdigest()[:12]
-    d = f"/tmp/mapr_plugins_ivf/{key}"
+    # v2: corpus/centroids subdirs (atomically-renameable single root)
+    d = f"/tmp/mapr_plugins_ivf/{_data_fingerprint(sf_dir)}-ivf16v2"
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
+
+
+def _ivf_probe_batch(emb: DataFrame):
+    """Deterministic 8-probe batch: orderBy before limit — LIMIT
+    without ORDER BY returns arbitrary rows, which would make the
+    probe set (and bench timings) nondeterministic across
+    partitionings."""
+    return emb.filter(F.col("vec_id") % 97 == 0).orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def x_ann_ivf_batch_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production batch-IVF plan WITHOUT the in-plan exact-recall
+    guard: persisted list-partitioned index, centroid routing, list-id
+    equi-join, per-probe ranking. The guarded variant computes a
+    brute-force exact top-k alongside (corpus × probes) purely as a
+    correctness harness — at 100 TB that guard IS the dominant cost,
+    so the bench times this plan separately to reflect what actually
+    runs at scale (rows-only key; exactness of the machinery is graded
+    via x_ann_ivf_topk's full-value oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _ivf_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.ivf_index_write(emb, tmp, n_lists=16))
+    return S.ivf_topk_indexed_batch(spark, d, _ivf_probe_batch(emb), k=5, n_probe=4)
 
 
 def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,15 +304,10 @@ def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads n_probe/n_lists of the files). 8 probe vectors as a TABLE,
     list-id equi-join instead of per-probe crossJoin, with mean
     recall@5 vs the exact batch top-k asserted ≥ 0.2 in-plan."""
-    import os
-
     emb = _t(spark, sf_dir, "embeddings")
     d = _ivf_index_dir(sf_dir)
-    if not os.path.exists(f"{d}/_SUCCESS"):
-        S.ivf_index_write(emb, d, n_lists=16)
-    probes = emb.filter(F.col("vec_id") % 97 == 0).limit(8).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
-    )
+    _ensure_staged(d, lambda tmp: S.ivf_index_write(emb, tmp, n_lists=16))
+    probes = _ivf_probe_batch(emb)
     approx = S.ivf_topk_indexed_batch(spark, d, probes, k=5, n_probe=4)
     exact = S.brute_force_topk_batch(emb, probes, k=5).select(
         F.col("probe_id").alias("__epid"), F.col("vec_id").alias("__eid")
@@ -261,10 +325,12 @@ def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(5)
     out = hit.withColumn("recall_at_5", F.round(per_probe, 3)).drop("__epid", "__eid")
     mean_recall = F.avg("recall_at_5").over(_W.partitionBy())
-    return out.withColumn(
-        "__guard",
-        F.assert_true(mean_recall >= 0.2, F.lit("batch IVF mean recall below floor")),
-    ).drop("__guard")
+    # assertion folded into the retained column (prune-proof, see
+    # _with_recall_guard)
+    guarded = F.when(mean_recall >= 0.2, F.col("recall_at_5")).otherwise(
+        F.raise_error(F.lit("batch IVF mean recall below floor")).cast("double")
+    )
+    return out.withColumn("recall_at_5", guarded)
 
 
 def x_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,13 +401,14 @@ def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = F.round(
         F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"), 4
     )
-    typed = typed.withColumn("rel_err", rel_err).withColumn(
-        "__guard",
-        F.assert_true(
-            F.col("rel_err") <= 0.05,
-            F.concat(F.lit("HLL error above 5%: "), F.col("rel_err").cast("string")),
-        ),
-    ).drop("__guard")
+    # assertion folded into the retained rel_err column (prune-proof,
+    # see _with_recall_guard)
+    guarded = F.when(rel_err <= 0.05, rel_err).otherwise(
+        F.raise_error(
+            F.concat(F.lit("HLL error above 5%: "), rel_err.cast("string"))
+        ).cast("double")
+    )
+    typed = typed.withColumn("rel_err", guarded)
     return typed.unionByName(
         per_type.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
@@ -1028,10 +1095,13 @@ def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention matrix over events."""
+    """Weekly cohort retention matrix over events. cohort_week goes out
+    as an ISO string (raw DATE columns can't hash-match under pandas
+    materialization — DuckDB DATE becomes a midnight Timestamp)."""
     from mapr_plugins_spark.operators.analytics import cohort_retention
 
-    return cohort_retention(_events_ntz(spark, sf_dir), "user_id", "ts")
+    out = cohort_retention(_events_ntz(spark, sf_dir), "user_id", "ts")
+    return out.withColumn("cohort_week", F.date_format("cohort_week", "yyyy-MM-dd"))
 
 
 def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1267,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_lsh_topk,
             x_ann_ivf_topk,
             x_ann_ivf_batch,
+            x_ann_ivf_batch_prod,
             x_ann_lsh_indexed,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
@@ -1526,6 +1597,19 @@ def extension_oracles() -> dict[str, str]:
                      vec_id
             LIMIT 5
         """,
+        # exhaustive-probe indexed IVF ≡ brute force, so it shares the
+        # exact cosine oracle — the index machinery is what's under test
+        "x_ann_ivf_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6)
+                       AS cos6
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
+                     vec_id
+            LIMIT 5
+        """,
         "x_split_assign": f"""
             SELECT doc_id,
                    CAST({seeded_hash60_sql("CAST(doc_id AS STRING)", "7")} % 100 AS INTEGER)
@@ -1671,7 +1755,7 @@ def extension_oracles() -> dict[str, str]:
                 FROM events
             ),
             firstw AS (SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
-            SELECT cohort_week,
+            SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
                    CAST((week - cohort_week) // 7 AS INT) AS week_offset,
                    COUNT(DISTINCT w.user_id) AS n_keys
             FROM weeks w JOIN firstw f ON f.user_id = w.user_id
@@ -1790,8 +1874,9 @@ def extension_oracles() -> dict[str, str]:
             ),
             m AS (
                 SELECT user_id, s, e,
-                       sum(ng) OVER (PARTITION BY user_id ORDER BY s, e
-                                     ROWS UNBOUNDED PRECEDING) AS interval_seq
+                       CAST(sum(ng) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS interval_seq
                 FROM g
             )
             SELECT user_id, interval_seq,
@@ -2101,10 +2186,12 @@ def extension_oracles() -> dict[str, str]:
                    md5(text) AS digest
             FROM documents
         """,
-        # x_ann_lsh_topk, x_ann_lsh_indexed, x_ann_ivf_topk, x_ann_ivf_batch,
+        # x_ann_lsh_topk, x_ann_lsh_indexed, x_ann_ivf_batch,
         # x_mm_features:
-        # rows-only, but self-verifying — each output carries its own
-        # recall/error column hard-asserted in-plan (assert_true), so the
-        # driver's rows check certifies quality; also pinned by
-        # tests/test_extensions.py.
+        # rows-only, but self-verifying — each output's recall/error
+        # column is itself the guard (when(cond, value).otherwise(
+        # raise_error), prune-proof because the assertion IS the
+        # retained column), so the driver's rows check certifies
+        # quality; a violated floor provably throws
+        # (tests/test_extensions.py::test_recall_guard_throws_on_violation).
     }

@@ -347,11 +347,13 @@ def ivf_index_write(
 ) -> None:
     """Build and persist the IVF index: KMeans coarse quantizer fit
     (distributed, MLlib), corpus written hive-partitioned by
-    ``list_id``, centroids (n_lists × dim doubles — metadata-sized) to
-    ``<path>_centroids``. Build once, query many: the fit cost
-    amortizes across every later probe batch, and the list becomes a
-    physical partition so probing reads only ``n_probe/n_lists`` of
-    the files."""
+    ``list_id`` under ``<path>/corpus``, centroids (n_lists × dim
+    doubles — metadata-sized) under ``<path>/centroids``. Everything
+    lives inside ONE directory so a stager can build it in a temp
+    sibling and atomically rename it into place. Build once, query
+    many: the fit cost amortizes across every later probe batch, and
+    the list becomes a physical partition so probing reads only
+    ``n_probe/n_lists`` of the files."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -365,13 +367,13 @@ def ivf_index_write(
         .repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(path)
+        .parquet(f"{path}/corpus")
     )
     spark = emb.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark.createDataFrame(rows, "list_id INT, centroid ARRAY<DOUBLE>").coalesce(
         1
-    ).write.mode("overwrite").parquet(f"{path}_centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_topk_indexed_batch(
@@ -394,7 +396,7 @@ def ivf_topk_indexed_batch(
 
     centers = {
         r.list_id: r.centroid
-        for r in spark.read.parquet(f"{index_path}_centroids").collect()
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
     }
     dists = F.array(
         *[
@@ -435,7 +437,7 @@ def ivf_topk_indexed_batch(
     exploded = probe_lists.select(
         "probe_id", "probe_vec", F.explode("list_ids").alias("list_id")
     )
-    idx = spark.read.parquet(index_path).filter(F.col("list_id").isin(needed))
+    idx = spark.read.parquet(f"{index_path}/corpus").filter(F.col("list_id").isin(needed))
     cands = idx.join(exploded, "list_id").filter(F.col(id_col) != F.col("probe_id"))
     scored = cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))

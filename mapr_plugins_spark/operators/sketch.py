@@ -188,9 +188,14 @@ def histogram_quantile(
     )
     d = df.select(group_col, value_col).crossJoin(F.broadcast(bounds))
     w_expr = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
-    bucket = F.least(
-        F.lit(n_bins - 1),
-        F.floor((F.col(value_col) - F.col("__lo")) / w_expr).cast("int"),
+    # degenerate range (all values equal): the divide would be 0/0 —
+    # Spark yields NULL there while DuckDB semantics may differ, so
+    # both sides short-circuit to bucket 0 (est then = lo exactly).
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col(value_col) - F.col("__lo")) / w_expr).cast("int"),
+        )
     )
     cells = (
         d.withColumn("__b", bucket)
@@ -246,9 +251,10 @@ def histogram_quantile_oracle_sql(
         ),
         cells AS (
             SELECT {group_col},
-                   LEAST({n_bins - 1},
-                         CAST(floor(({value_col} - lo) / ((hi - lo) / {float(n_bins)}))
-                              AS INTEGER)) AS __b,
+                   CASE WHEN hi = lo THEN 0
+                        ELSE LEAST({n_bins - 1},
+                             CAST(floor(({value_col} - lo) / ((hi - lo) / {float(n_bins)}))
+                                  AS INTEGER)) END AS __b,
                    COUNT(*) AS __n, first(lo) AS lo, first(hi) AS hi
             FROM {table}, bounds
             GROUP BY 1, 2

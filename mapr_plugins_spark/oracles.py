@@ -146,10 +146,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CAST(year(o_orderdate) AS INTEGER) AS yr,
                CAST(month(o_orderdate) AS INTEGER) AS mo,
                CAST(day(o_orderdate) AS INTEGER) AS dom,
-               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d')
+                   AS month_start,
                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER)
                    AS days_to_98,
-               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
                strftime(o_orderdate, '%Y-%m-%d') AS od_str
         FROM orders
     """,
@@ -451,10 +452,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
                CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
                CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
                CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
-               last_day(CAST(o_orderdate AS DATE)) AS eom,
-               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+               strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE),
+                        '%Y-%m-%d') AS plus3mo,
                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS epoch_day,
-               CAST(o_orderdate AS DATE) AS d_rt
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_rt
         FROM orders
     """,
     "q50_null_order_try_arith": """
@@ -609,8 +611,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
         ),
         s AS (
             SELECT user_id, ts, value,
-                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_seq
             FROM g
         )
         SELECT user_id, session_seq,

@@ -297,9 +297,15 @@ def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(od).alias("yr"),
         F.month(od).alias("mo"),
         F.dayofmonth(od).alias("dom"),
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        # date-valued outputs go out as ISO strings: pandas
+        # materialization renders DuckDB DATE as midnight Timestamp but
+        # Spark DATE as datetime.date, so a raw DATE column can never
+        # hash-match the driver even when values agree
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
         F.datediff(F.lit("1998-01-01").cast("date"), od).alias("days_to_98"),
-        F.date_add(od, 30).alias("due_date"),
+        F.date_format(F.date_add(od, 30), "yyyy-MM-dd").alias("due_date"),
         F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("od_str"),
     )
 
@@ -828,11 +834,12 @@ def q49_date_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(od).alias("wk"),
         F.dayofweek(od).alias("dow"),
         F.dayofyear(od).alias("doy"),
-        F.last_day(od).alias("eom"),
-        F.add_months(od, 3).alias("plus3mo"),
+        # ISO strings, not raw DATEs — see q15_date_funcs
+        F.date_format(F.last_day(od), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.add_months(od, 3), "yyyy-MM-dd").alias("plus3mo"),
         # date → epoch-day → date round-trip (tz-free by construction)
         F.unix_date(od).alias("epoch_day"),
-        F.date_from_unix_date(F.unix_date(od)).alias("d_rt"),
+        F.date_format(F.date_from_unix_date(F.unix_date(od)), "yyyy-MM-dd").alias("d_rt"),
     )
 
 

@@ -105,7 +105,13 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
         r.vec_id for r in ivf_topk(emb, probe, k=5, n_lists=16, n_probe=16).collect()
     ]
     assert full_probe == exact, f"full-probe IVF must be exact: {full_probe} vs {exact}"
-    partial = {r.vec_id for r in R.x_ann_ivf_topk(spark, sf_dir).collect()}
+    # the graded key is the INDEX-BACKED exhaustive probe — also exact
+    indexed = [r.vec_id for r in R.x_ann_ivf_topk(spark, sf_dir).collect()]
+    assert indexed == exact, f"indexed exhaustive IVF must be exact: {indexed} vs {exact}"
+    # partial probing (the approximate path) keeps nonzero overlap
+    partial = {
+        r.vec_id for r in ivf_topk(emb, probe, k=5, n_lists=16, n_probe=4).collect()
+    }
     assert len(partial) == 5
     assert len(set(exact) & partial) >= 1, f"IVF recall collapsed: {set(exact) & partial}"
 
@@ -224,7 +230,7 @@ def test_ivf_batch_matches_brute_on_full_probe(spark, sf_dir):
     from pyspark.sql import functions as F
 
     emb = table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 101 == 0).limit(4).select(
+    probes = emb.filter(F.col("vec_id") % 101 == 0).orderBy("vec_id").limit(4).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     exact = {
@@ -240,13 +246,32 @@ def test_ivf_batch_matches_brute_on_full_probe(spark, sf_dir):
 
 def test_ann_guard_queries_execute(spark, sf_dir):
     """The self-verifying ANN queries run end-to-end (their in-plan
-    assert_true guards hold on the shipped corpus)."""
+    recall guards hold on the shipped corpus)."""
     from mapr_plugins_spark.operators import registry as R
 
     rows = R.x_ann_ivf_batch(spark, sf_dir).collect()
     assert rows and all(0.0 <= r.recall_at_5 <= 1.0 for r in rows)
     rows = R.x_ann_lsh_topk(spark, sf_dir).collect()
     assert rows and rows[0].recall_at_k >= 0.4
+
+
+def test_recall_guard_throws_on_violation(spark):
+    """Negative proof the in-plan guard is NOT pruned by Catalyst: a
+    violated floor must raise at collect time. (The old standalone
+    `withColumn(assert_true).drop()` guard column was eliminated by
+    column pruning and never evaluated — a failing guard collected
+    cleanly.)"""
+    import pytest
+    from mapr_plugins_spark.operators.registry import _with_recall_guard
+
+    approx = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    exact = spark.createDataFrame([(10,), (20,)], "vec_id long")  # recall 0
+    bad = _with_recall_guard(approx, exact, k=2, floor=0.5)
+    with pytest.raises(Exception, match="recall below floor"):
+        bad.collect()
+    # and a satisfied floor passes values through unchanged
+    ok = _with_recall_guard(approx, exact, k=2, floor=0.0)
+    assert [r.recall_at_k for r in ok.collect()] == [0.0, 0.0]
 
 
 def test_hamming_ball_properties():
@@ -295,6 +320,20 @@ def test_histogram_quantile_accuracy_bound(spark, sf_dir):
     }
     for k, e in est.items():
         assert abs(e - exact[k]) <= 2 * bin_w + 1e-9, (k, e, exact[k], bin_w)
+
+
+def test_histogram_quantile_degenerate_range(spark):
+    """All values equal (hi == lo): the bucket divide would be 0/0 —
+    both the operator and the oracle short-circuit to bucket 0, and
+    every quantile estimate is exactly that value."""
+    from mapr_plugins_spark.operators.sketch import histogram_quantile
+
+    df = spark.createDataFrame(
+        [("a", 7.5), ("a", 7.5), ("b", 7.5)], "g string, v double"
+    )
+    rows = histogram_quantile(df, "g", "v").collect()
+    assert len(rows) == 4  # 2 groups x 2 quantiles
+    assert all(r.est == 7.5 for r in rows), rows
 
 
 def test_histogram_quantile_cells_merge_law(spark, sf_dir):

@@ -85,10 +85,14 @@ def test_q41_plan_has_no_python_row_path(spark, sf_dir):
 def test_driver_hashable_output_schemas(spark, sf_dir):
     """Every registered queries() output schema must be free of
     array/map/struct columns — the driver's canonicalizer hashes cell
-    values via pandas and collection cells are unhashable. This gate
-    keeps every graded key hashable by construction."""
+    values via pandas and collection cells are unhashable — AND free of
+    raw DATE columns: pandas materialization renders DuckDB DATE as a
+    midnight Timestamp but Spark DATE as datetime.date, so a DATE
+    column can never hash-match even when values agree (caught locally
+    on q15/q49/x_cohort_retention in round 3). Dates go out as ISO
+    strings."""
     import __spark_entry__ as E
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DateType, MapType, StructType
 
     bad: list[str] = []
     for name, fn in E.queries().items():
@@ -98,6 +102,6 @@ def test_driver_hashable_output_schemas(spark, sf_dir):
             bad.append(f"{name}: ERROR {type(exc).__name__}: {exc}")
             continue
         for f in schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DateType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, "unhashable graded outputs:\n" + "\n".join(bad)
+    assert not bad, "driver-hazardous graded outputs:\n" + "\n".join(bad)

@@ -148,12 +148,15 @@ def ewma(
             return
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         # rows are key-clustered and (key, order)-sorted by the plan;
-        # pandas ewm(adjust=False) is exactly
-        # e_t = a·v_t + (1-a)·e_{t-1} with e_0 = v_0, evaluated in C
-        # per group — same IEEE recurrence as the SQL oracle
-        pdf[out_col] = pdf.groupby(key_col, sort=False)[value_col].transform(
-            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
-        )
+        # GroupBy.ewm(adjust=False) is exactly
+        # e_t = a·v_t + (1-a)·e_{t-1} with e_0 = v_0, evaluated in
+        # Cython across ALL groups in one call — same IEEE recurrence
+        # as the SQL oracle (a transform(lambda) here re-enters Python
+        # per group: ~10k calls/partition dominated the runtime)
+        s = pdf.groupby(key_col, sort=False)[value_col].ewm(
+            alpha=alpha, adjust=False
+        ).mean()
+        pdf[out_col] = s.reset_index(level=0, drop=True)
         yield pdf
 
     return d.mapInPandas(_fold, schema)

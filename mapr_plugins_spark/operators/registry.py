@@ -234,6 +234,10 @@ def _ensure_staged(d: str, build) -> None:
     os.makedirs(os.path.dirname(d), exist_ok=True)
     tmp = f"{d}.tmp-{uuid.uuid4().hex[:8]}"
     build(tmp)
+    # root-level marker: the builder's own _SUCCESS files live in
+    # subdirectories (corpus/, centroids/), so without this every call
+    # would silently re-stage — re-fitting KMeans per execution
+    open(os.path.join(tmp, "_SUCCESS"), "a").close()
     try:
         os.rename(tmp, d)
     except OSError:

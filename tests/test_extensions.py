@@ -255,6 +255,31 @@ def test_ann_guard_queries_execute(spark, sf_dir):
     assert rows and rows[0].recall_at_k >= 0.4
 
 
+def test_ensure_staged_is_idempotent_and_atomic(tmp_path):
+    """_ensure_staged must build exactly once (a missing root-level
+    _SUCCESS caused silent per-execution KMeans re-fits — 2x bench
+    cost) and a racing second build must lose cleanly."""
+    import os
+
+    from mapr_plugins_spark.operators.registry import _ensure_staged
+
+    d = str(tmp_path / "idx")
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        os.makedirs(os.path.join(p, "corpus"), exist_ok=True)
+
+    _ensure_staged(d, build)
+    _ensure_staged(d, build)
+    assert len(calls) == 1, "restaged despite _SUCCESS"
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert os.path.exists(os.path.join(d, "corpus"))
+    # no leftover temp siblings
+    leftovers = [x for x in os.listdir(tmp_path) if x.startswith("idx.tmp-")]
+    assert not leftovers, leftovers
+
+
 def test_recall_guard_throws_on_violation(spark):
     """Negative proof the in-plan guard is NOT pruned by Catalyst: a
     violated floor must raise at collect time. (The old standalone

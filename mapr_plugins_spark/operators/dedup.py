@@ -303,9 +303,14 @@ def collapse_components(
     itself and its neighbors (one grouped-min over edges, shuffle
     bounded by |edges|), localCheckpoint-truncated per round, until a
     fixpoint — rounds ≈ cluster diameter, tiny for near-dup clusters.
+
+    The size probe and the edge fetch are ONE bounded job:
+    ``limit(max+1).collect()`` caps driver memory exactly like a
+    count-first probe would, without executing the (unpersisted,
+    often expensive) pair plan twice.
     """
-    n_pairs = pairs.count()
-    if n_pairs <= max_driver_edges:
+    probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
         parent: dict = {}
 
         def find(x):
@@ -316,7 +321,7 @@ def collapse_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in pairs.select(id_a, id_b).collect():
+        for row in probe:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

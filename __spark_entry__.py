@@ -72,8 +72,11 @@ PRIORITY: tuple[str, ...] = (
     # round-3 harness caught and fixed — prove them under the driver
     "q05_left_join", "q09_rollup", "q15_date_funcs",
     "q38_window_analytics", "q49_date_extras", "q50_null_order_try_arith",
-    # format parse tail
-    "q27_syslog_parse", "q28_grok_parse", "q29_csv_parse",
+    # format parse tail (q29_csv_parse stays pytest-covered: CSV parse
+    # already transits graded q26-family machinery)
+    "q27_syslog_parse", "q28_grok_parse",
+    # round-3 debut: substring-level exact dedup (Lee et al. criterion)
+    "x_substr_dedup",
     # extension tail
     "x_curate", "x_rrf_fusion", "x_gap_fill", "x_cohort_retention",
     # streaming tail (s11: the A1 Kafka-API DataSource; s12: GroupState

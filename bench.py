@@ -53,6 +53,7 @@ def main() -> None:
         "q39_grouped_udaf",
         "x_dedup_minhash_pairs",
         "x_dedup_ngram_jaccard",
+        "x_substr_dedup",
         "x_sketch_hll",
         "q24_ann_topk",
         "x_ann_ivf_batch",

@@ -25,7 +25,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
@@ -283,6 +283,83 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), grams.alias("g")
     )
     return _jaccard_verify(garr, cand, threshold)
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring-level duplication profile: per document, the
+    number/fraction of tokens covered by at least one length-``n``
+    token window that also occurs in ANOTHER document — the substring
+    dedup criterion of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better", public paper), realized as dataflow
+    instead of a suffix array.
+
+    Plan shape (linear in corpus tokens, the standard MapReduce form):
+
+    1. one narrow codegen'd projection builds every window's portable
+       60-bit hash row-locally (ONE md5 per window) and explodes
+       ``(doc_id, pos, gh)`` — the n× token blow-up inherent to
+       substring dedup, shuffled as a BIGINT key, not the window text;
+    2. one grouped aggregation (map-side partial) keeps hashes seen in
+       ≥ 2 distinct documents;
+    3. hits join back on ``gh``;
+    4. per-document coverage is a gaps-and-islands interval union over
+       the equal-length windows — one window function over
+       ``(doc_id, pos)``, then the island extents sum.
+
+    Output: ``(doc_id, n_tokens, dup_tokens, dup_frac)``, one row per
+    input document (no duplicated window → 0). Hash collisions cannot
+    desync the DuckDB oracle: both engines hash identically, so they
+    agree even on a colliding pair.
+    """
+    w = F.split(F.col(text_col), " ")
+    base = fan_out(
+        docs.select(F.col(id_col).alias("doc_id"), text_col)
+    ).select("doc_id", w.alias("__w")).withColumn("n_tokens", F.size("__w").cast("long"))
+    gram_arr = F.expr(
+        f"transform(sequence(0, cast(n_tokens as int) - {n}),"
+        f" i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+    )
+    exploded = (
+        base.filter(F.col("n_tokens") >= n)
+        .select("doc_id", "n_tokens", F.posexplode(gram_arr).alias("pos", "__gram"))
+    )
+    grams = with_seeded_hash60(exploded, "gh", "__gram", "0").drop("__gram").persist()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    lag_pos = F.lag("pos").over(wspec)
+    islands = (
+        hits.withColumn(
+            "ni", F.when(lag_pos.isNull() | (F.col("pos") > lag_pos + n), 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("ni").over(wspec))
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") + n - F.min("pos")).cast("long").alias("span"))
+    )
+    cov = islands.groupBy("doc_id").agg(F.sum("span").cast("long").alias("dup_tokens"))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )
 
 
 def collapse_components(

@@ -349,6 +349,15 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, n=4, block_chars=16, threshold=0.6)
 
 
+def x_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup profile (Lee et al. 2021 criterion):
+    per document, tokens covered by an 8-token window that recurs in
+    another document. Dataflow form of suffix-array dedup — window
+    hashes, ≥2-distinct-docs filter, gaps-and-islands coverage union."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.duplicated_ngram_spans(docs, n=8)
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
@@ -1275,6 +1284,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_lsh_indexed,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
+            x_substr_dedup,
             x_dedup_simhash,
             x_dedup_embcos,
             x_hypertable_rollup,
@@ -1398,6 +1408,52 @@ def _minhash_pairs_ctes(corpus_sql: str, threshold: float) -> str:
 
 def _minhash_oracle() -> str:
     return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
+
+
+def _substr_dedup_oracle(n: int = 8) -> str:
+    """SQL replay of duplicated_ngram_spans: identical window hashing
+    (portable md5-60), identical ≥2-distinct-docs rule, identical
+    gaps-and-islands coverage union. Window SUM stays internal (a
+    GROUP BY key), so no HUGEINT ever reaches the graded output."""
+    gh = seeded_hash60_sql(f"array_to_string(w[pos + 1 : pos + {n}], ' ')", "0")
+    return f"""
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id, w, unnest(range(0, len(w) - {n} + 1)) AS pos
+            FROM base WHERE len(w) >= {n}
+        ),
+        grams AS (SELECT doc_id, pos, {gh} AS gh FROM win),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {n}
+                        THEN 1 ELSE 0 END AS ni
+            FROM hits
+        ),
+        isl2 AS (
+            SELECT doc_id, pos,
+                   SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, island, MAX(pos) + {n} - MIN(pos) AS span
+            FROM isl2 GROUP BY 1, 2
+        ),
+        cov AS (
+            SELECT doc_id, CAST(SUM(span) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(c.dup_tokens, 0) AS dup_tokens,
+               CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+        FROM base b LEFT JOIN cov c USING (doc_id)
+    """
 
 
 def _clusters_oracle() -> str:
@@ -1663,6 +1719,7 @@ def extension_oracles() -> dict[str, str]:
         "x_mm_features_arrow": _MM_FEATURES_SQL,
         "x_curate": _curate_oracle(),
         "x_dedup_minhash_pairs": _minhash_oracle(),
+        "x_substr_dedup": _substr_dedup_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_simhash": _simhash_oracle(),
         "x_dedup_embcos": """

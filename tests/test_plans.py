@@ -394,3 +394,18 @@ def test_ivf_indexed_scan_prunes_partitions(spark, sf_dir):
     df = ivf_topk_indexed_batch(spark, d, probes, k=3, n_probe=2)
     p = A.plan_str(df)
     assert "PartitionFilters" in p and "list_id" in p, p
+
+
+def test_substr_dedup_plan_shape(spark, sf_dir):
+    """Substring dedup must stay JVM-side (no Python/Arrow stage) and
+    shuffle the window stream on the 60-bit BIGINT hash, not the window
+    text: the only md5 in the plan is the row-local gram hash, and no
+    hashpartitioning on a string gram column may appear."""
+    from mapr_plugins_spark.operators.registry import x_substr_dedup
+
+    df = x_substr_dedup(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+    assert "hashpartitioning(gh#" in p, p  # dup-filter + hit-join key is the hash
+    assert "hashpartitioning(__gram" not in p, p

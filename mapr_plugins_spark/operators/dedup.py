@@ -285,6 +285,38 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(garr, cand, threshold)
 
 
+def _duplicated_window_hits(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the substring-dedup family: ``base`` =
+    (doc_id, __w, n_tokens) for every input doc, ``hits`` =
+    (doc_id, pos) for every length-``n`` token window occurring in ≥2
+    distinct documents (portable-hash window identity; the window
+    stream shuffles as a BIGINT key, persisted across the dup-filter
+    and hit-join consumers)."""
+    w = F.split(F.col(text_col), " ")
+    base = fan_out(
+        docs.select(F.col(id_col).alias("doc_id"), text_col)
+    ).select("doc_id", w.alias("__w")).withColumn("n_tokens", F.size("__w").cast("long"))
+    gram_arr = F.expr(
+        f"transform(sequence(0, cast(n_tokens as int) - {n}),"
+        f" i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+    )
+    exploded = (
+        base.filter(F.col("n_tokens") >= n)
+        .select("doc_id", "n_tokens", F.posexplode(gram_arr).alias("pos", "__gram"))
+    )
+    grams = with_seeded_hash60(exploded, "gh", "__gram", "0").drop("__gram").persist()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    return base, hits
+
+
 def duplicated_ngram_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -316,26 +348,7 @@ def duplicated_ngram_spans(
     desync the DuckDB oracle: both engines hash identically, so they
     agree even on a colliding pair.
     """
-    w = F.split(F.col(text_col), " ")
-    base = fan_out(
-        docs.select(F.col(id_col).alias("doc_id"), text_col)
-    ).select("doc_id", w.alias("__w")).withColumn("n_tokens", F.size("__w").cast("long"))
-    gram_arr = F.expr(
-        f"transform(sequence(0, cast(n_tokens as int) - {n}),"
-        f" i -> concat_ws(' ', slice(__w, i + 1, {n})))"
-    )
-    exploded = (
-        base.filter(F.col("n_tokens") >= n)
-        .select("doc_id", "n_tokens", F.posexplode(gram_arr).alias("pos", "__gram"))
-    )
-    grams = with_seeded_hash60(exploded, "gh", "__gram", "0").drop("__gram").persist()
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    base, hits = _duplicated_window_hits(docs, id_col, text_col, n)
     wspec = Window.partitionBy("doc_id").orderBy("pos")
     lag_pos = F.lag("pos").over(wspec)
     islands = (
@@ -358,6 +371,57 @@ def duplicated_ngram_spans(
                 F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double")
                 / F.col("n_tokens")
             ).alias("dup_frac"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The ACTING counterpart of :func:`duplicated_ngram_spans`
+    (CCNet/C4-style boilerplate removal at token granularity): rewrite
+    each document with every token that sits inside a cross-document
+    duplicated ``n``-token window REMOVED.
+
+    Plan: the shared hit computation, then covered positions explode
+    from the (tiny) hit set, tokens anti-join covered on
+    (doc_id, pos), and the survivors reassemble row-locally via
+    sort_array over (pos, token) structs — the reassembly group is one
+    document, so per-task state is a single doc's tokens.
+
+    Output: ``(doc_id, n_tokens, kept_tokens, clean_text)``; a fully
+    duplicated document survives as an empty string, not a dropped row.
+    """
+    base, hits = _duplicated_window_hits(docs, id_col, text_col, n)
+    covered = (
+        hits.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("pos")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("__w").alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(pos, token))), s -> s.token)"),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

@@ -358,6 +358,15 @@ def x_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_ngram_spans(docs, n=8)
 
 
+def x_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal at token granularity: rewrite each document
+    with every token inside a cross-document duplicated 8-token window
+    removed (CCNet/C4-style cleanup, acting counterpart of
+    x_substr_dedup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.strip_duplicated_spans(docs, n=8)
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
@@ -1285,6 +1294,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_substr_dedup,
+            x_substr_strip,
             x_dedup_simhash,
             x_dedup_embcos,
             x_hypertable_rollup,
@@ -1410,14 +1420,13 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
 
 
-def _substr_dedup_oracle(n: int = 8) -> str:
-    """SQL replay of duplicated_ngram_spans: identical window hashing
-    (portable md5-60), identical ≥2-distinct-docs rule, identical
-    gaps-and-islands coverage union. Window SUM stays internal (a
-    GROUP BY key), so no HUGEINT ever reaches the graded output."""
+def _substr_hits_ctes(n: int) -> str:
+    """CTE chain ``base .. hits`` replicating _duplicated_window_hits:
+    identical window hashing (portable md5-60) and identical
+    ≥2-distinct-docs rule — shared by the span-profile and
+    strip oracles."""
     gh = seeded_hash60_sql(f"array_to_string(w[pos + 1 : pos + {n}], ' ')", "0")
-    return f"""
-        WITH base AS (
+    return f"""base AS (
             SELECT doc_id, string_split(text, ' ') AS w,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
@@ -1428,7 +1437,16 @@ def _substr_dedup_oracle(n: int = 8) -> str:
         ),
         grams AS (SELECT doc_id, pos, {gh} AS gh FROM win),
         dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
-        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+        hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh))"""
+
+
+def _substr_dedup_oracle(n: int = 8) -> str:
+    """SQL replay of duplicated_ngram_spans: shared hit CTEs, then the
+    identical gaps-and-islands coverage union. Window SUM stays
+    internal (a GROUP BY key), so no HUGEINT ever reaches the graded
+    output."""
+    return f"""
+        WITH {_substr_hits_ctes(n)},
         isl AS (
             SELECT doc_id, pos,
                    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
@@ -1453,6 +1471,35 @@ def _substr_dedup_oracle(n: int = 8) -> str:
                COALESCE(c.dup_tokens, 0) AS dup_tokens,
                CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
         FROM base b LEFT JOIN cov c USING (doc_id)
+    """
+
+
+def _substr_strip_oracle(n: int = 8) -> str:
+    """SQL replay of strip_duplicated_spans: shared hit CTEs, covered
+    positions, anti-join of the token stream, ordered reassembly.
+    string_agg over zero rows is NULL where Spark's concat_ws gives ''
+    → COALESCE both the text and the count."""
+    return f"""
+        WITH {_substr_hits_ctes(n)},
+        cov AS (
+            SELECT DISTINCT doc_id, unnest(range(pos, pos + {n})) AS pos FROM hits
+        ),
+        toks AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM base),
+        tok2 AS (SELECT doc_id, pos, w[CAST(pos + 1 AS INT)] AS token FROM toks),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.token
+            FROM tok2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.doc_id IS NULL
+        ),
+        clean AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                   string_agg(token, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_tokens,
+               COALESCE(c.kept_tokens, 0) AS kept_tokens,
+               COALESCE(c.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN clean c USING (doc_id)
     """
 
 
@@ -1720,6 +1767,7 @@ def extension_oracles() -> dict[str, str]:
         "x_curate": _curate_oracle(),
         "x_dedup_minhash_pairs": _minhash_oracle(),
         "x_substr_dedup": _substr_dedup_oracle(),
+        "x_substr_strip": _substr_strip_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_simhash": _simhash_oracle(),
         "x_dedup_embcos": """

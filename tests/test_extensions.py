@@ -390,3 +390,21 @@ def test_histogram_quantile_cells_merge_law(spark, sf_dir):
         for k, n in part.items():
             merged[k] = merged.get(k, 0) + n
     assert merged == whole
+
+
+def test_substr_strip_complements_span_profile(spark, sf_dir):
+    """strip and the span profile partition every document's tokens:
+    kept_tokens + dup_tokens == n_tokens for all docs, and a doc with
+    zero duplicated tokens keeps its text verbatim."""
+    from mapr_plugins_spark.catalog import table
+
+    prof = {r.doc_id: r for r in R.x_substr_dedup(spark, sf_dir).collect()}
+    strip = {r.doc_id: r for r in R.x_substr_strip(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    assert set(prof) == set(strip) == set(docs)
+    for doc_id, p in prof.items():
+        s = strip[doc_id]
+        assert p.n_tokens == s.n_tokens
+        assert s.kept_tokens + p.dup_tokens == p.n_tokens, doc_id
+        if p.dup_tokens == 0:
+            assert s.clean_text == docs[doc_id], doc_id

@@ -276,6 +276,25 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return d
 
 
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the 5
+    most-cosine-similar vectors with a DIFFERENT label (the DPR/ANCE
+    dense-retrieval recipe). Deterministic 8-probe batch, broadcast
+    against one corpus scan, per-probe window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+            F.col("label").alias("probe_label"),
+        )
+    )
+    return S.hard_negatives(emb, probes, k=5)
+
+
 def _ivf_probe_batch(emb: DataFrame):
     """Deterministic 8-probe batch: orderBy before limit — LIMIT
     without ORDER BY returns arbitrary rows, which would make the
@@ -1291,6 +1310,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_ivf_batch,
             x_ann_ivf_batch_prod,
             x_ann_lsh_indexed,
+            x_hard_negatives,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_substr_dedup,
@@ -1716,6 +1736,28 @@ def extension_oracles() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
                      vec_id
             LIMIT 5
+        """,
+        "x_hard_negatives": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding AS pv, label AS pl
+                FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8
+            ),
+            scored AS (
+                SELECT p.probe_id, e.vec_id, e.label AS neg_label,
+                       list_cosine_similarity(e.embedding::DOUBLE[],
+                                              p.pv::DOUBLE[]) AS c
+                FROM embeddings e CROSS JOIN probes p
+                WHERE e.vec_id <> p.probe_id AND e.label <> p.pl
+            ),
+            ranked AS (
+                SELECT probe_id, vec_id, neg_label, c,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY c DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT probe_id, vec_id, neg_label, round(c, 6) AS cos6,
+                   CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= 5
         """,
         "x_split_assign": f"""
             SELECT doc_id,

@@ -261,6 +261,44 @@ def brute_force_topk_batch(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining (the dense-retrieval
+    recipe, e.g. DPR/ANCE — public papers): for every probe, the top-k
+    most-cosine-similar corpus vectors carrying a DIFFERENT label —
+    similar-but-wrong, the gradient-richest negatives. Same
+    broadcast-probe one-corpus-scan shape as brute_force_topk_batch;
+    at 100 TB swap the exact scorer for the indexed ANN candidate
+    stream (negatives need not be exact top-k).
+
+    Columns: probe_id, vec_id, neg_label, cos6, rank."""
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(F.broadcast(probes)).filter(
+        (F.col(id_col) != F.col("probe_id"))
+        & (F.col(label_col) != F.col("probe_label"))
+    )
+    scored = joined.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            F.round("cos", 6).alias("cos6"),
+            "rank",
+        )
+    )
+
+
 def ivf_topk_batch(
     emb: DataFrame,
     probes: DataFrame,

@@ -20,13 +20,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: (session id, input-file set) → observed scan partition count. The
+#: .rdd probe forces a full physical planning pass (~100 ms of driver
+#: time per call); every fan_out call site sits directly on a
+#: scan+narrow plan, whose split count is a function of the input
+#: files alone, so the probe result is cached per file set. Worst
+#: case for a cache mismatch is one unneeded round-robin exchange of
+#: a narrow intermediate — never a correctness change.
+_SPLIT_CACHE: dict[tuple, int] = {}
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan currently has fewer
     partitions than the session's parallelism. Call it on the *narrow*
     input (ids + payload column) right before a CPU-heavy projection."""
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        key = (id(sc), tuple(sorted(files)))
+        cur = _SPLIT_CACHE.get(key)
+        if cur is None:
+            cur = df.rdd.getNumPartitions()
+            _SPLIT_CACHE[key] = cur
+    else:  # no file-backed scan (in-memory test frames): probe directly
+        cur = df.rdd.getNumPartitions()
+    if cur < n:
         return df.repartition(n)
     return df
 

@@ -408,3 +408,20 @@ def test_substr_strip_complements_span_profile(spark, sf_dir):
         assert s.kept_tokens + p.dup_tokens == p.n_tokens, doc_id
         if p.dup_tokens == 0:
             assert s.clean_text == docs[doc_id], doc_id
+
+
+def test_substr_dedup_full_coverage_on_exact_duplicate(spark):
+    """A verbatim duplicated document is fully covered (dup_frac = 1.0)
+    in BOTH copies, and an unrelated doc sharing no 8-token window
+    stays at 0 — the sharp ends of the Lee et al. criterion."""
+    from mapr_plugins_spark.operators.dedup import duplicated_ngram_spans
+
+    text = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"z{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in duplicated_ngram_spans(docs, n=8).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[1].dup_tokens == 20
+    assert out[3].dup_tokens == 0 and out[3].dup_frac == 0.0

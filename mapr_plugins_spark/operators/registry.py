@@ -1048,6 +1048,21 @@ def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, toks, "token", width=64, depth=4)
 
 
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the corpus token stream (frequency >
+    1/200) via the two-pass Misra-Gries pattern: bounded-memory
+    per-partition candidate summaries, then an exact broadcast-join
+    recount — no float in the cut, so the full-value oracle grades it
+    despite the sketch pass."""
+    from mapr_plugins_spark.operators.sketch import heavy_hitters
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens_col("text")).alias("item"))
+    )
+    return heavy_hitters(toks, "item", phi_inv=200, k=256)
+
+
 def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi join: lineitem ⋉ urgent orders, key-set
     bloom (2^16 bits, 3 hashes) applied before the exact join's shuffle
@@ -1322,6 +1337,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_hash_sample,
             x_sketch_hll,
             x_sketch_quantile,
+            x_heavy_hitters,
             x_text_langid,
             x_text_quality,
             x_text_tokens,
@@ -2260,6 +2276,13 @@ def extension_oracles() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "x_sketch_cms": _cms_oracle(),
+        "x_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({_TOKS_SQL}) AS item FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+            SELECT g.item, g.cnt, CAST(g.cnt AS DOUBLE) / t.n AS frac
+            FROM g, tot t WHERE g.cnt * 200 > t.n
+        """,
         "x_sketch_quantile": __import__(
             "mapr_plugins_spark.operators.sketch", fromlist=["histogram_quantile_oracle_sql"]
         ).histogram_quantile_oracle_sql("event_type", "value", "events"),

@@ -425,3 +425,26 @@ def test_substr_dedup_full_coverage_on_exact_duplicate(spark):
     assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
     assert out[1].dup_tokens == 20
     assert out[3].dup_tokens == 0 and out[3].dup_frac == 0.0
+
+
+def test_heavy_hitters_exact_at_high_cardinality(spark):
+    """The MG candidate pass must not lose a true heavy hitter even
+    when distinct cardinality >> counter budget k: 3 hot items inside
+    a 20k-distinct tail, k=64, phi=1/50 — output must equal the exact
+    group-by answer item-for-item."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.sketch import heavy_hitters
+
+    hot = spark.range(3).selectExpr("concat('hot', id) AS item", "explode(sequence(1, 900)) AS rep")
+    tail = spark.range(20000).selectExpr("concat('t', id) AS item", "1 AS rep")
+    items = hot.select("item").unionByName(tail.select("item")).repartition(8)
+    got = {
+        (r.item, r.cnt): r.frac
+        for r in heavy_hitters(items, "item", phi_inv=50, k=64).collect()
+    }
+    n = 3 * 900 + 20000
+    exact = {("hot0", 900), ("hot1", 900), ("hot2", 900)}
+    assert set(got) == exact, got
+    for (_, cnt), frac in got.items():
+        assert frac == cnt / n

@@ -54,6 +54,9 @@ def main() -> None:
         "x_dedup_minhash_pairs",
         "x_dedup_ngram_jaccard",
         "x_substr_dedup",
+        "x_substr_strip",
+        "x_heavy_hitters",
+        "x_hard_negatives",
         "x_sketch_hll",
         "q24_ann_topk",
         "x_ann_ivf_batch",

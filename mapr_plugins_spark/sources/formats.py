@@ -49,6 +49,7 @@ FORMATS: tuple[str, ...] = (
     "tsv",
     "json",  # engine extension: first-class JSON payloads
     "xml",  # engine extension: Spark 4 native XML payloads
+    "warc",  # engine extension: WARC records (ISO 28500 / Common Crawl)
 )
 
 # ---------------------------------------------------------------------------
@@ -140,6 +141,38 @@ def _regex_struct(value: Column, regex: str, fields: tuple[str, ...] | list[str]
     )
 
 
+#: WARC named headers surfaced as typed struct fields (ISO 28500 §5;
+#: the Common Crawl record layout — public spec).
+_WARC_HEADERS = (
+    ("warc_type", "WARC-Type"),
+    ("record_id", "WARC-Record-ID"),
+    ("target_uri", "WARC-Target-URI"),
+    ("warc_date", "WARC-Date"),
+)
+
+
+def _warc_struct(value: Column) -> Column:
+    """Parse one WARC record (version line + CRLF headers + blank line
+    + payload) into a typed struct — pure codegen'd string expressions,
+    no Python. Missing headers surface as '' (both engines'
+    regexp_extract no-match value); a non-numeric/absent Content-Length
+    is NULL via try_cast (ANSI-safe)."""
+    s = _as_string(value)
+    head = F.substring_index(s, "\r\n\r\n", 1)
+    fields = [
+        F.regexp_extract(s, r"^WARC/([0-9.]+)", 1).alias("version"),
+        *[
+            F.regexp_extract(head, rf"(?m)^{hdr}: *([^\r\n]*)", 1).alias(name)
+            for name, hdr in _WARC_HEADERS
+        ],
+        F.regexp_extract(head, r"(?m)^Content-Length: *([^\r\n]*)", 1)
+        .try_cast("bigint")
+        .alias("content_length"),
+        F.substr(s, F.length(head) + F.lit(5)).alias("payload"),
+    ]
+    return F.struct(*fields)
+
+
 def parse_expr(
     fmt: str | None,
     value: Column | str = "value",
@@ -194,6 +227,8 @@ def parse_expr(
         # [AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE] at analysis. Probe
         # with avro_available(spark) to gate eagerly.
         return from_avro(value, schema, opts)
+    if fmt == "warc":
+        return _warc_struct(value)
     if fmt == "clf":
         return _regex_struct(value, CLF_REGEX, _CLF_FIELDS)
     if fmt == "syslog":

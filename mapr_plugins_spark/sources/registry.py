@@ -130,10 +130,47 @@ def q29_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parse round-trip over documents (engine extension of
+    A4: ISO 28500 / Common Crawl layout — the canonical LLM-corpus
+    input format). Records are constructed deterministically from the
+    corpus, parsed back through the format registry, and every header
+    plus the payload round-trip is value-checked (Q71)."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    rec_txt = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:corpus:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">\r\nWARC-Target-URI: http://corpus.example/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length("text").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+    )
+    r = parse_expr("warc", rec_txt)
+    return docs.select(
+        "doc_id",
+        r.getField("version").alias("warc_version"),
+        r.getField("warc_type").alias("warc_type"),
+        r.getField("record_id").alias("record_id"),
+        r.getField("target_uri").alias("target_uri"),
+        r.getField("warc_date").alias("warc_date"),
+        r.getField("content_length").alias("content_length"),
+        F.length(r.getField("payload")).cast("bigint").alias("payload_len"),
+        (r.getField("payload") == F.col("text")).alias("payload_roundtrip"),
+    )
+
+
 def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
-        for fn in (q26_clf_parse, q27_syslog_parse, q28_grok_parse, q29_csv_parse)
+        for fn in (
+            q26_clf_parse,
+            q27_syslog_parse,
+            q28_grok_parse,
+            q29_csv_parse,
+            q71_warc_parse,
+        )
     }
 
 
@@ -216,5 +253,45 @@ def format_oracles() -> dict[str, str]:
                    CAST(t[3] AS BIGINT) AS tsv_key,
                    CAST(c[3] AS BIGINT) = CAST(t[3] AS BIGINT) AS csv_tsv_agree
             FROM l
+        """,
+        "q71_warc_parse": """
+            WITH rec AS (
+                SELECT doc_id, text,
+                       'WARC/1.0' || chr(13) || chr(10)
+                       || 'WARC-Type: response' || chr(13) || chr(10)
+                       || 'WARC-Record-ID: <urn:corpus:'
+                       || CAST(doc_id AS VARCHAR) || '>' || chr(13) || chr(10)
+                       || 'WARC-Target-URI: http://corpus.example/doc/'
+                       || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+                       || 'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10)
+                       || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
+                       || chr(13) || chr(10) || chr(13) || chr(10)
+                       || text AS s
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id, text, s,
+                       substr(s, 1, strpos(s, repeat(chr(13) || chr(10), 2)) - 1)
+                           AS head,
+                       substr(s, strpos(s, repeat(chr(13) || chr(10), 2)) + 4)
+                           AS payload
+                FROM rec
+            )
+            SELECT doc_id,
+                   regexp_extract(s, '^WARC/([0-9.]+)', 1) AS warc_version,
+                   regexp_extract(head, '(?m)^WARC-Type: *([^\r\n]*)', 1)
+                       AS warc_type,
+                   regexp_extract(head, '(?m)^WARC-Record-ID: *([^\r\n]*)', 1)
+                       AS record_id,
+                   regexp_extract(head, '(?m)^WARC-Target-URI: *([^\r\n]*)', 1)
+                       AS target_uri,
+                   regexp_extract(head, '(?m)^WARC-Date: *([^\r\n]*)', 1)
+                       AS warc_date,
+                   TRY_CAST(regexp_extract(head,
+                       '(?m)^Content-Length: *([^\r\n]*)', 1) AS BIGINT)
+                       AS content_length,
+                   CAST(length(payload) AS BIGINT) AS payload_len,
+                   payload = text AS payload_roundtrip
+            FROM split
         """,
     }

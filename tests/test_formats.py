@@ -282,3 +282,47 @@ def test_format_query_matches_oracle(spark, sf_dir, key):
 
     df = _FR.format_queries()[key](spark, sf_dir)
     assert_matches_oracle(df, _FR.format_oracles()[key], sf_dir, key=key)
+
+
+def test_warc_parse_golden(spark):
+    """Hand-written WARC records (ISO 28500 layout): full response
+    record, minimal record with missing headers (-> '' fields, NULL
+    content_length), and a payload containing a blank LF-only line
+    (must NOT split the header early — the separator is CRLFCRLF)."""
+    from mapr_plugins_spark.sources.formats import parse_expr
+
+    full = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:abc-123>\r\n"
+        "WARC-Target-URI: http://example.com/page\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Length: 11\r\n"
+        "\r\n"
+        "hello world"
+    )
+    minimal = "WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\npayload only"
+    tricky = (
+        "WARC/1.1\r\nWARC-Type: resource\r\nContent-Length: 9\r\n\r\n"
+        "a\n\nb\r\n\r\nc"
+    )
+    df = (
+        spark.createDataFrame([(full,), (minimal,), (tricky,)], "value STRING")
+        .select(parse_expr("warc").alias("r"))
+        .select("r.*")
+    )
+    rows = df.collect()
+    r0, r1, r2 = rows
+    assert (r0.version, r0.warc_type, r0.target_uri) == (
+        "1.0", "response", "http://example.com/page"
+    )
+    assert r0.record_id == "<urn:uuid:abc-123>"
+    assert r0.content_length == 11 and r0.payload == "hello world"
+    assert r1.warc_type == "warcinfo"
+    assert r1.target_uri == "" and r1.content_length is None
+    assert r1.payload == "payload only"
+    assert r2.version == "1.1"
+    # split happens at the FIRST CRLFCRLF only: an LF-only blank line
+    # and a later CRLFCRLF inside the payload must survive verbatim
+    assert r2.payload == "a\n\nb\r\n\r\nc"
+    assert r2.content_length == 9

@@ -25,7 +25,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60

@@ -55,6 +55,7 @@ def main() -> None:
         "x_dedup_ngram_jaccard",
         "x_substr_dedup",
         "x_substr_strip",
+        "x_warc_ingest",
         "x_heavy_hitters",
         "x_hard_negatives",
         "x_sketch_hll",

@@ -386,6 +386,35 @@ def x_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.strip_duplicated_spans(docs, n=8)
 
 
+def x_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-ingestion pipeline, end to end through the engine's
+    own surfaces: WARC records constructed from the corpus (A4 payload
+    format) → parsed back → cross-document duplicated spans stripped
+    from the payload (substring dedup) → fully-boilerplate docs
+    dropped → the CLEANED text scored for quality and language. The
+    DuckDB oracle replays the entire chain, including the parse."""
+    from mapr_plugins_spark.operators.text import quality_features, with_language_id
+    from mapr_plugins_spark.sources.formats import parse_expr
+    from mapr_plugins_spark.sources.registry import warc_record_expr
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.select(
+        "doc_id",
+        parse_expr("warc", warc_record_expr()).getField("payload").alias("text"),
+    )
+    stripped = D.strip_duplicated_spans(payloads, n=8)
+    kept = stripped.filter(F.col("kept_tokens") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scored = with_language_id(quality_features(kept, text_col="text"), text_col="text")
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("clean_tokens"),
+        "quality_score",
+        "lang_pred",
+    )
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
@@ -1330,6 +1359,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_ngram_jaccard,
             x_substr_dedup,
             x_substr_strip,
+            x_warc_ingest,
             x_dedup_simhash,
             x_dedup_embcos,
             x_hypertable_rollup,
@@ -1456,16 +1486,18 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
 
 
-def _substr_hits_ctes(n: int) -> str:
+def _substr_hits_ctes(
+    n: int, corpus_sql: str = "SELECT doc_id, text FROM documents"
+) -> str:
     """CTE chain ``base .. hits`` replicating _duplicated_window_hits:
     identical window hashing (portable md5-60) and identical
-    ≥2-distinct-docs rule — shared by the span-profile and
-    strip oracles."""
+    ≥2-distinct-docs rule — shared by the span-profile, strip, and
+    warc-ingest oracles."""
     gh = seeded_hash60_sql(f"array_to_string(w[pos + 1 : pos + {n}], ' ')", "0")
     return f"""base AS (
             SELECT doc_id, string_split(text, ' ') AS w,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-            FROM documents
+            FROM ({corpus_sql})
         ),
         win AS (
             SELECT doc_id, w, unnest(range(0, len(w) - {n} + 1)) AS pos
@@ -1507,6 +1539,58 @@ def _substr_dedup_oracle(n: int = 8) -> str:
                COALESCE(c.dup_tokens, 0) AS dup_tokens,
                CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
         FROM base b LEFT JOIN cov c USING (doc_id)
+    """
+
+
+def _warc_ingest_oracle(n: int = 8) -> str:
+    """Full-chain replay of x_warc_ingest: WARC construction + payload
+    extraction (sources/registry.WARC_RECORD_SQL), the strip chain over
+    the extracted payloads, boilerplate-only drop, then the shared
+    quality + language-id fragments over the CLEANED text."""
+    from mapr_plugins_spark.sources.registry import WARC_RECORD_SQL
+
+    corpus = f"""
+        SELECT doc_id,
+               substr(s, strpos(s, repeat(chr(13) || chr(10), 2)) + 4) AS text
+        FROM (SELECT doc_id, {WARC_RECORD_SQL} AS s FROM documents)
+    """
+    quality = _quality_sql()
+    score_cols, m, case = _langid_sql()
+    return f"""
+        WITH {_substr_hits_ctes(n, corpus)},
+        cov AS (
+            SELECT DISTINCT doc_id, unnest(range(pos, pos + {n})) AS pos FROM hits
+        ),
+        toks0 AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM base),
+        tok2 AS (SELECT doc_id, pos, w[CAST(pos + 1 AS INT)] AS token FROM toks0),
+        kept0 AS (
+            SELECT t.doc_id, t.pos, t.token
+            FROM tok2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+            WHERE c.doc_id IS NULL
+        ),
+        clean AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                   string_agg(token, ' ' ORDER BY pos) AS clean_text
+            FROM kept0 GROUP BY 1
+        ),
+        fin AS (
+            SELECT b.doc_id, c.clean_text AS text
+            FROM base b JOIN clean c USING (doc_id)
+            WHERE c.kept_tokens > 0
+        ),
+        t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM fin),
+        q AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS clean_tokens,
+                   {quality} AS quality_score
+            FROM t
+        ),
+        s AS (SELECT doc_id, {score_cols} FROM t WHERE len(toks) > 0),
+        l AS (
+            SELECT doc_id, CASE {case} END AS lang_pred
+            FROM (SELECT *, {m} AS m FROM s)
+        )
+        SELECT q.doc_id, q.clean_tokens, q.quality_score, l.lang_pred
+        FROM q JOIN l ON l.doc_id = q.doc_id
     """
 
 
@@ -1560,12 +1644,11 @@ def _clusters_oracle() -> str:
     """
 
 
-def _curate_oracle() -> str:
-    """End-to-end curation replicated in SQL: minhash pairs → connected
-    components (recursive reachability closure over the tiny pair
-    graph) → min-id survivors → quality + language scoring."""
-    pairs = _minhash_pairs_ctes("SELECT doc_id, text FROM documents", 0.5)
-    quality = f"""
+def _quality_sql() -> str:
+    """DuckDB replay of text.quality_features' score formula over a
+    ``toks`` list column — shared by the curate and warc-ingest
+    oracles."""
+    return f"""
         0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
         + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_EN_STOP}))) AS DOUBLE)
                        / len(toks))
@@ -1573,6 +1656,13 @@ def _curate_oracle() -> str:
               CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
                    AS DOUBLE) / len(toks) / 8.0)
     """
+
+
+def _langid_sql() -> tuple[str, str, str]:
+    """(score_cols, greatest_expr, case_arms) replaying
+    text.with_language_id's stopword-fraction argmax with the same
+    alphabetical tie-break — shared by the curate and warc-ingest
+    oracles."""
     score_cols = ", ".join(
         "CAST(len(list_filter(toks, x -> x IN ({w}))) AS DOUBLE) / len(toks) AS s_{lang}".format(
             w=", ".join(f"'{t}'" for t in words), lang=lang
@@ -1581,6 +1671,16 @@ def _curate_oracle() -> str:
     )
     m = "greatest(" + ", ".join(f"s_{lang}" for lang in X.STOPWORDS) + ")"
     case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in sorted(X.STOPWORDS))
+    return score_cols, m, case
+
+
+def _curate_oracle() -> str:
+    """End-to-end curation replicated in SQL: minhash pairs → connected
+    components (recursive reachability closure over the tiny pair
+    graph) → min-id survivors → quality + language scoring."""
+    pairs = _minhash_pairs_ctes("SELECT doc_id, text FROM documents", 0.5)
+    quality = _quality_sql()
+    score_cols, m, case = _langid_sql()
     return f"""
         WITH RECURSIVE {pairs},
         edges AS (
@@ -1826,6 +1926,7 @@ def extension_oracles() -> dict[str, str]:
         "x_dedup_minhash_pairs": _minhash_oracle(),
         "x_substr_dedup": _substr_dedup_oracle(),
         "x_substr_strip": _substr_strip_oracle(),
+        "x_warc_ingest": _warc_ingest_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_simhash": _simhash_oracle(),
         "x_dedup_embcos": """

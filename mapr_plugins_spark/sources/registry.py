@@ -130,14 +130,11 @@ def q29_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q71_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC record parse round-trip over documents (engine extension of
-    A4: ISO 28500 / Common Crawl layout — the canonical LLM-corpus
-    input format). Records are constructed deterministically from the
-    corpus, parsed back through the format registry, and every header
-    plus the payload round-trip is value-checked (Q71)."""
-    docs = fan_out(_t(spark, sf_dir, "documents"))
-    rec_txt = F.concat(
+def warc_record_expr() -> F.Column:
+    """Deterministic WARC record text built from (doc_id, text) —
+    shared by the q71 parse round-trip and the x_warc_ingest
+    end-to-end pipeline."""
+    return F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:corpus:"),
         F.col("doc_id").cast("string"),
         F.lit(">\r\nWARC-Target-URI: http://corpus.example/doc/"),
@@ -147,7 +144,32 @@ def q71_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\r\n\r\n"),
         F.col("text"),
     )
-    r = parse_expr("warc", rec_txt)
+
+
+#: The identical construction in DuckDB SQL (expression named ``s``,
+#: reads (doc_id, text)).
+WARC_RECORD_SQL = (
+    "'WARC/1.0' || chr(13) || chr(10)"
+    " || 'WARC-Type: response' || chr(13) || chr(10)"
+    " || 'WARC-Record-ID: <urn:corpus:' || CAST(doc_id AS VARCHAR) || '>'"
+    " || chr(13) || chr(10)"
+    " || 'WARC-Target-URI: http://corpus.example/doc/' || CAST(doc_id AS VARCHAR)"
+    " || chr(13) || chr(10)"
+    " || 'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10)"
+    " || 'Content-Length: ' || CAST(length(text) AS VARCHAR)"
+    " || chr(13) || chr(10) || chr(13) || chr(10)"
+    " || text"
+)
+
+
+def q71_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parse round-trip over documents (engine extension of
+    A4: ISO 28500 / Common Crawl layout — the canonical LLM-corpus
+    input format). Records are constructed deterministically from the
+    corpus, parsed back through the format registry, and every header
+    plus the payload round-trip is value-checked (Q71)."""
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    r = parse_expr("warc", warc_record_expr())
     return docs.select(
         "doc_id",
         r.getField("version").alias("warc_version"),
@@ -254,20 +276,9 @@ def format_oracles() -> dict[str, str]:
                    CAST(c[3] AS BIGINT) = CAST(t[3] AS BIGINT) AS csv_tsv_agree
             FROM l
         """,
-        "q71_warc_parse": """
+        "q71_warc_parse": f"""
             WITH rec AS (
-                SELECT doc_id, text,
-                       'WARC/1.0' || chr(13) || chr(10)
-                       || 'WARC-Type: response' || chr(13) || chr(10)
-                       || 'WARC-Record-ID: <urn:corpus:'
-                       || CAST(doc_id AS VARCHAR) || '>' || chr(13) || chr(10)
-                       || 'WARC-Target-URI: http://corpus.example/doc/'
-                       || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
-                       || 'WARC-Date: 2024-01-01T00:00:00Z' || chr(13) || chr(10)
-                       || 'Content-Length: ' || CAST(length(text) AS VARCHAR)
-                       || chr(13) || chr(10) || chr(13) || chr(10)
-                       || text AS s
-                FROM documents
+                SELECT doc_id, text, {WARC_RECORD_SQL} AS s FROM documents
             ),
             split AS (
                 SELECT doc_id, text, s,

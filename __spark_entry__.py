@@ -71,7 +71,12 @@ PRIORITY: tuple[str, ...] = (
     # relational tail incl. the four keys whose dtype/date artifacts the
     # round-3 harness caught and fixed — prove them under the driver
     "q05_left_join", "q09_rollup", "q15_date_funcs",
-    "q38_window_analytics", "q49_date_extras", "q50_null_order_try_arith",
+    # (q50_null_order_try_arith stays pytest-covered: its nullable-int
+    # artifact class is already proven under the driver by q38, and its
+    # date class by q15/q49)
+    "q38_window_analytics", "q49_date_extras",
+    # round-3 debut: flagship end-to-end WARC ingestion composition
+    "x_warc_ingest",
     # format parse tail (q29_csv_parse stays pytest-covered: CSV parse
     # already transits graded q26-family machinery)
     "q27_syslog_parse", "q28_grok_parse",

@@ -41,6 +41,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: row. All 50 carry full-value DuckDB oracles (a rows-only key in the
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
+#:
+#: Round-4 rotation pool (58 keys with no driver row through round 3 —
+#: rotate ~20 per round, all full-value-oracled except the 5 noted
+#: rows-only ANN/HLL keys which stay outside the window):
+#:   q23 q25 q29 q51-q56 q58-q61 q64-q71(q71=warc) | x_substr_strip
+#:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
+#:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize
+#:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample
+#:   x_hypertable_rollup x_inverted_index x_mm_features[_arrow]
+#:   x_mm_frames x_mm_resize x_ref_integrity x_salted_join
+#:   x_sketch_quantile x_snapshot_diff x_stratified_sample
+#:   x_text_{diversity,fingerprint,quality,repetition} x_topk_per_group
+#:   x_vocab_encode x_weighted_sample x_bloom_semi_join
+#:   (rows-only, keep out: x_ann_lsh_topk x_ann_lsh_indexed
+#:    x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll)
 PRIORITY: tuple[str, ...] = (
     # --- stable family representatives (30) ---
     # relational core

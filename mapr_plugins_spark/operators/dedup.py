@@ -426,6 +426,56 @@ def strip_duplicated_spans(
     )
 
 
+def incremental_near_dup_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch (``delta``) against an EXISTING corpus without
+    re-pairing the corpus against itself: (id_a ∈ corpus, id_b ∈ delta,
+    jaccard).
+
+    The 100 TB reality of dedup is incremental — each ingest wave is
+    deduped against everything already accepted, and recomputing the
+    corpus×corpus pair space per wave would be quadratic over time. The
+    scale plan here: band signatures are computed per SIDE and joined
+    delta→corpus on (band, sig), so per-wave work is
+    O(|delta| + matched buckets), never O(|corpus|²). In production the
+    corpus signatures are the PERSISTED output of the original dedup
+    run (n_bands tiny rows/doc — a signature store, exactly what
+    ``minhash_band_signatures`` emits); they are recomputed here only
+    because the test harness is stateless. Jaccard is verified only for
+    cross-side candidates, on docs restricted by the broadcast
+    candidate semi-join.
+    """
+    cb = minhash_band_signatures(
+        corpus, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
+    )
+    db = minhash_band_signatures(
+        delta, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
+    )
+    cand = (
+        cb.alias("a")
+        .join(
+            db.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .persist()  # reused by the semi-join filter + both verify joins
+    )
+    docs_all = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        delta.select(F.col(id_col), F.col(text_col))
+    )
+    docs_cand = _candidate_docs(docs_all, cand, id_col)
+    return _jaccard_verify(shingle_arrays(docs_cand, id_col, text_col, k=k), cand, threshold)
+
+
 def collapse_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -605,4 +655,75 @@ def embedding_near_dup_pairs(
         .withColumn("cos", cosine_similarity("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", public paper):
+    cluster embeddings by nearest centroid, then prune near-duplicates
+    WITHIN clusters only — the pair space is bounded per cluster, never
+    corpus-global. Output: one row per vector,
+    ``(vec_id, cluster_id, is_kept)``; a vector is dropped when a
+    lower-id vector in its cluster has cosine ≥ ``threshold``.
+
+    Centroids are the ``n_clusters`` lowest-id vectors (deterministic
+    seeds, so the DuckDB oracle replays the exact assignment); swap in
+    KMeans centroids at scale — the plan shape is identical and the
+    centroid set stays driver-bounded either way. Assignment is a
+    ZERO-SHUFFLE argmax over centroid literals (centroids collected
+    once — ``n_clusters`` rows, the same bounded collect the IVF index
+    build uses); the only exchange in the whole operator is the
+    within-cluster pair join, keyed on cluster_id. At 100 TB
+    n_clusters grows with the corpus (SemDeDup uses ~100k), keeping
+    per-cluster pair work constant; skewed clusters fall under AQE
+    skew-join splitting.
+    """
+    seeds = sorted(
+        emb.filter(F.col(id_col) < n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect(),
+        key=lambda r: r["cid"],
+    )  # bounded: n_clusters rows
+    best = None
+    for row in seeds:
+        cvec = F.array(*[F.lit(float(x)) for x in row["cvec"]])
+        cand = F.struct(
+            cosine_similarity(vec_col, cvec).alias("cos"),
+            F.lit(int(row["cid"])).cast("bigint").alias("cid"),
+        )
+        # strictly-greater keeps the earlier (lower) cid on ties —
+        # identical to the oracle's ORDER BY cos DESC, cid ASC
+        best = cand if best is None else F.when(cand["cos"] > best["cos"], cand).otherwise(best)
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        best["cid"].alias("cluster_id"),
+    ).persist()  # feeds both sides of the pair join + the final output
+    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster_id")
+    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster_id")
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("va", "vb") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    # no broadcast hint: unlike LSH loser sets, the SemDeDup dropped set
+    # can be a large corpus fraction — let AQE pick the join strategy
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.col("__dropped").isNull().alias("is_kept"),
     )

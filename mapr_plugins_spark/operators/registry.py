@@ -423,6 +423,29 @@ def x_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the injected variant wave (ids
+    +1000000) deduped against the existing corpus via a delta→corpus
+    band-signature join — per-wave cost O(|delta|), never corpus².
+    Oracle = the full-pair pipeline restricted to cross-side pairs
+    (provably the same set: the id ranges are disjoint)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", "^[a-z]+ ", "").alias("text"),
+    )
+    return D.incremental_near_dup_pairs(
+        docs, delta, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS, threshold=0.5
+    )
+
+
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic seed-centroid
+    assignment (zero-shuffle argmax over centroid literals) + within-
+    cluster cosine pruning; (vec_id, cluster_id, is_kept)."""
+    return D.semantic_dedup(_t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4)
+
+
 def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapr_plugins_spark.operators.rollup import hypertable_rollup
 
@@ -1362,6 +1385,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_warc_ingest,
             x_dedup_simhash,
             x_dedup_embcos,
+            x_dedup_incremental,
+            x_semantic_dedup,
             x_hypertable_rollup,
             x_split_assign,
             x_hash_sample,
@@ -1936,6 +1961,40 @@ def extension_oracles() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # the full-pair pipeline restricted to cross-side (corpus, delta)
+        # pairs — provably identical to the delta→corpus signature join
+        # (id ranges disjoint, so every cross pair has id_a < 1000000 <=
+        # id_b and vice versa)
+        "x_dedup_incremental": (
+            f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} "
+            "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
+        ),
+        "x_semantic_dedup": """
+            WITH c AS (
+                SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos
+                FROM embeddings e CROSS JOIN c
+            ),
+            asg AS (
+                SELECT vec_id, v, cid AS cluster_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+                    FROM s)
+                WHERE rn = 1
+            ),
+            dup AS (
+                SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b
+                  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            )
+            SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS is_kept
+            FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
         """,
         "x_text_langid": _langid_oracle(),
         "x_text_quality": f"""

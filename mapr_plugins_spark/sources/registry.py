@@ -183,6 +183,34 @@ def q71_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive JSONL parse with corrupt-record accounting (Q72):
+    every 7th constructed line is truncated mid-object; the parser must
+    keep the stream flowing, null out the bad record's fields, and
+    flag it — the standard bad-record contract of large-scale ingest
+    (Spark PERMISSIVE mode yields a struct with null fields for
+    malformed input, so corruption is detected via a field the
+    construction guarantees non-null on every valid line)."""
+    ev = fan_out(_t(spark, sf_dir, "events"))
+    line = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('", "user": '),
+        F.col("user_id").cast("string"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(F.lit("}")),
+    )
+    r = parse_expr("json", line, "id BIGINT, type STRING, user BIGINT")
+    return ev.select("event_id", r.alias("r")).select(
+        "event_id",
+        F.col("r.id").alias("j_id"),
+        F.col("r.type").alias("j_type"),
+        F.col("r.user").alias("j_user"),
+        F.col("r.id").isNull().alias("is_corrupt"),
+    )
+
+
 def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -192,6 +220,7 @@ def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q28_grok_parse,
             q29_csv_parse,
             q71_warc_parse,
+            q72_jsonl_parse,
         )
     }
 
@@ -275,6 +304,24 @@ def format_oracles() -> dict[str, str]:
                    CAST(t[3] AS BIGINT) AS tsv_key,
                    CAST(c[3] AS BIGINT) = CAST(t[3] AS BIGINT) AS csv_tsv_agree
             FROM l
+        """,
+        "q72_jsonl_parse": """
+            WITH l AS (
+                SELECT event_id,
+                       '{"id": ' || CAST(event_id AS VARCHAR)
+                       || ', "type": "' || event_type
+                       || '", "user": ' || CAST(user_id AS VARCHAR)
+                       || CASE WHEN event_id % 7 = 0 THEN '' ELSE '}' END AS line
+                FROM events
+            ),
+            j AS (SELECT event_id, try_cast(line AS JSON) AS j FROM l)
+            SELECT event_id,
+                   TRY_CAST(json_extract(j, '$.id') AS BIGINT) AS j_id,
+                   json_extract_string(j, '$.type') AS j_type,
+                   TRY_CAST(json_extract(j, '$.user') AS BIGINT) AS j_user,
+                   (TRY_CAST(json_extract(j, '$.id') AS BIGINT) IS NULL)
+                       AS is_corrupt
+            FROM j
         """,
         "q71_warc_parse": f"""
             WITH rec AS (

@@ -27,6 +27,34 @@ def test_minhash_finds_injected_near_dups(spark, sf_dir):
     assert found >= 0.9 * n_docs, f"only {found}/{n_docs} injected near-dups found"
 
 
+def test_incremental_dedup_covers_injected_wave(spark, sf_dir):
+    """Every injected delta doc must pair with its corpus source, and
+    every emitted pair must be strictly cross-side (corpus, delta) —
+    the incremental path must never re-pair the corpus with itself."""
+    pairs = {(r.id_a, r.id_b) for r in R.x_dedup_incremental(spark, sf_dir).collect()}
+    n_docs = R.x_text_tokens(spark, sf_dir).count()
+    found = sum((i, i + 1000000) in pairs for i in range(n_docs))
+    assert found >= 0.9 * n_docs, f"only {found}/{n_docs} injected near-dups found"
+    assert all(a < 1000000 <= b for a, b in pairs)
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """One row per vector; every cluster keeps at least one member, and
+    the lowest-id member of each cluster is always kept (it has no
+    lower-id neighbor to dominate it)."""
+    from collections import defaultdict
+
+    from mapr_plugins_spark.catalog import table
+
+    out = R.x_semantic_dedup(spark, sf_dir).collect()
+    assert len(out) == table(spark, sf_dir, "embeddings").count()
+    by_cluster = defaultdict(list)
+    for r in out:
+        by_cluster[r.cluster_id].append(r)
+    for rs in by_cluster.values():
+        assert min(rs, key=lambda r: r.vec_id).is_kept
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     """LSH top-5 must overlap the exact top-5 by >= 2 on the fixed data
     (deterministic: hyperplanes and data are both fixed)."""

@@ -42,11 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-4 rotation pool (61 keys with no driver row through round 3 —
+#: Round-4 rotation pool (62 keys with no driver row through round 3 —
 #: rotate ~20 per round, all full-value-oracled except the 5 noted
 #: rows-only ANN/HLL keys which stay outside the window):
 #:   q23 q25 q29 q51-q56 q58-q61 q64-q71(q71=warc) q72(jsonl)
-#:   x_dedup_incremental x_semantic_dedup | x_substr_strip
+#:   x_dedup_incremental x_semantic_dedup x_lm_score | x_substr_strip
 #:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
 #:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize
 #:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample

@@ -1158,6 +1158,13 @@ def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tfidf(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score per doc (log-free
+    KenLM-filter stand-in): mean add-one-smoothed bigram probability,
+    exact-decimal deterministic mean."""
+    return X.bigram_lm_score(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.filter((F.col("doc_id") % 97) == 0)
@@ -1424,6 +1431,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_doc_chunk,
             x_pack_sequences,
             x_tfidf,
+            x_lm_score,
             x_decontaminate,
             x_merge_upsert,
             x_overlap_join,
@@ -2455,6 +2463,38 @@ def extension_oracles() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
+        """,
+        "x_lm_score": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 2
+            ),
+            bgs AS (
+                SELECT doc_id, s['w1'] AS w1, s['bg'] AS bg FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(w)),
+                               i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                               AS s
+                    FROM base)
+            ),
+            c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
+            voc AS (
+                SELECT COUNT(DISTINCT t) AS v
+                FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            ),
+            p AS (
+                SELECT b.doc_id,
+                       (c2.c2 + 1.0) / (c1.c1 + voc.v) AS p
+                FROM bgs b
+                JOIN c2 USING (bg)
+                JOIN c1 USING (w1)
+                CROSS JOIN voc
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(p) AS DOUBLE) AS lm_score
+            FROM p GROUP BY doc_id
         """,
         "x_tfidf": f"""
             WITH tp AS (

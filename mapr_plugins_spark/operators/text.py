@@ -291,6 +291,60 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
 
 
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document
+    (the KenLM-filter stand-in of CCNet-style pipelines, public
+    technique): every doc is scored by the mean add-one-smoothed MLE
+    probability of its token bigrams under the corpus's own bigram
+    counts, ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)``. Perplexity
+    would take a log; the mean-probability variant is monotone in the
+    same per-bigram quantities and stays LOG-FREE — per-row arithmetic
+    is a pure rational in IEEE double (bit-identical across engines),
+    and the per-doc mean runs through the exact-decimal deterministic
+    sum, so the DuckDB oracle matches bit-for-bit (libm log() does
+    not).
+
+    Plan shape (all linear in corpus tokens): one row-local projection
+    builds the positional bigram stream; two map-side-combined grouped
+    counts (bigram, first-word); V and the count tables join back —
+    the bigram stream shuffles on the bigram key, never the doc; one
+    final per-doc aggregation. Output:
+    ``(doc_id, n_bigrams, lm_score)``, one row per doc with ≥ 2
+    tokens."""
+    from mapr_plugins_spark.functions.deterministic import davg
+
+    w = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+        f" i -> struct(element_at(split({text_col}, ' '), i + 1) AS w1,"
+        f" concat_ws(' ', slice(split({text_col}, ' '), i + 1, 2)) AS bg))"
+    )
+    bgs = (
+        fan_out(df.filter(F.size(w) >= 2).select(F.col(id_col).alias("doc_id"), text_col))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+        .persist()  # feeds both count builds and the probability join
+    )
+    c2 = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bgs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        fan_out(df.select(text_col))
+        .select(F.explode(w).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    p = (
+        bgs.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("p", (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    )
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), davg("p", "lm_score")
+    )
+
+
 def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
     """Corpus-level term frequencies with stopword removal (top-N by
     count desc, token asc). Partial aggregation map-side; the only

@@ -52,7 +52,11 @@ def main() -> None:
         "q38_window_analytics",
         "q39_grouped_udaf",
         "x_dedup_minhash_pairs",
+        "x_dedup_incremental",
         "x_dedup_ngram_jaccard",
+        "x_semantic_dedup",
+        "x_lm_score",
+        "q72_jsonl_parse",
         "x_substr_dedup",
         "x_substr_strip",
         "x_warc_ingest",

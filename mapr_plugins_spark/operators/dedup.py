@@ -695,27 +695,48 @@ def semantic_dedup(
         .collect(),
         key=lambda r: r["cid"],
     )  # bounded: n_clusters rows
-    best = None
+    # argmax as array_max over (cos, -cid) structs: every centroid
+    # expression appears in the plan exactly ONCE. (A chained
+    # when/otherwise fold references its accumulator twice per level —
+    # an exponential expression-tree blow-up, observed as multi-MB task
+    # binaries and ~10× slowdown at 8 centroids.) Struct ordering is
+    # lexicographic, so ties on cos resolve to max(-cid) = min cid —
+    # identical to the oracle's ORDER BY cos DESC, cid ASC.
+    cands = []
     for row in seeds:
         cvec = F.array(*[F.lit(float(x)) for x in row["cvec"]])
-        cand = F.struct(
-            cosine_similarity(vec_col, cvec).alias("cos"),
-            F.lit(int(row["cid"])).cast("bigint").alias("cid"),
+        cands.append(
+            F.struct(
+                F.coalesce(cosine_similarity(vec_col, cvec), F.lit(-2.0)).alias("cos"),
+                F.lit(-int(row["cid"])).cast("bigint").alias("ncid"),
+            )
         )
-        # strictly-greater keeps the earlier (lower) cid on ties —
-        # identical to the oracle's ORDER BY cos DESC, cid ASC
-        best = cand if best is None else F.when(cand["cos"] > best["cos"], cand).otherwise(best)
+    best_s = F.array_max(F.array(*cands))
+    best = F.struct(best_s["cos"].alias("cos"), (-best_s["ncid"]).cast("bigint").alias("cid"))
+    from mapr_plugins_spark.functions.vectors import dot_product, l2_norm
+
     assigned = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
+        # per-vector norm hoisted OUT of the pair join: the pair-stage
+        # cosine is then one dot fold instead of three (dot + 2 norms),
+        # with bit-identical arithmetic (same sqrt(sum) value divides)
+        l2_norm(vec_col).alias("vn"),
         best["cid"].alias("cluster_id"),
     ).persist()  # feeds both sides of the pair join + the final output
-    a = assigned.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster_id")
-    b = assigned.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster_id")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb"), "cluster_id"
+    )
+    pair_cos = F.when(
+        (F.col("na") * F.col("nb")) > 0, dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    )
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity("va", "vb") >= threshold)
+        .filter(pair_cos >= threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))

@@ -396,6 +396,47 @@ def test_ivf_indexed_scan_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in p and "list_id" in p, p
 
 
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """SemDeDup must stay JVM-side: centroid assignment is a row-local
+    argmax over literal centroids (no Python stage anywhere), and the
+    within-cluster pair join is a hash equi-join on cluster_id — never
+    a cartesian/BNLJ pair blow-up."""
+    from mapr_plugins_spark.operators.registry import x_semantic_dedup
+
+    df = x_semantic_dedup(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # the pair join is an EQUI join on cluster_id (hash/broadcast/SMJ —
+    # at test scale the tiny side broadcasts; at 100 TB it shuffles on
+    # the key): the join key must appear, and never as a cross product
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_incremental_dedup_plan_shape(spark, sf_dir):
+    """Incremental dedup joins delta signatures to corpus signatures on
+    (band, sig) — an equi-join, never a cartesian — and stays
+    JVM-side."""
+    from mapr_plugins_spark.operators.registry import x_dedup_incremental
+
+    df = x_dedup_incremental(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_lm_score_plan_shape(spark, sf_dir):
+    """The bigram-LM score is pure dataflow: no Python stage; the only
+    non-equi join is the broadcast of the single-row vocabulary-size
+    aggregate."""
+    from mapr_plugins_spark.operators.registry import x_lm_score
+
+    df = x_lm_score(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_substr_dedup_plan_shape(spark, sf_dir):
     """Substring dedup must stay JVM-side (no Python/Arrow stage) and
     shuffle the window stream on the 60-bit BIGINT hash, not the window

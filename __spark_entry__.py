@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rotate ~20 per round, all full-value-oracled except the 5 noted
 #: rows-only ANN/HLL keys which stay outside the window):
 #:   q23 q25 q29 q51-q56 q58-q61 q64-q71(q71=warc) q72(jsonl)
-#:   x_dedup_incremental x_semantic_dedup x_lm_score | x_substr_strip
+#:   x_dedup_incremental x_semantic_dedup x_lm_score
+#:   s07_dedup_within_watermark | x_substr_strip
 #:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
 #:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize
 #:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample
@@ -101,9 +102,13 @@ PRIORITY: tuple[str, ...] = (
     # extension tail
     "x_curate", "x_rrf_fusion", "x_gap_fill", "x_cohort_retention",
     # streaming tail (s11: the A1 Kafka-API DataSource; s12: GroupState
-    # fold — both full-value-oracled, zero driver rows before round 3)
+    # fold — both full-value-oracled, zero driver rows before round 3;
+    # s13: round-3 debut, streaming MinHash admission control — the
+    # ingest-time dedup composition. s07 rotates to the round-4 pool:
+    # its dropDuplicatesWithinWatermark family is represented by graded
+    # s04 this round)
     "s02_sliding_window", "s05_stream_static_join",
-    "s06_stream_stream_join", "s07_dedup_within_watermark",
+    "s06_stream_stream_join", "s13_stream_dedup_admission",
     "s08_stateful_running_max", "s11_pyds_kafka_source", "s12_stream_ewma",
 )
 

@@ -404,6 +404,82 @@ def s11_pyds_kafka_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "complete")
 
 
+def s13_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission control — the ingest-time form of
+    MinHash dedup a 100 TB pipeline actually runs: document waves
+    arrive as REAL micro-batches (corpus + injected variants, waves
+    ordered by doc_id); each batch computes its band signatures
+    incrementally (row-local, the batch's cost only) and folds them
+    into a persisted signature store keyed (band, sig) holding the
+    minimum arriving doc_id. A document is ADMITTED iff it is the
+    first claimant of EVERY one of its band buckets; docs too short to
+    sign are admitted trivially. Both folds are order-independent
+    (MIN-merge + append), so out-of-order file pickup cannot change
+    the result; admissions are evaluated against the final store.
+    Oracle: the equivalent batch rule — admitted ⟺ min doc_id in every
+    bucket — over the same corpus and the identical portable-hash band
+    pipeline."""
+    import os
+    import uuid
+
+    from mapr_plugins_spark.operators.dedup import minhash_band_signatures
+    from mapr_plugins_spark.operators.registry import _BAND_ROWS, _MINHASH_SEEDS
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", "^[a-z]+ ", "").alias("text"),
+        )
+    )
+    stream = df_stream_chunked(corpus, f"{sf_dir}/dedup_corpus", "doc_id", n_chunks=4)
+
+    run = f"/tmp/mapr_plugins_admission/{uuid.uuid4().hex[:12]}"
+    os.makedirs(run, exist_ok=True)
+    n_applied = {"batches": 0}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        bands = minhash_band_signatures(
+            batch, "doc_id", "text", k=3, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS
+        ).persist()
+        bands.write.mode("append").parquet(f"{run}/bands")
+        batch.select("doc_id").write.mode("append").parquet(f"{run}/roster")
+        mins_new = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("m"))
+        prev = f"{run}/state_{batch_id - 1}"
+        if os.path.exists(prev):
+            state = sess.read.parquet(prev)
+            merged = (
+                state.unionByName(mins_new).groupBy("band", "sig").agg(F.min("m").alias("m"))
+            )
+        else:
+            merged = mins_new
+        merged.write.mode("overwrite").parquet(f"{run}/state_{batch_id}")
+        bands.unpersist()
+        n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
+    mins = spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
+    bands_all = spark.read.parquet(f"{run}/bands")
+    adm = (
+        bands_all.join(mins, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.expr("bool_and(doc_id = m)").alias("admitted"))
+    )
+    roster = spark.read.parquet(f"{run}/roster")
+    return roster.join(adm, "doc_id", "left").select(
+        "doc_id", F.coalesce("admitted", F.lit(True)).alias("admitted")
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -417,6 +493,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s10_cdc_merge_upsert,
         s11_pyds_kafka_source,
         s12_stream_ewma,
+        s13_stream_dedup_admission,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -424,7 +501,24 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def streaming_oracles() -> dict[str, str]:
+    from mapr_plugins_spark.operators.registry import _CORPUS_SQL, _minhash_pairs_ctes
+
     oracles = {
+        # batch replay of the streaming admission rule: the CTE chain is
+        # the SAME portable-hash band pipeline the pairs oracle uses
+        # (only corpus..bands are consumed; the pair CTEs prune away) —
+        # admitted ⟺ this doc_id is the minimum in EVERY of its buckets
+        "s13_stream_dedup_admission": f"""
+            WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)},
+            mins AS (SELECT band, sig, MIN(doc_id) AS m FROM bands GROUP BY 1, 2),
+            adm AS (
+                SELECT b.doc_id, BOOL_AND(b.doc_id = m.m) AS admitted
+                FROM bands b JOIN mins m ON m.band = b.band AND m.sig = b.sig
+                GROUP BY b.doc_id
+            )
+            SELECT c.doc_id, COALESCE(a.admitted, TRUE) AS admitted
+            FROM corpus c LEFT JOIN adm a USING (doc_id)
+        """,
         "s12_stream_ewma": """
             WITH RECURSIVE s AS (
                 SELECT user_id, event_id, value,

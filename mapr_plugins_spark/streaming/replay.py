@@ -118,6 +118,54 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
     )
 
 
+def df_stream_chunked(
+    df: DataFrame, cache_key: str, order_col: str, n_chunks: int = 4
+) -> DataFrame:
+    """Replay an arbitrary DataFrame as ``n_chunks`` REAL incremental
+    micro-batches: staged once into contiguous chunks along
+    ``order_col`` (wave i = the i-th ntile — "arrival order" follows
+    the key), mtimes ascending, streamed with maxFilesPerTrigger=1.
+    Same contract as :func:`events_stream_chunked`: downstream folds
+    must be order-independent; the staging global sort is test-harness
+    scoped."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    pin_runtime_conf(spark)
+    key = hashlib.md5(f"{cache_key}/chunks{n_chunks}".encode()).hexdigest()[:12]
+    d = f"/tmp/mapr_plugins_stream/{key}"
+    staged = f"{d}/_STAGED"
+    if not os.path.exists(staged):
+        os.makedirs(d, exist_ok=True)
+        chunked = df.withColumn(
+            "__chunk", F.ntile(n_chunks).over(Window.orderBy(order_col))
+        )
+        for i in range(n_chunks):
+            tmp = f"{d}/_tmp{i}"
+            (
+                chunked.filter(F.col("__chunk") == i + 1)
+                .drop("__chunk")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            os.replace(part, f"{d}/chunk{i}.parquet")
+            shutil.rmtree(tmp)
+            os.utime(f"{d}/chunk{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(staged, "w") as f:
+            f.write("ok")
+    schema = spark.read.parquet(f"{d}/chunk0.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink;
     return the sink contents as a batch DataFrame.

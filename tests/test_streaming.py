@@ -20,6 +20,18 @@ def test_streaming_matches_batch_oracle(spark, sf_dir, key):
     assert_matches_oracle(df, SR.streaming_oracles()[key], sf_dir, key=key)
 
 
+def test_stream_admission_rejects_duplicate_wave(spark, sf_dir):
+    """The originals arrive first and are overwhelmingly admitted; the
+    injected near-dup wave collides with the signature store and is
+    overwhelmingly rejected — the acting purpose of ingest-time
+    admission control."""
+    out = {r.doc_id: r.admitted for r in SR.s13_stream_dedup_admission(spark, sf_dir).collect()}
+    originals = [k for k in out if k < 1000000]
+    variants = [k for k in out if k >= 1000000]
+    assert sum(out[k] for k in originals) >= 0.85 * len(originals)
+    assert sum(not out[k] for k in variants) >= 0.9 * len(variants)
+
+
 def test_late_data_dropped_by_watermark(spark, tmp_path):
     """Adversarial event-time ordering: with an append-mode watermarked
     aggregation, a record arriving (in a later run, behind the persisted

@@ -659,6 +659,93 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# content-defined chunking dedup
+
+
+def cdc_chunk_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mod: int = 32,
+) -> DataFrame:
+    """(doc_id, g): content-defined chunk-hash sets per payload,
+    computed entirely ROW-LOCALLY (the storage-dedup / rsync boundary
+    technique, public): a chunk boundary falls after every position
+    whose trailing ``window``-byte rolling hash ≡ 0 (mod ``mod``), so
+    boundaries move WITH the content — an insertion or dropped prefix
+    re-aligns within one chunk instead of shifting every block (what
+    defeats fixed-block hashing).
+
+    Engine-portable realization: the rolling hash is the portable
+    md5-60 scheme over the trailing window; the test corpus stands in
+    text for payload bytes (same ASCII-safe convention as the
+    multimodal feature stubs — in production this kernel runs over
+    decoded payload bytes, md5 swapped for a Rabin fingerprint). Each
+    stage is its own projection so every md5 is computed once per
+    element (CollapseProject keeps non-cheap multi-referenced aliases
+    separate)."""
+    conv = "CAST(conv(substr({h}, 1, 15), 16, 10) AS BIGINT)"
+    cuts_sql = f"""
+        sort_array(array_distinct(concat(
+            transform(
+                filter(
+                    transform(
+                        filter(sequence({window}, greatest(length({text_col}), {window})),
+                               i -> i <= length({text_col})),
+                        i -> named_struct('i', i,
+                                          'h', md5(substring({text_col}, i - {window - 1}, {window})))),
+                    s -> {conv.format(h='s.h')} % {mod} = 0),
+                s -> s.i),
+            array(length({text_col})))))
+    """
+    chunks_sql = f"""
+        transform(__cuts, (c, j) ->
+            substring({text_col},
+                      IF(j = 0, 1, element_at(__cuts, j) + 1),
+                      c - IF(j = 0, 0, element_at(__cuts, j))))
+    """
+    return (
+        fan_out(docs.select(F.col(id_col).alias("doc_id"), text_col))
+        .withColumn("__cuts", F.expr(cuts_sql))
+        .withColumn("__chunks", F.expr(chunks_sql))
+        .withColumn("__hx", F.expr("transform(__chunks, c -> md5(c))"))
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct(transform(__hx, h -> {conv.format(h='h')}))").alias("g"),
+        )
+    )
+
+
+def cdc_chunk_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mod: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup payload pairs by content-defined chunk overlap:
+    (id_a, id_b, jaccard over distinct chunk hashes ≥ ``threshold``).
+
+    Candidates = pairs sharing ANY chunk hash — the bucket join is equi
+    on the 60-bit BIGINT chunk key, so the pair space is per shared
+    chunk, never corpus-global (a boilerplate chunk shared by many
+    payloads makes a hot bucket; at scale cap bucket width or band
+    exactly like LSH). Verify reuses the row-local array-intersect
+    Jaccard."""
+    garr = cdc_chunk_arrays(docs, id_col, text_col, window=window, mod=mod).persist()
+    cg = garr.select("doc_id", F.explode("g").alias("ch"))
+    a, b = cg.alias("a"), cg.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _jaccard_verify(garr, cand, threshold)
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup)
 
 

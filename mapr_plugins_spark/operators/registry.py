@@ -446,6 +446,16 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(_t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4)
 
 
+def x_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking near-dup pairs over the dedup corpus
+    (payload-level storage-dedup primitive: boundaries move with the
+    content, so the dropped-prefix variants re-align within one chunk
+    and keep high chunk overlap — fixed blocks would shift every
+    hash)."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.cdc_chunk_dedup_pairs(corpus, window=8, mod=32, threshold=0.5)
+
+
 def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapr_plugins_spark.operators.rollup import hypertable_rollup
 
@@ -1394,6 +1404,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_embcos,
             x_dedup_incremental,
             x_semantic_dedup,
+            x_cdc_chunk_dedup,
             x_hypertable_rollup,
             x_split_assign,
             x_hash_sample,
@@ -1517,6 +1528,66 @@ def _minhash_pairs_ctes(corpus_sql: str, threshold: float) -> str:
 
 def _minhash_oracle() -> str:
     return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
+
+
+def _cdc_chunk_oracle(window: int = 8, mod: int = 32, threshold: float = 0.5) -> str:
+    """SQL replay of cdc_chunk_dedup_pairs: identical boundary rule
+    (trailing-window md5-60 ≡ 0 mod ``mod``), identical chunk slicing
+    (DuckDB's indexed lambda is 1-based where Spark's is 0-based — the
+    CASE arms mirror the IF arms one index up), identical Jaccard."""
+    from mapr_plugins_spark.functions.portable_hash import hex15_to_bigint_sql
+
+    hv_s = hex15_to_bigint_sql("s['h']")
+    hv_h = hex15_to_bigint_sql("h")
+    return f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        base AS (SELECT doc_id, text, length(text) AS n FROM corpus),
+        pm AS (
+            SELECT doc_id, text, n,
+                   list_transform(range({window}, n + 1),
+                       i -> {{'i': i, 'h': md5(substr(text, i - {window - 1}, {window}))}})
+                       AS pm1
+            FROM base
+        ),
+        cut AS (
+            SELECT doc_id, text,
+                   list_sort(list_distinct(list_append(
+                       list_transform(
+                           list_filter(pm1, s -> {hv_s} % {mod} = 0),
+                           s -> s['i']),
+                       n))) AS cuts
+            FROM pm
+        ),
+        ch AS (
+            SELECT doc_id,
+                   list_transform(cuts, (c, j) -> md5(substr(text,
+                       CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END,
+                       c - CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END))) AS hx
+            FROM cut
+        ),
+        sigs AS (
+            SELECT doc_id, list_distinct(list_transform(hx, h -> {hv_h})) AS g
+            FROM ch
+        ),
+        cg AS (SELECT doc_id, unnest(g) AS chk FROM sigs),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cg a JOIN cg b ON a.chk = b.chk AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, len(g) AS sn FROM sigs),
+        inter AS (
+            SELECT c.id_a, c.id_b, len(list_intersect(sa.g, sb.g)) AS ni
+            FROM cand c
+            JOIN sigs sa ON sa.doc_id = c.id_a
+            JOIN sigs sb ON sb.doc_id = c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.ni AS DOUBLE) / (za.sn + zb.sn - i.ni) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(i.ni AS DOUBLE) / (za.sn + zb.sn - i.ni) >= {threshold}
+    """
 
 
 def _substr_hits_ctes(
@@ -1978,6 +2049,7 @@ def extension_oracles() -> dict[str, str]:
             f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} "
             "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
         ),
+        "x_cdc_chunk_dedup": _cdc_chunk_oracle(),
         "x_semantic_dedup": """
             WITH c AS (
                 SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec

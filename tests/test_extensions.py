@@ -38,6 +38,17 @@ def test_incremental_dedup_covers_injected_wave(spark, sf_dir):
     assert all(a < 1000000 <= b for a, b in pairs)
 
 
+def test_cdc_chunk_dedup_is_shift_robust(spark, sf_dir):
+    """Content-defined boundaries re-align after the dropped prefix, so
+    most injected variants must pair with their source at jaccard ≥ 0.5
+    — the property fixed-block hashing lacks (a 1-word shift would
+    change every block)."""
+    pairs = {(r.id_a, r.id_b) for r in R.x_cdc_chunk_dedup(spark, sf_dir).collect()}
+    n_docs = R.x_text_tokens(spark, sf_dir).count()
+    found = sum((i, i + 1000000) in pairs for i in range(n_docs))
+    assert found >= 0.7 * n_docs, f"only {found}/{n_docs} shifted near-dups found"
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """One row per vector; every cluster keeps at least one member, and
     the lowest-id member of each cluster is always kept (it has no

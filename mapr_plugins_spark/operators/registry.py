@@ -356,6 +356,24 @@ def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("recall_at_5", guarded)
 
 
+def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval harness over a pinned 8-probe batch: MRR /
+    precision@10 / recall@10 of exact dense retrieval vs label ground
+    truth — all-rational metrics, full DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+            F.col("label").alias("probe_label"),
+        )
+    )
+    return S.retrieval_metrics(emb, probes, k=10)
+
+
 def x_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _dedup_corpus(spark, sf_dir)
     return D.verified_near_dup_pairs(
@@ -1405,6 +1423,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_incremental,
             x_semantic_dedup,
             x_cdc_chunk_dedup,
+            x_retrieval_metrics,
             x_hypertable_rollup,
             x_split_assign,
             x_hash_sample,
@@ -2050,6 +2069,41 @@ def extension_oracles() -> dict[str, str]:
             "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
         ),
         "x_cdc_chunk_dedup": _cdc_chunk_oracle(),
+        # SUMs cast to BIGINT: DuckDB integer SUM is HUGEINT, which the
+        # driver's pandas canonicalizer would float64-ify (round-2 bug
+        # class)
+        "x_retrieval_metrics": """
+            WITH p AS (
+                SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv,
+                       label AS plabel
+                FROM embeddings WHERE vec_id % 97 = 0
+                ORDER BY vec_id LIMIT 8
+            ),
+            r AS (
+                SELECT p.probe_id, e.label, p.plabel,
+                       row_number() OVER (PARTITION BY p.probe_id
+                           ORDER BY list_cosine_similarity(
+                               e.embedding::DOUBLE[], p.pv) DESC,
+                               e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN p
+                WHERE e.vec_id <> p.probe_id
+            ),
+            a AS (
+                SELECT probe_id,
+                       CAST(SUM(CASE WHEN label = plabel THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_relevant,
+                       CAST(MIN(CASE WHEN label = plabel THEN rank END)
+                            AS BIGINT) AS first_rel_rank,
+                       CAST(SUM(CASE WHEN rank <= 10 AND label = plabel
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_k
+                FROM r GROUP BY probe_id
+            )
+            SELECT probe_id, n_relevant, first_rel_rank,
+                   1.0 / first_rel_rank AS rr,
+                   CAST(rel_at_k AS DOUBLE) / 10 AS precision_at_k,
+                   CAST(rel_at_k AS DOUBLE) / least(n_relevant, 10) AS recall_at_k
+            FROM a
+        """,
         "x_semantic_dedup": """
             WITH c AS (
                 SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec

@@ -299,6 +299,56 @@ def hard_negatives(
     )
 
 
+def retrieval_metrics(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality evaluation harness: MRR, precision@k, and
+    recall@k of exact dense retrieval against label ground truth (a
+    corpus vector is relevant to a probe iff it carries the probe's
+    label) — the standard eval loop of a retrieval/RAG pipeline,
+    kept strictly RATIONAL (1/rank, hit counts over k) so every metric
+    is bit-identical across engines; nDCG's log2 is deliberately
+    omitted.
+
+    Same broadcast-probe one-corpus-scan shape as the exact batch ANN
+    oracle: this is the EXACT evaluation (per-probe full ranking); at
+    100 TB the eval runs on a sampled probe set, or swaps the scorer
+    for the indexed candidate stream when approximate metrics suffice.
+    Columns: probe_id, n_relevant, first_rel_rank, rr, precision_at_k,
+    recall_at_k."""
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(F.broadcast(probes)).filter(F.col(id_col) != F.col("probe_id"))
+    scored = joined.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
+        "rel", (F.col(label_col) == F.col("probe_label")).cast("long")
+    )
+    agg = ranked.groupBy("probe_id").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+        F.sum(F.when(F.col("rank") <= k, F.col("rel")).otherwise(F.lit(0).cast("long"))).alias(
+            "rel_at_k"
+        ),
+    )
+    return agg.select(
+        "probe_id",
+        "n_relevant",
+        "first_rel_rank",
+        (F.lit(1.0) / F.col("first_rel_rank")).alias("rr"),
+        (F.col("rel_at_k").cast("double") / F.lit(k)).alias("precision_at_k"),
+        (
+            F.col("rel_at_k").cast("double")
+            / F.least(F.col("n_relevant"), F.lit(k).cast("long"))
+        ).alias("recall_at_k"),
+    )
+
+
 def ivf_topk_batch(
     emb: DataFrame,
     probes: DataFrame,

@@ -356,6 +356,28 @@ def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("recall_at_5", guarded)
 
 
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 fixed rounds) over the REAL customer↔supplier
+    order graph — the link-centrality quality signal corpus curation
+    uses for source weighting. Fixed-point integer arithmetic (ranks in
+    millionths, floor division): bit-exact by construction, so the
+    unrolled-CTE DuckDB oracle matches without any float semantics."""
+    from mapr_plugins_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3).select(F.col("id").alias("node"), "rank_micro")
+
+
 def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval eval harness over a pinned 8-probe batch: MRR /
     precision@10 / recall@10 of exact dense retrieval vs label ground
@@ -1424,6 +1446,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_semantic_dedup,
             x_cdc_chunk_dedup,
             x_retrieval_metrics,
+            x_pagerank,
             x_hypertable_rollup,
             x_split_assign,
             x_hash_sample,
@@ -1547,6 +1570,50 @@ def _minhash_pairs_ctes(corpus_sql: str, threshold: float) -> str:
 
 def _minhash_oracle() -> str:
     return f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} SELECT * FROM pairs"
+
+
+def _pagerank_oracle(iterations: int = 3, damping_permille: int = 850) -> str:
+    """Unrolled-CTE replay of operators/graph.py::pagerank over the
+    customer↔supplier graph: the identical fixed-point integer rounds
+    (floor division by outdeg, permille damping) — every value BIGINT,
+    bit-exact in both engines by construction. The per-round SUM is
+    CAST to BIGINT (DuckDB integer SUM is HUGEINT — the pandas
+    float64 dtype artifact class)."""
+    from mapr_plugins_spark.operators.graph import SCALE
+
+    teleport_micro = (1000 - damping_permille) * SCALE // 1000
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""c{i} AS (
+            SELECT e.dst AS id, CAST(SUM({prev}.rank_micro // e.outdeg) AS BIGINT) AS s
+            FROM e JOIN {prev} ON {prev}.id = e.src GROUP BY e.dst
+        ),
+        r{i} AS (
+            SELECT n.id,
+                   CAST({teleport_micro} AS BIGINT)
+                   + ({damping_permille} * COALESCE(c{i}.s, 0)) // 1000 AS rank_micro
+            FROM nodes n LEFT JOIN c{i} USING (id)
+        )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        eb AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM eb GROUP BY src),
+        e AS (SELECT eb.src, eb.dst, od.outdeg FROM eb JOIN od USING (src)),
+        nodes AS (SELECT DISTINCT src AS id FROM eb),
+        r0 AS (SELECT id, CAST({SCALE} AS BIGINT) AS rank_micro FROM nodes),
+        {chain}
+        SELECT id AS node, rank_micro FROM r{iterations}
+    """
 
 
 def _cdc_chunk_oracle(window: int = 8, mod: int = 32, threshold: float = 0.5) -> str:
@@ -2069,6 +2136,7 @@ def extension_oracles() -> dict[str, str]:
             "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
         ),
         "x_cdc_chunk_dedup": _cdc_chunk_oracle(),
+        "x_pagerank": _pagerank_oracle(),
         # SUMs cast to BIGINT: DuckDB integer SUM is HUGEINT, which the
         # driver's pandas canonicalizer would float64-ify (round-2 bug
         # class)

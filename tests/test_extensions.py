@@ -38,6 +38,21 @@ def test_incremental_dedup_covers_injected_wave(spark, sf_dir):
     assert all(a < 1000000 <= b for a, b in pairs)
 
 
+def test_pagerank_centrality_orders_by_degree(spark, sf_dir):
+    """Suppliers (few nodes, many in-edges) must outrank customers on
+    average, and total rank mass must stay near n·SCALE (teleport +
+    damping conserve mass up to floor-division loss)."""
+    from mapr_plugins_spark.operators.graph import SCALE
+
+    rows = R.x_pagerank(spark, sf_dir).collect()
+    sup = [r.rank_micro for r in rows if r.node.startswith("s")]
+    cus = [r.rank_micro for r in rows if r.node.startswith("c")]
+    assert sup and cus
+    assert sum(sup) / len(sup) > 2 * sum(cus) / len(cus)
+    total = sum(r.rank_micro for r in rows)
+    assert 0.8 * len(rows) * SCALE <= total <= 1.01 * len(rows) * SCALE
+
+
 def test_cdc_chunk_dedup_is_shift_robust(spark, sf_dir):
     """Content-defined boundaries re-align after the dropped prefix, so
     most injected variants must pair with their source at jaccard ≥ 0.5

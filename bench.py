@@ -83,6 +83,8 @@ def main() -> None:
         "x_ewma",
         "x_curate",
         "x_rrf_fusion",
+        "x_retrieval_metrics",
+        "x_pagerank",
     ]
     names = [n for n in headline if n in registry]
 

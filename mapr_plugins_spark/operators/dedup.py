@@ -662,29 +662,16 @@ def embedding_near_dup_pairs(
 # content-defined chunking dedup
 
 
-def cdc_chunk_arrays(
+def cdc_chunks(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
     mod: int = 32,
 ) -> DataFrame:
-    """(doc_id, g): content-defined chunk-hash sets per payload,
-    computed entirely ROW-LOCALLY (the storage-dedup / rsync boundary
-    technique, public): a chunk boundary falls after every position
-    whose trailing ``window``-byte rolling hash ≡ 0 (mod ``mod``), so
-    boundaries move WITH the content — an insertion or dropped prefix
-    re-aligns within one chunk instead of shifting every block (what
-    defeats fixed-block hashing).
-
-    Engine-portable realization: the rolling hash is the portable
-    md5-60 scheme over the trailing window; the test corpus stands in
-    text for payload bytes (same ASCII-safe convention as the
-    multimodal feature stubs — in production this kernel runs over
-    decoded payload bytes, md5 swapped for a Rabin fingerprint). Each
-    stage is its own projection so every md5 is computed once per
-    element (CollapseProject keeps non-cheap multi-referenced aliases
-    separate)."""
+    """(doc_id, __chunks): the content-defined chunk TEXTS per payload
+    (row-local; see :func:`cdc_chunk_arrays` for the design). Exposed
+    so tests can pin the reassembly law ``concat(chunks) == text``."""
     conv = "CAST(conv(substr({h}, 1, 15), 16, 10) AS BIGINT)"
     cuts_sql = f"""
         sort_array(array_distinct(concat(
@@ -709,6 +696,36 @@ def cdc_chunk_arrays(
         fan_out(docs.select(F.col(id_col).alias("doc_id"), text_col))
         .withColumn("__cuts", F.expr(cuts_sql))
         .withColumn("__chunks", F.expr(chunks_sql))
+        .drop("__cuts")
+    )
+
+
+def cdc_chunk_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mod: int = 32,
+) -> DataFrame:
+    """(doc_id, g): content-defined chunk-hash sets per payload,
+    computed entirely ROW-LOCALLY (the storage-dedup / rsync boundary
+    technique, public): a chunk boundary falls after every position
+    whose trailing ``window``-byte rolling hash ≡ 0 (mod ``mod``), so
+    boundaries move WITH the content — an insertion or dropped prefix
+    re-aligns within one chunk instead of shifting every block (what
+    defeats fixed-block hashing).
+
+    Engine-portable realization: the rolling hash is the portable
+    md5-60 scheme over the trailing window; the test corpus stands in
+    text for payload bytes (same ASCII-safe convention as the
+    multimodal feature stubs — in production this kernel runs over
+    decoded payload bytes, md5 swapped for a Rabin fingerprint). Each
+    stage is its own projection so every md5 is computed once per
+    element (CollapseProject keeps non-cheap multi-referenced aliases
+    separate)."""
+    conv = "CAST(conv(substr({h}, 1, 15), 16, 10) AS BIGINT)"
+    return (
+        cdc_chunks(docs, id_col, text_col, window=window, mod=mod)
         .withColumn("__hx", F.expr("transform(__chunks, c -> md5(c))"))
         .select(
             "doc_id",

@@ -435,10 +435,13 @@ def incremental_near_dup_pairs(
     n_hashes: int = 8,
     band_rows: int = 4,
     threshold: float = 0.5,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch (``delta``) against an EXISTING corpus without
     re-pairing the corpus against itself: (id_a ∈ corpus, id_b ∈ delta,
-    jaccard).
+    jaccard). Pass ``corpus_bands`` (a persisted signature store, the
+    schema ``minhash_band_signatures`` emits) to skip recomputing the
+    corpus side entirely — the production mode.
 
     The 100 TB reality of dedup is incremental — each ingest wave is
     deduped against everything already accepted, and recomputing the
@@ -453,8 +456,12 @@ def incremental_near_dup_pairs(
     cross-side candidates, on docs restricted by the broadcast
     candidate semi-join.
     """
-    cb = minhash_band_signatures(
-        corpus, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_band_signatures(
+            corpus, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows
+        )
     )
     db = minhash_band_signatures(
         delta, id_col, text_col, k=k, n_hashes=n_hashes, band_rows=band_rows

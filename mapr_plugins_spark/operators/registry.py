@@ -479,6 +479,50 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sigstore_dir(sf_dir: str) -> str:
+    import os
+
+    d = (
+        f"/tmp/mapr_plugins_sigstore/"
+        f"{_data_fingerprint(sf_dir, 'documents')}-mh{_MINHASH_SEEDS}b{_BAND_ROWS}"
+    )
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+def x_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against a PERSISTED signature store:
+    the corpus's band signatures stage once per data fingerprint
+    (atomic rename — the same amortization as the ANN indexes) and
+    each delta wave equi-joins the STORED signatures, so per-wave work
+    never touches the corpus side except to fetch the tiny candidate
+    docs for Jaccard verify. Output ≡ x_dedup_incremental (staging
+    changes where corpus signatures come from, not their values), so
+    the same full-value oracle grades the store machinery."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _sigstore_dir(sf_dir)
+    _ensure_staged(
+        d,
+        lambda tmp: D.minhash_band_signatures(
+            docs, "doc_id", "text", k=3, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/bands"),
+    )
+    delta = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", "^[a-z]+ ", "").alias("text"),
+    )
+    return D.incremental_near_dup_pairs(
+        docs,
+        delta,
+        n_hashes=_MINHASH_SEEDS,
+        band_rows=_BAND_ROWS,
+        threshold=0.5,
+        corpus_bands=spark.read.parquet(f"{d}/bands"),
+    )
+
+
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic seed-centroid
     assignment (zero-shuffle argmax over centroid literals) + within-
@@ -1443,6 +1487,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_simhash,
             x_dedup_embcos,
             x_dedup_incremental,
+            x_dedup_incremental_indexed,
             x_semantic_dedup,
             x_cdc_chunk_dedup,
             x_retrieval_metrics,
@@ -2132,6 +2177,12 @@ def extension_oracles() -> dict[str, str]:
         # (id ranges disjoint, so every cross pair has id_a < 1000000 <=
         # id_b and vice versa)
         "x_dedup_incremental": (
+            f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} "
+            "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
+        ),
+        # identical result contract: the indexed variant only changes
+        # where the corpus signatures come from (the persisted store)
+        "x_dedup_incremental_indexed": (
             f"WITH {_minhash_pairs_ctes(_CORPUS_SQL, 0.5)} "
             "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
         ),

@@ -1466,6 +1466,31 @@ def x_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang_pred", "quality_score")
 
 
+def x_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call training-mix build — the composition a corpus pipeline
+    ships: curate (exact + near-dup collapse → quality ≥ 0.5 →
+    language tag) → deterministic 80/20 hash split → per
+    (source, lang_pred, split) mix report with document and token
+    budgets and the quality envelope (min/max — aggregate PICKS of
+    bit-identical per-row doubles, immune to the decimal-midpoint
+    rounding divergence a cross-engine mean can hit: Spark casts
+    HALF_UP, DuckDB HALF_EVEN). Every stage is an already-graded
+    operator; the oracle replays the ENTIRE chain (minhash pairs,
+    recursive component closure, quality, langid, portable-hash
+    split) down to the aggregated report."""
+    from mapr_plugins_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    curated = D.curate(docs, min_quality=0.5)
+    split = hash_split(curated, "CAST(doc_id AS STRING)", train_pct=80, seed=7)
+    return split.groupBy("source", "lang_pred", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -1546,6 +1571,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_mm_resize,
             x_mm_frames,
             x_curate,
+            x_training_mix,
         )
     }
 
@@ -1946,6 +1972,68 @@ def _curate_oracle() -> str:
     """
 
 
+def _training_mix_oracle() -> str:
+    """SQL replay of x_training_mix: the curate chain (pairs →
+    recursive closure → min-id survivors), quality filter ≥ 0.5,
+    langid, portable-hash 80/20 split, aggregated mix report. Integer
+    SUM CAST to BIGINT (HUGEINT artifact class); the quality envelope
+    is MIN/MAX (value picks) — a mean would round a decimal cast,
+    where the engines' HALF_UP vs HALF_EVEN can diverge on
+    representable midpoints."""
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+
+    pairs = _minhash_pairs_ctes("SELECT doc_id, text FROM documents", 0.5)
+    quality = _quality_sql()
+    score_cols, m, case = _langid_sql()
+    split = seeded_hash60_sql("CAST(doc_id AS STRING)", "7")
+    return f"""
+        WITH RECURSIVE {pairs},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        cnodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+            SELECT id AS src, id AS dst FROM cnodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        canon AS (SELECT src AS did, min(dst) AS root FROM reach GROUP BY src),
+        kept AS (
+            SELECT d.doc_id, d.text, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT did FROM canon WHERE did <> root)
+        ),
+        t AS (SELECT doc_id, text, source, {_TOKS_SQL} AS toks FROM kept),
+        q AS (
+            SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                   {quality} AS quality_score
+            FROM t
+        ),
+        s AS (SELECT doc_id, {score_cols} FROM t WHERE len(toks) > 0),
+        l AS (
+            SELECT doc_id, CASE {case} END AS lang_pred
+            FROM (SELECT *, {m} AS m FROM s)
+        ),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN {split} % 100 < 80 THEN 'train' ELSE 'test' END AS split
+            FROM kept
+        )
+        SELECT t.source, l.lang_pred, sp.split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+               MIN(q.quality_score) AS min_quality,
+               MAX(q.quality_score) AS max_quality
+        FROM t
+        JOIN q ON q.doc_id = t.doc_id
+        JOIN l ON l.doc_id = t.doc_id
+        JOIN sp ON sp.doc_id = t.doc_id
+        WHERE q.quality_score >= 0.5
+        GROUP BY 1, 2, 3
+    """
+
+
 def _ngram_jaccard_oracle(n: int = 4, block_chars: int = 16, threshold: float = 0.6) -> str:
     return f"""
         WITH corpus AS ({_CORPUS_SQL}),
@@ -2158,6 +2246,7 @@ def extension_oracles() -> dict[str, str]:
         "x_mm_features": _MM_FEATURES_SQL,
         "x_mm_features_arrow": _MM_FEATURES_SQL,
         "x_curate": _curate_oracle(),
+        "x_training_mix": _training_mix_oracle(),
         "x_dedup_minhash_pairs": _minhash_oracle(),
         "x_substr_dedup": _substr_dedup_oracle(),
         "x_substr_strip": _substr_strip_oracle(),

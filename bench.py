@@ -66,6 +66,10 @@ def main() -> None:
         "q24_ann_topk",
         "x_ann_ivf_batch",
         "x_ann_ivf_batch_prod",  # guard-free production ANN plan
+        "x_embed_pq_encode",
+        "x_ann_pq_topk",
+        "x_scd2_build",
+        "x_text_nfc_normalize",
         "q47_exists_subquery",
         "x_text_quality",
         "s03_session_window",

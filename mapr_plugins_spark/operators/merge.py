@@ -66,3 +66,52 @@ def merge_upsert(
     if delete_condition is not None:
         j = j.filter(~(matched & F.coalesce(delete_condition, F.lit(False))))
     return j.select(*out)
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: collapse the
+    per-key event stream to the rows where the tracked attribute
+    actually changed, and emit validity intervals —
+
+        (key, attr, valid_from_us, valid_to_us, is_current, version)
+
+    ``valid_to_us`` is NULL on the open (current) interval. The classic
+    warehouse dimension-history build, and the LLM-corpus analogue is
+    snapshot lineage: which curation label applied to a document during
+    which ingestion window.
+
+    Plan: both window passes share one ``partitionBy(key)`` ordering, so
+    the whole operator is a SINGLE shuffle — the change-detection filter
+    preserves the exchange's partitioning and the second window reuses
+    it. State per key is O(1) (lag/lead/row_number stream through
+    sorted runs); no skew risk beyond the key distribution itself, which
+    AQE handles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changed = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+    )
+    nxt = F.lead(ts_col).over(w)
+    # ts is TIMESTAMP_NTZ by catalog contract; the NTZ→LTZ cast reads
+    # the wall time in the session zone, which the catalog pins to UTC,
+    # so these micros equal DuckDB's epoch_us over the naive timestamp
+    # under ANY host session timezone.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        us(F.col(ts_col)).alias("valid_from_us"),
+        us(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )

@@ -1491,6 +1491,70 @@ def x_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression of the embeddings table: every
+    64-float vector → 8 codebook codes (32× memory reduction), the
+    representation a billion-scale ANN index actually stores. Row-local
+    codegen against a literal codebook — zero shuffle, zero Python.
+    Codes render as a comma-joined scalar (the engine-portable graded
+    form — collection cells break the driver's pandas hashing)."""
+    enc = S.pq_encode(_t(spark, sf_dir, "embeddings"), m=8, kc=16)
+    return enc.select(
+        "vec_id", F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes")
+    )
+
+
+def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for probe vec_id=0 over PQ codes: the probe expands to
+    a per-subspace distance table (probe-side work, corpus-independent)
+    and each corpus row costs 8 table lookups over its compressed codes
+    — the float vectors never enter the scan. Deterministic codebook ⇒
+    full-value DuckDB oracle replays encode AND search exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk(emb, S.probe_of(emb, 0), k=10, m=8, kc=16)
+
+
+def x_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the events change log:
+    per-user event_type state history with microsecond validity
+    intervals, open-ended current rows, and change-version numbers —
+    one shuffle total (both window passes share the user_id
+    partitioning)."""
+    from mapr_plugins_spark.operators.merge import scd2_build
+
+    return scd2_build(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def x_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (Arrow-vectorized pandas UDF over
+    ``unicodedata``) differentially tested against DuckDB's utf8proc
+    ``nfc_normalize`` — two independent implementations of the Unicode
+    algorithm must agree byte-for-byte. The ASCII corpus is first
+    seeded with decomposed accents (a → a+U+0301) in-plan, identically
+    on both engines, so composition genuinely fires on every row."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301")).alias("text")
+    )
+    out = X.nfc_normalize(docs)
+    return out.select(
+        "doc_id", "norm_text", (F.col("norm_text") != F.col("text")).alias("changed")
+    )
+
+
+def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe group-coherent train/test split keyed on the
+    document's source domain: all docs of a source land on one side, so
+    intra-source near-duplicates cannot straddle the eval boundary."""
+    from mapr_plugins_spark.operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(docs, "source", train_pct=80, seed=13).select(
+        "doc_id", "source", "bucket", "split"
+    )
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -1572,12 +1636,79 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_mm_frames,
             x_curate,
             x_training_mix,
+            x_embed_pq_encode,
+            x_ann_pq_topk,
+            x_scd2_build,
+            x_text_nfc_normalize,
+            x_group_split,
         )
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles
+
+
+def _pq_ctes(m: int = 8, kc: int = 16, dsub: int = 8) -> str:
+    """CTE chain ``seeds .. codes`` replaying PQ encoding exactly: the
+    codebook is the ``kc`` lowest-id vectors sliced into ``m`` subspaces
+    (same seed convention as the Spark side), per-(vector, subspace)
+    squared-L2 distances fold in list order (matching zip_with/aggregate
+    associativity), argmin ties resolve to the lowest code."""
+    return f"""seeds AS (
+            SELECT vec_id AS c, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < {kc}
+        ),
+        js AS (SELECT unnest(range(0, {m})) AS j),
+        sub AS (
+            SELECT e.vec_id, js.j, e.embedding::DOUBLE[] AS v
+            FROM embeddings e CROSS JOIN js
+        ),
+        dists AS (
+            SELECT s.vec_id, s.j, sd.c,
+                   list_sum(list_transform(range(1, {dsub + 1}),
+                       i -> (s.v[s.j * {dsub} + i] - sd.v[s.j * {dsub} + i])
+                          * (s.v[s.j * {dsub} + i] - sd.v[s.j * {dsub} + i]))) AS d2
+            FROM sub s CROSS JOIN seeds sd
+        ),
+        codes AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2, c) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )"""
+
+
+def _pq_topk_oracle(m: int = 8, kc: int = 16, dsub: int = 8, k: int = 10) -> str:
+    """ADC search oracle: probe distance table per (subspace, code),
+    then per-vector lookup of its code's entry, summed in EXPLICIT
+    subspace order (pivot + coalesce chain — same associativity as the
+    Spark left-to-right fold; a bare SUM..GROUP BY would add doubles in
+    nondeterministic order)."""
+    fcols = ", ".join(f"sum(d2) FILTER (WHERE j = {j}) AS d_{j}" for j in range(m))
+    fsum = " + ".join(f"coalesce(d_{j}, 0.0)" for j in range(m))
+    return f"""WITH {_pq_ctes(m, kc, dsub)},
+        probe AS (
+            SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0
+        ),
+        pdt AS (
+            SELECT js.j, sd.c,
+                   list_sum(list_transform(range(1, {dsub + 1}),
+                       i -> (probe.pv[js.j * {dsub} + i] - sd.v[js.j * {dsub} + i])
+                          * (probe.pv[js.j * {dsub} + i] - sd.v[js.j * {dsub} + i]))) AS d2
+            FROM js CROSS JOIN seeds sd CROSS JOIN probe
+        ),
+        looked AS (
+            SELECT codes.vec_id, codes.j, pdt.d2
+            FROM codes JOIN pdt ON codes.j = pdt.j AND codes.c = pdt.c
+        ),
+        pivoted AS (SELECT vec_id, {fcols} FROM looked GROUP BY vec_id),
+        adc AS (SELECT vec_id, {fsum} AS d FROM pivoted)
+        SELECT vec_id, round(d, 6) AS adc6
+        FROM adc WHERE vec_id <> 0
+        ORDER BY d, vec_id LIMIT {k}"""
 
 
 def _minhash_pairs_ctes(corpus_sql: str, threshold: float) -> str:
@@ -2175,6 +2306,51 @@ def extension_oracles() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) DESC,
                      vec_id
             LIMIT 5
+        """,
+        "x_embed_pq_encode": f"""
+            WITH {_pq_ctes()}
+            SELECT vec_id,
+                   array_to_string(list(CAST(c AS VARCHAR) ORDER BY j), ',')
+                       AS codes
+            FROM codes GROUP BY vec_id
+        """,
+        "x_ann_pq_topk": _pq_topk_oracle(),
+        "x_scd2_build": """
+            WITH c AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            ch AS (
+                SELECT user_id, event_type, ts, event_id FROM c
+                WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(lead(ts) OVER w) AS valid_to_us,
+                   lead(ts) OVER w IS NULL AS is_current,
+                   CAST(row_number() OVER w AS BIGINT) AS version
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "x_text_nfc_normalize": """
+            WITH aug AS (
+                SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(text) AS norm_text,
+                   nfc_normalize(text) <> text AS changed
+            FROM aug
+        """,
+        "x_group_split": f"""
+            SELECT doc_id, source,
+                   CAST({seeded_hash60_sql("source", "13")} % 100 AS INTEGER)
+                       AS bucket,
+                   CASE WHEN {seeded_hash60_sql("source", "13")} % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
         """,
         "x_hard_negatives": """
             WITH probes AS (

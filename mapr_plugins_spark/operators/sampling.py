@@ -123,3 +123,25 @@ def rebalance_sources(
     return b.filter(
         F.col("bucket") < (F.col("__rate") * n_buckets).cast("int")
     ).drop("bucket", "__rate")
+
+
+def group_split(
+    df: DataFrame,
+    group_sql: str,
+    train_pct: int = 80,
+    seed: int = 13,
+) -> DataFrame:
+    """Leakage-safe GROUP-COHERENT split: the hash bucket is computed
+    from a *group* key (source domain, site, author), so every row of a
+    group lands on the same side — near-duplicate documents from one
+    source can never straddle the train/test boundary, which is how
+    eval contamination usually sneaks in (scikit-learn's
+    GroupShuffleSplit contract, done with the engine's portable hash).
+
+    Same zero-shuffle, partitioning-independent guarantees as
+    :func:`hash_split`: one md5 per row inside codegen, assignment a
+    pure function of the group key."""
+    b = hash_bucket(df, group_sql, 100, seed)
+    return b.withColumn(
+        "split", F.when(F.col("bucket") < train_pct, "train").otherwise("test")
+    )

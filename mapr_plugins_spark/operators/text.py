@@ -359,3 +359,32 @@ def term_frequencies(df: DataFrame, text_col: str = "text", top_n: int = 50) -> 
         .orderBy(F.col("cnt").desc(), "token")
         .limit(top_n)
     )
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonical first
+    step of every web-corpus pipeline (decomposed accents, ligature
+    variants, and width forms otherwise defeat exact AND near dedup:
+    'e'+U+0301 and U+00E9 hash differently while reading identically).
+
+    Spark has no built-in Unicode normalizer, so this is the designated
+    Arrow slow path: a vectorized pandas UDF over ``unicodedata`` —
+    batch-level Python, no per-row overhead, zero shuffle, and the
+    column it produces is persisted once and reused by every downstream
+    dedup/fingerprint pass. The DuckDB oracle's ``nfc_normalize``
+    (utf8proc) implements the same Unicode algorithm, so the
+    differential test is real: two independent NFC implementations must
+    agree byte-for-byte."""
+    import pandas as pd  # noqa: F401 (typing only)
+
+    @F.pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

@@ -480,6 +480,59 @@ def s13_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s14_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact heavy hitters (frequency > 1/200) — the
+    ingest-time twin of batch ``x_heavy_hitters``, graded by the SAME
+    integer-cut rule: document waves arrive as REAL micro-batches, each
+    batch explodes to its token stream row-locally (the batch's cost
+    only), and per-token counts fold into explicit GroupState. Counts
+    are additive and commutative, so the fold is replay- and
+    order-independent; the cut ``cnt·200 > n`` happens on the FINISHED
+    counts (update-mode re-emissions are superseded by max — counts
+    are monotone), so the streaming answer is bit-identical to the
+    batch GROUP BY. At 100 TB state is one integer per DISTINCT token
+    (vocabulary-sized, not corpus-sized); the same shape tracks
+    ingest-time vocabulary growth and stop-word drift."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.operators.text import tokens_col
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = df_stream_chunked(docs, f"{sf_dir}/hh_docs", "doc_id", n_chunks=4)
+    toks = stream.select(F.explode(tokens_col("text")).alias("item"))
+
+    def count_fold(key, pdfs, state):
+        c = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            c += int(len(pdf))
+        state.update((c,))
+        yield pd.DataFrame({"item": [key[0]], "cnt": [c]})
+
+    counted = toks.groupBy("item").applyInPandasWithState(
+        count_fold,
+        outputStructType="item STRING, cnt BIGINT",
+        stateStructType="c BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(counted, "update")
+    final = out.groupBy("item").agg(F.max("cnt").alias("cnt"))
+    from pyspark.sql import Window as _W
+
+    n = F.sum("cnt").over(_W.partitionBy())
+    return (
+        final.withColumn("__n", n)
+        .filter(F.col("cnt") * 200 > F.col("__n"))
+        .select(
+            "item",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__n")).alias("frac"),
+        )
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -494,6 +547,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s11_pyds_kafka_source,
         s12_stream_ewma,
         s13_stream_dedup_admission,
+        s14_stream_heavy_hitters,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -501,9 +555,22 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def streaming_oracles() -> dict[str, str]:
-    from mapr_plugins_spark.operators.registry import _CORPUS_SQL, _minhash_pairs_ctes
+    from mapr_plugins_spark.operators.registry import (
+        _CORPUS_SQL,
+        _TOKS_SQL,
+        _minhash_pairs_ctes,
+    )
 
     oracles = {
+        # batch replay of the streaming count-fold: identical token
+        # definition and integer cut as x_heavy_hitters
+        "s14_stream_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({_TOKS_SQL}) AS item FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+            SELECT g.item, g.cnt, CAST(g.cnt AS DOUBLE) / t.n AS frac
+            FROM g, tot t WHERE g.cnt * 200 > t.n
+        """,
         # batch replay of the streaming admission rule: the CTE chain is
         # the SAME portable-hash band pipeline the pairs oracle uses
         # (only corpus..bands are consumed; the pair CTEs prune away) —

@@ -502,3 +502,65 @@ def test_heavy_hitters_exact_at_high_cardinality(spark):
     assert set(got) == exact, got
     for (_, cnt), frac in got.items():
         assert frac == cnt / n
+
+
+def test_pq_seed_vectors_quantize_to_themselves(spark, sf_dir):
+    """Codebook seeds are their own nearest centroid in every subspace
+    (distance 0), so vec_id c < kc must encode as [c]*m — a sharp
+    correctness law for the argmin and its tie-breaking."""
+    rows = R.x_embed_pq_encode(spark, sf_dir).filter("vec_id < 16").collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.codes == ",".join([str(r.vec_id)] * 8), (r.vec_id, r.codes)
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    """Every vector gets m=8 codes, each in [0, kc=16)."""
+    rows = R.x_embed_pq_encode(spark, sf_dir).collect()
+    for r in rows:
+        cs = [int(c) for c in r.codes.split(",")]
+        assert len(cs) == 8 and all(0 <= c < 16 for c in cs), r
+
+
+def test_scd2_interval_laws(spark, sf_dir):
+    """Per key: versions are consecutive from 1, exactly one open
+    (current) interval, and each interval's end is the next interval's
+    start — the partition-of-timeline property SCD2 promises."""
+    from collections import defaultdict
+
+    rows = R.x_scd2_build(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1)), user
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current, user
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us, user
+        # change compaction: consecutive intervals carry different states
+        assert all(a.event_type != b.event_type for a, b in zip(rs, rs[1:])), user
+
+
+def test_group_split_is_leakage_safe(spark, sf_dir):
+    """All documents of one source land on one side — the property that
+    keeps intra-source near-duplicates from straddling train/test."""
+    rows = R.x_group_split(spark, sf_dir).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_source.values())
+    splits = {next(iter(s)) for s in per_source.values()}
+    assert splits == {"train", "test"}  # both sides actually populated
+
+
+def test_nfc_normalize_idempotent(spark, sf_dir):
+    """NFC(NFC(x)) == NFC(x), and composition strictly shortened every
+    augmented doc (a+U+0301 pairs collapsed to single codepoints)."""
+    from mapr_plugins_spark.operators.text import nfc_normalize
+    from pyspark.sql import functions as F
+
+    out = R.x_text_nfc_normalize(spark, sf_dir)
+    again = nfc_normalize(out, text_col="norm_text", out_col="norm2")
+    assert again.filter(F.col("norm2") != F.col("norm_text")).count() == 0
+    assert out.filter(~F.col("changed")).count() == 0

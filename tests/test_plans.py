@@ -450,3 +450,48 @@ def test_substr_dedup_plan_shape(spark, sf_dir):
     assert "MapInPandas" not in p, p
     assert "hashpartitioning(gh#" in p, p  # dup-filter + hit-join key is the hash
     assert "hashpartitioning(__gram" not in p, p
+
+
+def test_pq_encode_shuffle_free_no_python(spark, sf_dir):
+    """PQ compression is a row-local codegen scan against a literal
+    codebook: zero exchanges, zero Python — the property that makes
+    encoding a 100 TB corpus one embarrassingly-parallel pass."""
+    from mapr_plugins_spark.operators.registry import x_embed_pq_encode
+
+    df = x_embed_pq_encode(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_pq_topk_no_corpus_shuffle(spark, sf_dir):
+    """ADC search: probe side broadcasts (distance table travels, not
+    the corpus), corpus scan never hits an Exchange, ranking is
+    TakeOrdered — same shape brute_force_topk pins."""
+    from mapr_plugins_spark.operators.registry import x_ann_pq_topk
+
+    df = x_ann_pq_topk(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both SCD2 window passes (change-detect lag, interval lead +
+    version) share one user_id hash partitioning: exactly one
+    exchange end-to-end."""
+    from mapr_plugins_spark.operators.registry import x_scd2_build
+
+    df = x_scd2_build(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+
+
+def test_group_split_shuffle_free(spark, sf_dir):
+    """Group-coherent split is one md5 per row inside codegen — zero
+    exchanges, zero Python."""
+    from mapr_plugins_spark.operators.registry import x_group_split
+
+    df = x_group_split(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

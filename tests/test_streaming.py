@@ -285,3 +285,17 @@ def test_as_event_time_is_timezone_independent(spark):
             assert got == want, f"tz={tz}: {got} != {want}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
+    """The streaming GroupState count fold must land on exactly the
+    batch heavy-hitter set and counts (additive state ⇒ replay- and
+    chunking-independent)."""
+    from mapr_plugins_spark.operators.registry import x_heavy_hitters
+    from mapr_plugins_spark.streaming.registry import s14_stream_heavy_hitters
+
+    stream = {
+        (r.item, r.cnt) for r in s14_stream_heavy_hitters(spark, sf_dir).collect()
+    }
+    batch = {(r.item, r.cnt) for r in x_heavy_hitters(spark, sf_dir).collect()}
+    assert stream == batch

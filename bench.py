@@ -89,6 +89,7 @@ def main() -> None:
         "x_rrf_fusion",
         "x_retrieval_metrics",
         "x_pagerank",
+        "x_bpe_encode",
     ]
     names = [n for n in headline if n in registry]
 

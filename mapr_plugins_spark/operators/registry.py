@@ -1543,6 +1543,36 @@ def x_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization as a pure codegen expression chain (fixed merge
+    table = the shipped tokenizer artifact): per-doc word count,
+    post-merge token count, and the first word's token sequence. The
+    oracle replays the identical ordered replace chain, built from the
+    same merge table."""
+    return X.bpe_encode(_t(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle() -> str:
+    expr = r"regexp_replace(w, '(.)', '\1 ', 'g')"
+    for a, b in X.BPE_MERGES:
+        expr = f"replace({expr}, '{a}', '{b}')"
+    return f"""
+        WITH e AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS words,
+                   list_transform(string_split(text, ' '), w -> {expr}) AS encw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(words) AS INTEGER) AS n_words,
+               CAST(list_sum(list_transform(encw,
+                    e -> strlen(e) - strlen(replace(e, ' ', '')))) AS INTEGER)
+                   AS n_bpe_tokens,
+               trim(encw[1]) AS first_word_bpe
+        FROM e
+    """
+
+
 def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe group-coherent train/test split keyed on the
     document's source domain: all docs of a source land on one side, so
@@ -1641,6 +1671,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_scd2_build,
             x_text_nfc_normalize,
             x_group_split,
+            x_bpe_encode,
         )
     }
 
@@ -2344,6 +2375,7 @@ def extension_oracles() -> dict[str, str]:
                    nfc_normalize(text) <> text AS changed
             FROM aug
         """,
+        "x_bpe_encode": _bpe_oracle(),
         "x_group_split": f"""
             SELECT doc_id, source,
                    CAST({seeded_hash60_sql("source", "13")} % 100 AS INTEGER)

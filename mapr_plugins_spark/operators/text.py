@@ -388,3 +388,56 @@ def nfc_normalize(
         )
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+#: Fixed BPE merge table (a pretrained tokenizer's merges are an
+#: artifact shipped with the engine, not data) — applied IN ORDER to
+#: the space-terminated token form ("s p a r k " → "sp ar k ").
+#: Patterns carry each token's trailing space, so a pair pattern can
+#: never match across a longer token's boundary ("x a " cannot fire
+#: inside "x ar ") — the classic string-replace-BPE pitfall.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t h ", "th "), ("th e ", "the "), ("i n ", "in "), ("in e ", "ine "),
+    ("e r ", "er "), ("a r ", "ar "), ("o r ", "or "), ("a n ", "an "),
+    ("s t ", "st "), ("a t ", "at "), ("at a ", "ata "), ("o w ", "ow "),
+    ("u e ", "ue "), ("b l ", "bl "), ("bl e ", "ble "), ("g g ", "gg "),
+    ("s h ", "sh "), ("c o ", "co "), ("q u ", "qu "), ("v a ", "va "),
+    ("s p ", "sp "), ("sp ar k ", "spark "), ("j o ", "jo "),
+    ("m er g e ", "merge "),
+)
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str = "text", merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> DataFrame:
+    """Byte-pair encoding (Sennrich et al. 2016, public paper) as a
+    PURE codegen expression chain — zero Python, zero shuffle. Each
+    word becomes its space-terminated character sequence and the merge
+    table applies as ordered literal replacements (replace semantics —
+    leftmost, non-overlapping — are exactly greedy BPE merge
+    application on this representation). The engine-side cost is one
+    linear pass per merge per word inside whole-stage codegen; at
+    100 TB this tokenizes in the scan itself, no UDF round-trip.
+
+    Output per document: ``n_words``, ``n_bpe_tokens`` (post-merge),
+    ``first_word_bpe`` (the first word's token sequence, a visible
+    artifact of the merge chain)."""
+
+    def encode_word(w):
+        spaced = F.regexp_replace(w, "(.)", "$1 ")
+        for a, b in merges:
+            spaced = F.replace(spaced, F.lit(a), F.lit(b))
+        return spaced
+
+    words = F.split(F.col(text_col), " ")
+    enc = F.transform(words, encode_word)
+    # each token is space-terminated → token count == space count
+    tok_counts = F.transform(
+        enc, lambda e: F.length(e) - F.length(F.replace(e, F.lit(" "), F.lit("")))
+    )
+    return df.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(tok_counts, F.lit(0), lambda a, x: a + x).alias("n_bpe_tokens"),
+        F.trim(F.element_at(enc, 1)).alias("first_word_bpe"),
+    )

@@ -564,3 +564,24 @@ def test_nfc_normalize_idempotent(spark, sf_dir):
     again = nfc_normalize(out, text_col="norm_text", out_col="norm2")
     assert again.filter(F.col("norm2") != F.col("norm_text")).count() == 0
     assert out.filter(~F.col("changed")).count() == 0
+
+
+def test_bpe_merges_actually_fire(spark, sf_dir):
+    """BPE must compress: post-merge token count strictly below the
+    character count for every doc, and a word the merge chain fully
+    composes ("spark": s p→sp, a r→ar, sp ar k→spark) must come out as
+    ONE token whenever it leads a document."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+
+    out = R.x_bpe_encode(spark, sf_dir)
+    chars = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length(F.replace("text", F.lit(" "), F.lit(""))).alias("n_chars"))
+    )
+    j = out.join(chars, "doc_id")
+    assert j.filter(F.col("n_bpe_tokens") >= F.col("n_chars")).count() == 0
+    sp = j.filter(F.col("first_word_bpe").startswith("spark"))
+    lead = [r.first_word_bpe for r in sp.collect()]
+    assert all(w == "spark" for w in lead), set(lead)
+    assert out.filter(F.col("n_bpe_tokens") < F.col("n_words")).count() == 0

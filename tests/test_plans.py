@@ -495,3 +495,15 @@ def test_group_split_shuffle_free(spark, sf_dir):
     p = A.plan_str(df)
     assert A.shuffle_count(df) == 0, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_bpe_encode_shuffle_free_no_python(spark, sf_dir):
+    """BPE tokenization is an ordered literal-replace chain inside
+    whole-stage codegen: zero exchanges, zero Python — the tokenizer
+    runs in the scan at any corpus size."""
+    from mapr_plugins_spark.operators.registry import x_bpe_encode
+
+    df = x_bpe_encode(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p

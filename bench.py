@@ -90,6 +90,7 @@ def main() -> None:
         "x_retrieval_metrics",
         "x_pagerank",
         "x_bpe_encode",
+        "x_ann_ivfpq_topk",
     ]
     names = [n for n in headline if n in registry]
 

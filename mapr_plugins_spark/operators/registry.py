@@ -1514,6 +1514,102 @@ def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, S.probe_of(emb, 0), k=10, m=8, kc=16)
 
 
+def x_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-10 — the composed production ANN architecture
+    (coarse lists prune I/O, residual PQ compresses memory) with every
+    stage deterministic and replayed by the full-value oracle: coarse
+    argmin over seed centroids, residual v−c_list, PQ codes of the
+    residual, per-probed-list distance tables, code-lookup ADC sum."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb, S.probe_of(emb, 0), k=10, n_lists=8, n_probe=4, m=8, kc=16
+    )
+
+
+def _ivfpq_oracle(
+    n_lists: int = 8, n_probe: int = 4, m: int = 8, kc: int = 16, dsub: int = 8, k: int = 10
+) -> str:
+    """Replays the whole IVF-PQ pipeline: same coarse argmin (ties →
+    lowest list), same engine-order residual arithmetic, same PQ argmin
+    and per-list probe tables, ADC summed in explicit subspace order."""
+    dim = m * dsub
+    fcols = ", ".join(f"sum(d2) FILTER (WHERE j = {j}) AS d_{j}" for j in range(m))
+    fsum = " + ".join(f"coalesce(d_{j}, 0.0)" for j in range(m))
+    return f"""
+        WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cl AS (SELECT vec_id AS l, v FROM ev WHERE vec_id < {n_lists}),
+        cd AS (
+            SELECT ev.vec_id, cl.l,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (ev.v[i] - cl.v[i]) * (ev.v[i] - cl.v[i]))) AS d2
+            FROM ev CROSS JOIN cl
+        ),
+        cassign AS (
+            SELECT vec_id, l AS list_id FROM (
+                SELECT vec_id, l,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, l) AS rn
+                FROM cd
+            ) WHERE rn = 1
+        ),
+        res AS (
+            SELECT ev.vec_id, ca.list_id,
+                   list_transform(range(1, {dim + 1}), i -> ev.v[i] - cl.v[i]) AS r
+            FROM ev JOIN cassign ca USING (vec_id) JOIN cl ON cl.l = ca.list_id
+        ),
+        seeds AS (SELECT vec_id AS c, r AS v FROM res WHERE vec_id < {kc}),
+        js AS (SELECT unnest(range(0, {m})) AS j),
+        dists AS (
+            SELECT s.vec_id, js.j, sd.c,
+                   list_sum(list_transform(range(1, {dsub + 1}),
+                       i -> (s.r[js.j * {dsub} + i] - sd.v[js.j * {dsub} + i])
+                          * (s.r[js.j * {dsub} + i] - sd.v[js.j * {dsub} + i]))) AS d2
+            FROM res s CROSS JOIN js CROSS JOIN seeds sd
+        ),
+        codes AS (
+            SELECT vec_id, j, c FROM (
+                SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d2, c) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        probe AS (SELECT v AS pv FROM ev WHERE vec_id = 0),
+        pd AS (
+            SELECT cl.l,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (probe.pv[i] - cl.v[i]) * (probe.pv[i] - cl.v[i]))) AS d2
+            FROM cl CROSS JOIN probe
+        ),
+        pl AS (
+            SELECT l AS list_id FROM (
+                SELECT l, row_number() OVER (ORDER BY d2, l) AS rn FROM pd
+            ) WHERE rn <= {n_probe}
+        ),
+        pres AS (
+            SELECT pl.list_id,
+                   list_transform(range(1, {dim + 1}), i -> probe.pv[i] - cl.v[i]) AS qr
+            FROM pl JOIN cl ON cl.l = pl.list_id CROSS JOIN probe
+        ),
+        pdt AS (
+            SELECT p.list_id, js.j, sd.c,
+                   list_sum(list_transform(range(1, {dsub + 1}),
+                       i -> (p.qr[js.j * {dsub} + i] - sd.v[js.j * {dsub} + i])
+                          * (p.qr[js.j * {dsub} + i] - sd.v[js.j * {dsub} + i]))) AS d2
+            FROM pres p CROSS JOIN js CROSS JOIN seeds sd
+        ),
+        looked AS (
+            SELECT c.vec_id, c.j, pdt.d2
+            FROM codes c
+            JOIN cassign a ON a.vec_id = c.vec_id
+            JOIN pdt ON pdt.list_id = a.list_id AND pdt.j = c.j AND pdt.c = c.c
+        ),
+        pivoted AS (SELECT vec_id, {fcols} FROM looked GROUP BY vec_id),
+        adc AS (SELECT vec_id, {fsum} AS d FROM pivoted)
+        SELECT vec_id, round(d, 6) AS adc6
+        FROM adc WHERE vec_id <> 0
+        ORDER BY d, vec_id LIMIT {k}"""
+
+
 def x_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from the events change log:
     per-user event_type state history with microsecond validity
@@ -1672,6 +1768,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_nfc_normalize,
             x_group_split,
             x_bpe_encode,
+            x_ann_ivfpq_topk,
         )
     }
 
@@ -2346,6 +2443,7 @@ def extension_oracles() -> dict[str, str]:
             FROM codes GROUP BY vec_id
         """,
         "x_ann_pq_topk": _pq_topk_oracle(),
+        "x_ann_ivfpq_topk": _ivfpq_oracle(),
         "x_scd2_build": """
             WITH c AS (
                 SELECT user_id, event_type, ts, event_id,

@@ -679,3 +679,132 @@ def pq_topk(
         .limit(k)
         .select(id_col, F.round("adc", 6).alias("adc6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed production architecture (coarse lists for I/O
+# pruning + residual product quantization for memory)
+
+
+def _nearest_idx(sub, cents_j: list[list[float]]):
+    """Index (int) of the nearest centroid in a literal codebook to the
+    array expression ``sub`` — argmin by (d2, index) lexicographic
+    struct min, one fold lambda in the plan."""
+    cands = F.transform(
+        _cents_lit(cents_j),
+        lambda c, i: F.struct(_d2_fold(sub, c).alias("d2"), i.alias("c")),
+    )
+    return F.array_min(cands)["c"]
+
+
+def ivfpq_parts(
+    emb: DataFrame,
+    n_lists: int = 8,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Shared IVF-PQ machinery: ``(coarse, cents, assigned)`` where
+    ``coarse`` is the literal coarse codebook (the ``n_lists`` lowest-id
+    vectors — deterministic seeds, same convention as SemDeDup/PQ),
+    ``cents`` the residual PQ codebook (residuals of the ``kc``
+    lowest-id vectors, computed BY THE ENGINE so the codebook is
+    engine-consistent by construction), and ``assigned`` the corpus
+    with ``list_id`` (coarse argmin) + ``codes`` (PQ codes of the
+    residual v − c_list). All row-local: list assignment, residual, and
+    encoding happen in one codegen scan — zero shuffle, zero Python."""
+    coarse = [
+        [float(x) for x in r[vec_col]]
+        for r in sorted(
+            emb.filter(F.col(id_col) < n_lists).select(id_col, vec_col).collect(),
+            key=lambda r: r[id_col],
+        )
+    ]  # bounded: n_lists rows
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    list_id = _nearest_idx(vec_d, coarse)
+    resid = F.zip_with(
+        vec_d, F.element_at(_cents_lit(coarse), list_id + 1), lambda x, c: x - c
+    )
+    with_res = emb.select(
+        F.col(id_col), list_id.alias("list_id"), resid.alias("resid")
+    )
+    seed_res = sorted(
+        with_res.filter(F.col(id_col) < kc).collect(), key=lambda r: r[id_col]
+    )  # bounded: kc rows
+    dim = len(seed_res[0]["resid"])
+    dsub = dim // m
+    cents = [
+        [[float(x) for x in r["resid"][j * dsub : (j + 1) * dsub]] for r in seed_res]
+        for j in range(m)
+    ]
+    assigned = with_res.select(
+        id_col, "list_id", pq_codes_col("resid", cents).alias("codes")
+    )
+    return coarse, cents, assigned
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ADC search (Jégou et al. 2011): probe the ``n_probe``
+    nearest coarse lists; within them, approximate distance is the PQ
+    code lookup against a PER-LIST distance table built from the
+    probe's residual q − c_list. The probe side does ALL float work
+    (n_probe × m × kc folds on a probe-sized frame, broadcast); corpus
+    rows pay a list-membership semi-filter + m lookups over their
+    codes. At 100 TB ``list_id`` is the partition key (see
+    ``ivf_index_write``) so the probed lists are also an I/O partition
+    filter, and the scan reads codes, not vectors — pruning for I/O,
+    PQ for memory, in one plan. Columns: ``(vec_id, adc6)``."""
+    coarse, cents, assigned = ivfpq_parts(emb, n_lists, m, kc, id_col, vec_col)
+    dsub = len(cents[0][0])
+    # probe side: nearest n_probe coarse lists by (d2, list_id)
+    pv = F.transform(F.col("probe_vec"), lambda x: x.cast("double"))
+    dists = F.transform(
+        _cents_lit(coarse),
+        lambda c, i: F.struct(_d2_fold(pv, c).alias("d2"), i.alias("list_id")),
+    )
+    probed = probe.select(
+        "probe_id",
+        "probe_vec",
+        F.slice(F.array_sort(dists), 1, n_probe).alias("lists"),
+    ).select(
+        "probe_id", "probe_vec", F.explode("lists").alias("l")
+    ).select(
+        "probe_id",
+        "probe_vec",
+        F.col("l")["list_id"].alias("list_id"),
+    )
+    # per-(probe, list): residual q − c_list, then its distance table
+    qres = F.zip_with(
+        F.transform(F.col("probe_vec"), lambda x: x.cast("double")),
+        F.element_at(_cents_lit(coarse), F.col("list_id") + 1),
+        lambda x, c: x - c,
+    )
+    p = probed.withColumn("qres", qres)
+    for j in range(m):
+        p = p.withColumn(f"__dt_{j}", _sub_d2s("qres", j, dsub, cents[j]))
+    joined = assigned.join(
+        F.broadcast(p.drop("probe_vec", "qres")), "list_id"
+    ).filter(F.col(id_col) != F.col("probe_id"))
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"__dt_{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        joined.withColumn("adc", adc)
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc", 6).alias("adc6"))
+    )

@@ -585,3 +585,22 @@ def test_bpe_merges_actually_fire(spark, sf_dir):
     lead = [r.first_word_bpe for r in sp.collect()]
     assert all(w == "spark" for w in lead), set(lead)
     assert out.filter(F.col("n_bpe_tokens") < F.col("n_words")).count() == 0
+
+
+def test_ivfpq_results_come_from_probed_lists(spark, sf_dir):
+    """Every IVF-PQ hit must live in one of the probe's n_probe coarse
+    lists (the pruning contract), and the probe's own list (it is coarse
+    seed 0 → distance 0 to centroid 0) must be probed."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import ivfpq_parts
+
+    emb = table(spark, sf_dir, "embeddings")
+    _, _, assigned = ivfpq_parts(emb, n_lists=8, m=8, kc=16)
+    lists = {r.vec_id: r.list_id for r in assigned.collect()}
+    hits = [r.vec_id for r in R.x_ann_ivfpq_topk(spark, sf_dir).collect()]
+    assert len(hits) == 10
+    probed = {lists[v] for v in hits}
+    assert len(probed) <= 4, probed
+    assert lists[0] in probed  # the probe's own list is always scanned

@@ -507,3 +507,18 @@ def test_bpe_encode_shuffle_free_no_python(spark, sf_dir):
     p = A.plan_str(df)
     assert A.shuffle_count(df) == 0, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_ivfpq_no_corpus_shuffle(spark, sf_dir):
+    """IVF-PQ: probe side (lists + distance tables) broadcasts; the
+    corpus-side scan encodes and filters row-locally and joins the
+    broadcast on list_id — zero exchanges, TakeOrdered ranking. At
+    scale list_id is additionally a storage partition key, making the
+    same filter an I/O pruner."""
+    from mapr_plugins_spark.operators.registry import x_ann_ivfpq_topk
+
+    df = x_ann_ivfpq_topk(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "TakeOrderedAndProject" in p, p
+    assert A.has_broadcast_join(df), p

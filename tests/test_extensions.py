@@ -604,3 +604,26 @@ def test_ivfpq_results_come_from_probed_lists(spark, sf_dir):
     probed = {lists[v] for v in hits}
     assert len(probed) <= 4, probed
     assert lists[0] in probed  # the probe's own list is always scanned
+
+
+def test_winsorize_clip_laws(spark, sf_dir):
+    """Clipped fraction stays ~2% (P1/P99 cut, ± rank-rounding per
+    group), every output value lies inside its group's [lo, hi], and
+    unclipped rows pass through bit-identical."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+
+    out = R.x_winsorize(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    j = out.join(ev, "event_id")
+    n = j.count()
+    n_clip = j.filter("clipped").count()
+    assert n_clip <= 0.03 * n, (n_clip, n)
+    assert j.filter(F.col("clipped") & (F.col("value_w") == F.col("value"))).count() == 0
+    assert j.filter(~F.col("clipped") & (F.col("value_w") != F.col("value"))).count() == 0
+    spans = j.groupBy("event_type").agg(
+        F.min("value_w").alias("mn"), F.max("value_w").alias("mx"),
+        F.min("value").alias("rmn"), F.max("value").alias("rmx"),
+    )
+    assert spans.filter((F.col("mn") < F.col("rmn")) | (F.col("mx") > F.col("rmx"))).count() == 0

@@ -170,3 +170,51 @@ def meta_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.digest").alias("digest"),
     )
+
+
+#: PNG 8-byte signature, hex form (ISO/IEC 15948 §5.2 — public spec).
+PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL (minimal) PNG byte stream per row — signature +
+    IHDR chunk with deterministic per-doc dimensions — entirely in
+    codegen (`unhex` over a constructed hex string). This gives the
+    multimodal tests an actual binary container format to parse, not a
+    text stand-in."""
+    width = (F.col(id_col) % 1024 + 1).cast("bigint")
+    height = ((F.col(id_col) * 7) % 1024 + 1).cast("bigint")
+    hx = F.concat(
+        F.lit(PNG_SIG_HEX),          # signature
+        F.lit("0000000D"),           # IHDR length = 13
+        F.lit("49484452"),           # "IHDR"
+        F.lpad(F.hex(width), 8, "0"),
+        F.lpad(F.hex(height), 8, "0"),
+        F.lit("08"),                 # bit depth
+        F.lit("02"),                 # color type (truecolor)
+        F.lit("000000"),             # compression/filter/interlace
+        F.lit("DEADBEEF"),           # CRC (not validated by the parser)
+    )
+    return df.select(F.col(id_col), F.unhex(hx).alias("payload"))
+
+
+def parse_png_header(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata from a real PNG container header WITHOUT any
+    codec library: signature check + big-endian field extraction as
+    pure byte arithmetic (`substring` on BINARY → `hex` → `conv`) —
+    whole-stage codegen, zero Python, zero shuffle. This is the decode
+    step every multimodal pipeline CAN run JVM-side at 100 TB (schema
+    sniffing, dimension filters, corrupt-file triage); only pixel
+    decode needs the env-gated codec UDF."""
+    sig_ok = F.hex(F.expr("substring(payload, 1, 8)")) == F.lit(PNG_SIG_HEX)
+    be = lambda pos, n: F.conv(  # noqa: E731 — big-endian uint at byte pos
+        F.hex(F.expr(f"substring(payload, {pos}, {n})")), 16, 10
+    ).cast("bigint")
+    return mm.select(
+        F.col(id_col),
+        F.when(sig_ok, "image/png").otherwise("application/octet-stream").alias("mime"),
+        be(17, 4).alias("width"),
+        be(21, 4).alias("height"),
+        be(25, 1).cast("int").alias("bit_depth"),
+        be(26, 1).cast("int").alias("color_type"),
+    )

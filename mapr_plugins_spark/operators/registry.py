@@ -1639,6 +1639,17 @@ def x_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal typed-metadata extraction from a REAL binary
+    container: per-doc minimal PNG streams built in-plan, then the
+    header parsed back (signature check + big-endian fields) with pure
+    codegen byte arithmetic — the codec-free decode step that CAN run
+    JVM-side at 100 TB. The oracle states the expected decoded values
+    directly, so any construction/parsing bug mismatches."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return M.parse_png_header(M.attach_png_payload(docs))
+
+
 def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type winsorization of event values at the exact P1/P99
     order statistics (rank arithmetic, not percentile interpolation —
@@ -1781,6 +1792,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_bpe_encode,
             x_ann_ivfpq_topk,
             x_winsorize,
+            x_mm_png_header,
         )
     }
 
@@ -2486,6 +2498,15 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_mm_png_header": """
+            SELECT doc_id,
+                   'image/png' AS mime,
+                   CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
+                   CAST((doc_id * 7) % 1024 + 1 AS BIGINT) AS height,
+                   CAST(8 AS INTEGER) AS bit_depth,
+                   CAST(2 AS INTEGER) AS color_type
+            FROM documents
+        """,
         "x_winsorize": """
             WITH r AS (
                 SELECT event_type, event_id, value,

@@ -627,3 +627,26 @@ def test_winsorize_clip_laws(spark, sf_dir):
         F.min("value").alias("rmn"), F.max("value").alias("rmx"),
     )
     assert spans.filter((F.col("mn") < F.col("rmn")) | (F.col("mx") > F.col("rmx"))).count() == 0
+
+
+def test_png_header_parser_on_real_bytes(spark):
+    """The parser must decode a genuine PNG header (bytes built by an
+    independent Python encoder, not the in-plan builder) and must
+    classify a corrupted signature as opaque bytes."""
+    import struct
+
+    from mapr_plugins_spark.operators.multimodal import parse_png_header
+
+    def png(width, height):
+        ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(
+            ">IIBBBBB", width, height, 8, 2, 0, 0, 0
+        ) + b"\x00\x00\x00\x00"
+        return b"\x89PNG\r\n\x1a\n" + ihdr
+
+    rows = [(1, png(640, 480)), (2, png(7, 70000)), (3, b"\x00" + png(9, 9)[1:])]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    out = {r.doc_id: r for r in parse_png_header(df).collect()}
+    assert (out[1].mime, out[1].width, out[1].height) == ("image/png", 640, 480)
+    assert (out[2].width, out[2].height) == (7, 70000)  # >16-bit dims decode
+    assert out[3].mime == "application/octet-stream"
+    assert out[1].bit_depth == 8 and out[1].color_type == 2

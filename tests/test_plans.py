@@ -522,3 +522,16 @@ def test_ivfpq_no_corpus_shuffle(spark, sf_dir):
     assert A.shuffle_count(df) == 0, p
     assert "TakeOrderedAndProject" in p, p
     assert A.has_broadcast_join(df), p
+
+
+def test_png_header_parse_shuffle_free_no_python(spark, sf_dir):
+    """Container-header decode is pure byte arithmetic in codegen:
+    zero exchanges, zero Python — the triage/sniffing stage a 100 TB
+    multimodal scan runs JVM-side."""
+    from mapr_plugins_spark.operators.registry import x_mm_png_header
+
+    df = x_mm_png_header(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p

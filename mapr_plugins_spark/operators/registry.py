@@ -1639,6 +1639,31 @@ def x_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-candidates → exact re-rank: ADC top-50 from the compressed
+    scan, exact cosine top-10 among only those — the standard two-stage
+    retrieval recipe, deterministic in both stages so the full oracle
+    replays it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pq_topk_rerank(emb, S.probe_of(emb, 0), k=10, k_cand=50, m=8, kc=16)
+
+
+def _pq_rerank_oracle(m: int = 8, kc: int = 16, dsub: int = 8, k: int = 10, k_cand: int = 50) -> str:
+    """Two-stage replay: the ADC candidate cut (reusing the PQ chain)
+    then exact cosine among candidates only."""
+    inner = _pq_topk_oracle(m, kc, dsub, k=k_cand)
+    return f"""
+        WITH cands AS ({inner}),
+        pv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                     pv.embedding::DOUBLE[]), 6) AS cos6
+        FROM embeddings e JOIN cands c ON c.vec_id = e.vec_id CROSS JOIN pv
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                 pv.embedding::DOUBLE[]) DESC, e.vec_id
+        LIMIT {k}"""
+
+
 def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal typed-metadata extraction from a REAL binary
     container: per-doc minimal PNG streams built in-plan, then the
@@ -1793,6 +1818,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_ivfpq_topk,
             x_winsorize,
             x_mm_png_header,
+            x_ann_pq_rerank,
         )
     }
 
@@ -2468,6 +2494,7 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_ann_pq_topk": _pq_topk_oracle(),
         "x_ann_ivfpq_topk": _ivfpq_oracle(),
+        "x_ann_pq_rerank": _pq_rerank_oracle(),
         "x_scd2_build": """
             WITH c AS (
                 SELECT user_id, event_type, ts, event_id,

@@ -808,3 +808,27 @@ def ivfpq_topk(
         .limit(k)
         .select(id_col, F.round("adc", 6).alias("adc6"))
     )
+
+
+def pq_topk_rerank(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    k_cand: int = 50,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production retrieval recipe: ADC over PQ codes selects
+    ``k_cand`` candidates (compressed scan — cheap, approximate), then
+    ONLY those rows are re-scored with exact cosine against the float
+    vectors (expensive math on a candidate-sized set). At 100 TB the
+    first stage reads the code column and the second is a semi-join
+    fetch of k_cand vectors — exactness where it matters, at the cost
+    of a candidate fetch instead of a full-precision corpus scan.
+    Deterministic end-to-end (candidate cut ordered by (adc, id)), so
+    the oracle replays both stages. Columns: ``(vec_id, cos6)``."""
+    cands = pq_topk(emb, probe, k=k_cand, m=m, kc=kc, id_col=id_col, vec_col=vec_col)
+    fetched = emb.join(cands.select(id_col), id_col, "left_semi")
+    return brute_force_topk(fetched, probe, k=k, id_col=id_col, vec_col=vec_col)

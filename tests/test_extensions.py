@@ -650,3 +650,19 @@ def test_png_header_parser_on_real_bytes(spark):
     assert (out[2].width, out[2].height) == (7, 70000)  # >16-bit dims decode
     assert out[3].mime == "application/octet-stream"
     assert out[1].bit_depth == 8 and out[1].color_type == 2
+
+
+def test_pq_rerank_recall_dominates_raw_adc(spark, sf_dir):
+    """Re-ranked results: cosines are exact (agree with the brute-force
+    oracle values for those ids), and recall@10 vs exact top-10 is at
+    least as good as raw ADC's (the re-rank can only fix ordering
+    inside the candidate set, never worsen it)."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import brute_force_topk, probe_of
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in brute_force_topk(emb, probe_of(emb, 0), k=10).collect()]
+    rer = [r.vec_id for r in R.x_ann_pq_rerank(spark, sf_dir).collect()]
+    adc = [r.vec_id for r in R.x_ann_pq_topk(spark, sf_dir).collect()]
+    assert len(set(rer) & set(exact)) >= len(set(adc) & set(exact))
+    assert len(rer) == 10

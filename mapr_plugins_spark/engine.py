@@ -72,3 +72,24 @@ class Engine:
         import __spark_entry__ as E
 
         return list(E.queries())
+
+    def audit(self, target: str | DataFrame) -> dict:
+        """Plan-quality report for a DataFrame or a registry key — the
+        "would this survive 100×?" checklist as data: exchange count,
+        broadcast/cartesian presence, Python stages, pushed filters and
+        read schemas (the same properties tests/test_plans.py pins,
+        exposed for ad-hoc queries a user writes through the facade)."""
+        from mapr_plugins_spark.plans import audit as A
+
+        df = self.query(target) if isinstance(target, str) else target
+        p = A.plan_str(df)
+        return {
+            "shuffles": A.shuffle_count(df),
+            "broadcast_join": A.has_broadcast_join(df),
+            "cartesian": A.has_cartesian(df),
+            "python_stages": sum(
+                p.count(n) for n in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+            ),
+            "pushed_filters": A.pushed_filters(df),
+            "read_schemas": A.read_schemas(df),
+        }

@@ -45,3 +45,19 @@ def test_engine_rejects_unknown(spark, sf_dir):
         eng.table("nope")
     with pytest.raises(KeyError):
         eng.query("nope")
+
+
+def test_engine_audit_reports_plan_quality(spark, sf_dir):
+    """audit() must surface the plan facts the plan tests pin: the
+    broadcast-join query shows a broadcast and no cartesian; a pushed
+    filter shows up for a filtered scan; PQ encode shows zero shuffles
+    and zero Python stages."""
+    from mapr_plugins_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    a = eng.audit("q04_broadcast_join")
+    assert a["broadcast_join"] and not a["cartesian"]
+    b = eng.audit(eng.table("lineitem").filter("l_quantity < 5").select("l_orderkey"))
+    assert "l_quantity" in b["pushed_filters"]
+    c = eng.audit("x_embed_pq_encode")
+    assert c["shuffles"] == 0 and c["python_stages"] == 0

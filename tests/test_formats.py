@@ -326,3 +326,20 @@ def test_warc_parse_golden(spark):
     # and a later CRLFCRLF inside the payload must survive verbatim
     assert r2.payload == "a\n\nb\r\n\r\nc"
     assert r2.content_length == 9
+
+
+def test_orc_batch_scan_roundtrip(spark, sf_dir, tmp_path):
+    """ORC batch sink + scan (Spark-native columnar alternative to
+    parquet — some warehouses standardize on it): full-table write/read
+    identity for a typed table including timestamp columns, with the
+    declared-schema contract (no inference)."""
+    from mapr_plugins_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    orders.write.orc(p)
+    got = spark.read.schema(orders.schema).orc(p)
+    assert got.schema == orders.schema
+    a = sorted(map(tuple, orders.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b

@@ -91,6 +91,9 @@ def main() -> None:
         "x_pagerank",
         "x_bpe_encode",
         "x_ann_ivfpq_topk",
+        "x_ann_pq_rerank",
+        "x_winsorize",
+        "x_mm_png_header",
     ]
     names = [n for n in headline if n in registry]
 

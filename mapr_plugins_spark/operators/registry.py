@@ -1675,6 +1675,21 @@ def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.parse_png_header(M.attach_png_payload(docs))
 
 
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher quality-rule set (word count / mean word length
+    / required stopword hits) with per-doc verdict + first failing
+    rule — the citable filter production corpora apply before
+    training."""
+    # required list adapted to the synthetic corpus vocabulary ("a"/
+    # "the" are its only function words) so BOTH verdicts actually
+    # occur; the canonical English list is the module default.
+    return X.gopher_rules(
+        _t(spark, sf_dir, "documents"),
+        min_words=30,
+        required=("the", "a", "and", "of", "to", "be", "have", "with"),
+    )
+
+
 def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type winsorization of event values at the exact P1/P99
     order statistics (rank arithmetic, not percentile interpolation —
@@ -1819,6 +1834,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_winsorize,
             x_mm_png_header,
             x_ann_pq_rerank,
+            x_gopher_rules,
         )
     }
 
@@ -2525,6 +2541,30 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_gopher_rules": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS INTEGER) AS n,
+                       CAST(list_sum(list_transform(toks, t -> strlen(t)))
+                            AS DOUBLE) / len(toks) AS ml,
+                       CAST(len(list_intersect(toks,
+                            ['the','a','and','of','to','be','have','with']))
+                            AS INTEGER) AS sh
+                FROM t
+            )
+            SELECT doc_id,
+                   n AS n_words,
+                   round(ml, 6) AS mean_word_len6,
+                   sh AS stop_hits,
+                   (n >= 30 AND n <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                    AND sh >= 2) AS passes,
+                   CASE WHEN NOT (n >= 30 AND n <= 100000) THEN 'word_count'
+                        WHEN NOT (ml >= 3.0 AND ml <= 10.0) THEN 'mean_word_length'
+                        WHEN NOT (sh >= 2) THEN 'stopword_hits'
+                        ELSE NULL END AS fail_reason
+            FROM m
+        """,
         "x_mm_png_header": """
             SELECT doc_id,
                    'image/png' AS mime,

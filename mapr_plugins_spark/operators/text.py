@@ -441,3 +441,56 @@ def bpe_encode(
         F.aggregate(tok_counts, F.lit(0), lambda a, x: a + x).alias("n_bpe_tokens"),
         F.trim(F.element_at(enc, 1)).alias("first_word_bpe"),
     )
+
+
+#: Stopwords whose presence Gopher requires (≥ 2 distinct hits).
+GOPHER_REQUIRED: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+    required: tuple[str, ...] = GOPHER_REQUIRED,
+) -> DataFrame:
+    """The Gopher corpus-quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", public paper, Appendix A1.1) — the
+    named filter set production text pipelines cite, as row-local
+    codegen: word-count window, mean-word-length window, required
+    stopword hits. (The paper's line-level rules — bullet/ellipsis
+    ratios — need multi-line docs; they apply the same way via
+    ``split(text, '\\n')`` and are omitted for the single-line test
+    corpus.) Emits per-rule verdicts plus the first failing rule name,
+    so downstream can both filter and audit WHY documents fall out.
+    Zero shuffle, zero Python."""
+    toks = tokens_col(text_col)
+    out = fan_out(df).withColumn("__toks", toks)
+    n = F.size("__toks")
+    sum_len = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_len.cast("double") / n
+    stop_hits = F.size(
+        F.array_intersect(F.col("__toks"), F.array(*[F.lit(w) for w in required]))
+    )
+    ok_count = (n >= min_words) & (n <= max_words)
+    ok_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_stop = stop_hits >= min_stop_hits
+    reason = (
+        F.when(~ok_count, "word_count")
+        .when(~ok_len, "mean_word_length")
+        .when(~ok_stop, "stopword_hits")
+        .otherwise(None)
+    )
+    return out.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len6"),
+        stop_hits.alias("stop_hits"),
+        (ok_count & ok_len & ok_stop).alias("passes"),
+        reason.alias("fail_reason"),
+    )

@@ -666,3 +666,19 @@ def test_pq_rerank_recall_dominates_raw_adc(spark, sf_dir):
     adc = [r.vec_id for r in R.x_ann_pq_topk(spark, sf_dir).collect()]
     assert len(set(rer) & set(exact)) >= len(set(adc) & set(exact))
     assert len(rer) == 10
+
+
+def test_gopher_rules_verdict_consistency(spark, sf_dir):
+    """Both verdicts occur on the corpus; fail_reason is NULL exactly
+    on passing docs and names the FIRST violated rule otherwise; the
+    reported features support the verdict they claim."""
+    rows = R.x_gopher_rules(spark, sf_dir).collect()
+    assert any(r.passes for r in rows) and any(not r.passes for r in rows)
+    for r in rows:
+        assert (r.fail_reason is None) == r.passes
+        if r.fail_reason == "word_count":
+            assert not (30 <= r.n_words <= 100000)
+        elif r.fail_reason == "stopword_hits":
+            assert 30 <= r.n_words <= 100000 and r.stop_hits < 2
+        elif r.passes:
+            assert r.stop_hits >= 2 and 30 <= r.n_words <= 100000

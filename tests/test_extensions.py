@@ -682,3 +682,59 @@ def test_gopher_rules_verdict_consistency(spark, sf_dir):
             assert 30 <= r.n_words <= 100000 and r.stop_hits < 2
         elif r.passes:
             assert r.stop_hits >= 2 and 30 <= r.n_words <= 100000
+
+
+def test_drift_chi2_statistic_laws(spark, sf_dir):
+    """Structural laws of the χ² report: non-negative contributions,
+    expected counts summing to the current-wave total (the ref→cur
+    scaling contract), populated sides — and an INJECTED drift (current
+    wave shifted +30) must raise the statistic far above the unshifted
+    baseline, proving the statistic actually responds to shift."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.analytics import drift_chi2
+
+    rows = R.x_drift_chi2(spark, sf_dir).collect()
+    stat = sum(r.chi2_contrib6 for r in rows if r.chi2_contrib6 is not None)
+    assert stat >= 0
+    assert all(r.chi2_contrib6 is None or r.chi2_contrib6 >= 0 for r in rows)
+    t_cur = sum(r.n_cur for r in rows)
+    exp_sum = sum(r.expected6 for r in rows if r.expected6 is not None)
+    assert abs(exp_sum - t_cur) < 0.01 * t_cur
+    assert sum(r.n_ref for r in rows) > 0 and t_cur > 0
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    shifted = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "purchase", F.col("value") + 30).otherwise(
+            F.col("value")
+        ),
+    )
+    drifted = drift_chi2(
+        shifted, F.col("event_type") == "click", "value", n_bins=10, lo=0.0, hi=100.0
+    ).collect()
+    dstat = sum(r.chi2_contrib6 for r in drifted if r.chi2_contrib6 is not None)
+    assert dstat > 10 * max(stat, 1.0), (stat, dstat)
+
+
+def test_token_budget_fill_laws(spark, sf_dir):
+    """Kept rows per source form a PREFIX of the ingestion order (no
+    cherry-picking beyond the cut), each source's kept tokens respect
+    the budget, and the first doc of every source is kept when it fits."""
+    from collections import defaultdict
+
+    rows = R.x_token_budget_fill(spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        kept = [r.kept for r in rs]
+        assert kept == sorted(kept, reverse=True), src  # prefix property
+        tot = sum(r.n_tokens for r in rs if r.kept)
+        assert tot <= 2000, (src, tot)
+        if rs and rs[0].n_tokens <= 2000:
+            assert rs[0].kept, src

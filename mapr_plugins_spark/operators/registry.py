@@ -1675,6 +1675,38 @@ def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.parse_png_header(M.attach_png_payload(docs))
 
 
+def x_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality-vs-dimension report for prefix-truncated
+    embeddings (MRL recipe): top-10 overlap with the full-dimension
+    answer at dims 16/32/64, plus each prefix's top-1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.matryoshka_eval(emb, S.probe_of(emb, 0), dims=(16, 32, 64), k=10)
+
+
+def _matryoshka_oracle(dims: tuple[int, ...] = (16, 32, 64), k: int = 10) -> str:
+    full = max(dims)
+
+    def topd(d: int, limit: int) -> str:
+        return f"""(
+            SELECT vec_id FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity((embedding::DOUBLE[])[1:{d}],
+                  (SELECT (embedding::DOUBLE[])[1:{d}] FROM embeddings
+                   WHERE vec_id = 0)) DESC, vec_id
+            LIMIT {limit}
+        )"""
+
+    parts = []
+    for d in dims:
+        parts.append(f"""
+            SELECT {d} AS dim,
+                   CAST((SELECT COUNT(*) FROM {topd(d, k)} t
+                         WHERE t.vec_id IN (SELECT vec_id FROM {topd(full, k)} f))
+                        AS INTEGER) AS overlap_at_k,
+                   (SELECT vec_id FROM {topd(d, 1)}) AS top1_id""")
+    return " UNION ALL ".join(parts)
+
+
 def x_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget fill (2000 tokens/source, ingestion
     order): the training-mix cap expressed in tokens, with running
@@ -1864,6 +1896,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_gopher_rules,
             x_drift_chi2,
             x_token_budget_fill,
+            x_matryoshka_eval,
         )
     }
 
@@ -2570,6 +2603,7 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_matryoshka_eval": _matryoshka_oracle(),
         "x_token_budget_fill": f"""
             WITH t AS (
                 SELECT doc_id, source,

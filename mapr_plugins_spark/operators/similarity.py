@@ -832,3 +832,49 @@ def pq_topk_rerank(
     cands = pq_topk(emb, probe, k=k_cand, m=m, kc=kc, id_col=id_col, vec_col=vec_col)
     fetched = emb.join(cands.select(id_col), id_col, "left_semi")
     return brute_force_topk(fetched, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def matryoshka_eval(
+    emb: DataFrame,
+    probe: DataFrame,
+    dims: tuple[int, ...] = (16, 32, 64),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al. 2022, "MRL",
+    public paper): how much retrieval quality survives when only a
+    PREFIX of each embedding is used — the dimension-vs-cost knob a
+    100 TB vector store tunes (a 16-dim prefix scan reads 1/4 of the
+    bytes of a 64-dim one). Per candidate dimension: exact top-k over
+    the prefix slice, overlap with the full-dimension top-k, and the
+    prefix top-1. One corpus scan per dim, broadcast probe, TakeOrdered
+    — the brute-force-topk plan shape three times, then candidate-sized
+    set algebra. Columns: ``(dim, overlap_at_k, top1_id)``."""
+    full_dim = max(dims)
+
+    def topk_at(d: int) -> DataFrame:
+        sliced = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        p = probe.select(
+            "probe_id", F.slice(F.col("probe_vec"), 1, d).alias("probe_vec")
+        )
+        return brute_force_topk(sliced, p, k=k, id_col=id_col, vec_col=vec_col)
+
+    full_ids = topk_at(full_dim).select(id_col)
+    out = None
+    for d in dims:
+        t = topk_at(d)
+        overlap = (
+            t.join(full_ids, id_col, "left_semi")
+            .agg(F.count("*").cast("int").alias("overlap_at_k"))
+        )
+        top1 = t.orderBy(F.col("cos6").desc(), F.col(id_col)).limit(1).select(
+            F.col(id_col).alias("top1_id")
+        )
+        row = overlap.crossJoin(top1).select(
+            F.lit(d).alias("dim"), "overlap_at_k", "top1_id"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

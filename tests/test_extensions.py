@@ -738,3 +738,18 @@ def test_token_budget_fill_laws(spark, sf_dir):
         assert tot <= 2000, (src, tot)
         if rs and rs[0].n_tokens <= 2000:
             assert rs[0].kept, src
+
+
+def test_matryoshka_full_dim_is_identity(spark, sf_dir):
+    """At the full dimension the prefix IS the embedding: overlap must
+    be exactly k and top-1 must equal the exact top-1; truncated dims
+    report values in [0, k]."""
+    rows = {r.dim: r for r in R.x_matryoshka_eval(spark, sf_dir).collect()}
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import brute_force_topk, probe_of
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in brute_force_topk(emb, probe_of(emb, 0), k=10).collect()]
+    assert rows[64].overlap_at_k == 10 and rows[64].top1_id == exact[0]
+    for d in (16, 32):
+        assert 0 <= rows[d].overlap_at_k <= 10

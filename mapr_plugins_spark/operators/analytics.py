@@ -261,15 +261,21 @@ def drift_chi2(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / bw).cast("int")),
     )
+    from pyspark.sql import Window
+
     tagged = df.select(bin_id.alias("bin"), split_col.cast("int").alias("is_ref"))
     cells = tagged.groupBy("bin").agg(
         F.sum("is_ref").alias("n_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
     )
-    tot = cells.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    # totals as a window over the CELL table (n_bins rows), not a second
+    # aggregation branch: a separate `cells.agg` would duplicate the
+    # lineage and re-scan the corpus — the window costs one exchange of
+    # n_bins rows instead (single corpus scan, plan-pinned)
+    w_all = Window.partitionBy()
+    j = cells.withColumn("t_ref", F.sum("n_ref").over(w_all)).withColumn(
+        "t_cur", F.sum("n_cur").over(w_all)
     )
-    j = cells.crossJoin(F.broadcast(tot))
     exp = F.col("n_ref").cast("double") * F.col("t_cur") / F.col("t_ref")
     contrib = F.when(
         F.col("n_ref") > 0,

@@ -535,3 +535,35 @@ def test_png_header_parse_shuffle_free_no_python(spark, sf_dir):
     assert A.shuffle_count(df) == 0, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "MapInPandas" not in p, p
+
+
+def test_drift_chi2_histogram_shuffles_cells_not_rows(spark, sf_dir):
+    """Drift: ONE corpus scan feeding one cell aggregation; totals are
+    a window over the n_bins-row cell table (a second aggregation
+    branch would duplicate the lineage and re-scan the corpus). ≤ 2
+    exchanges, both over cells — never a row-level shuffle."""
+    from mapr_plugins_spark.operators.registry import x_drift_chi2
+
+    df = x_drift_chi2(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) <= 2, p
+    assert A.count_nodes(df, "Scan parquet") == 1, p
+
+
+def test_token_budget_fill_single_shuffle(spark, sf_dir):
+    """Budget fill is one per-group window cumsum: a single exchange."""
+    from mapr_plugins_spark.operators.registry import x_token_budget_fill
+
+    df = x_token_budget_fill(spark, sf_dir)
+    assert A.shuffle_count(df) <= 1, A.plan_str(df)
+
+
+def test_matryoshka_eval_no_corpus_shuffle(spark, sf_dir):
+    """Each dimension is a broadcast-probe TakeOrdered corpus scan; the
+    set algebra runs on candidate-sized frames — no corpus exchange."""
+    from mapr_plugins_spark.operators.registry import x_matryoshka_eval
+
+    df = x_matryoshka_eval(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert A.shuffle_count(df) == 0, p

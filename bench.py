@@ -94,6 +94,10 @@ def main() -> None:
         "x_ann_pq_rerank",
         "x_winsorize",
         "x_mm_png_header",
+        "x_gopher_rules",
+        "x_drift_chi2",
+        "x_token_budget_fill",
+        "x_matryoshka_eval",
     ]
     names = [n for n in headline if n in registry]
 

@@ -218,3 +218,66 @@ def parse_png_header(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
         be(25, 1).cast("int").alias("bit_depth"),
         be(26, 1).cast("int").alias("color_type"),
     )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL minimal WAV byte stream per row (RIFF/WAVE + fmt
+    chunk, little-endian per the RIFF spec) with deterministic per-doc
+    audio parameters — the audio sibling of :func:`attach_png_payload`."""
+    channels = (F.col(id_col) % 2 + 1).cast("bigint")           # 1..2
+    rate = F.element_at(
+        F.array(F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    ).cast("bigint")
+    bits = F.lit(16).cast("bigint")
+
+    def le(col, n_bytes: int):
+        # little-endian hex of an integer column: byte 0 first
+        parts = [
+            F.lpad(F.hex((col / F.lit(256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(n_bytes)
+        ]
+        return F.concat(*parts)
+
+    hx = F.concat(
+        F.lit("52494646"),            # "RIFF"
+        le(F.lit(36).cast("bigint"), 4),  # riff size (header-only stream)
+        F.lit("57415645"),            # "WAVE"
+        F.lit("666D7420"),            # "fmt "
+        le(F.lit(16).cast("bigint"), 4),  # fmt chunk size
+        le(F.lit(1).cast("bigint"), 2),   # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le((rate * channels * bits / F.lit(8)).cast("bigint"), 4),  # byte rate
+        le((channels * bits / F.lit(8)).cast("bigint"), 2),         # block align
+        le(bits, 2),
+    )
+    return df.select(F.col(id_col), F.unhex(hx).alias("payload"))
+
+
+def parse_wav_header(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Typed audio metadata from a RIFF/WAVE header without any codec:
+    signature checks + LITTLE-endian field extraction as byte
+    arithmetic (per-byte hex → conv → positional weights) — the
+    endianness mirror of the PNG parser, all codegen, zero Python."""
+    sig_ok = (F.hex(F.expr("substring(payload, 1, 4)")) == F.lit("52494646")) & (
+        F.hex(F.expr("substring(payload, 9, 4)")) == F.lit("57415645")
+    )
+
+    def le(pos: int, n_bytes: int):
+        total = None
+        for i in range(n_bytes):
+            b = F.conv(F.hex(F.expr(f"substring(payload, {pos + i}, 1)")), 16, 10).cast(
+                "bigint"
+            ) * F.lit(256 ** i).cast("bigint")
+            total = b if total is None else total + b
+        return total
+
+    return mm.select(
+        F.col(id_col),
+        F.when(sig_ok, "audio/wav").otherwise("application/octet-stream").alias("mime"),
+        le(23, 2).cast("int").alias("channels"),
+        le(25, 4).alias("sample_rate"),
+        le(35, 2).cast("int").alias("bits_per_sample"),
+        le(29, 4).alias("byte_rate"),
+    )

@@ -1675,6 +1675,14 @@ def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.parse_png_header(M.attach_png_payload(docs))
 
 
+def x_mm_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of x_mm_png_header: real RIFF/WAVE headers built
+    in-plan, parsed back with LITTLE-endian byte arithmetic (channels,
+    sample rate, bit depth, byte rate) — codec-free audio triage."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return M.parse_wav_header(M.attach_wav_payload(docs))
+
+
 def x_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality-vs-dimension report for prefix-truncated
     embeddings (MRL recipe): top-10 overlap with the full-dimension
@@ -1897,6 +1905,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_drift_chi2,
             x_token_budget_fill,
             x_matryoshka_eval,
+            x_mm_wav_header,
         )
     }
 
@@ -2604,6 +2613,17 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_bpe_encode": _bpe_oracle(),
         "x_matryoshka_eval": _matryoshka_oracle(),
+        "x_mm_wav_header": """
+            SELECT doc_id,
+                   'audio/wav' AS mime,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+                   CAST([16000, 22050, 44100][CAST(doc_id % 3 AS INTEGER) + 1]
+                        AS BIGINT) AS sample_rate,
+                   CAST(16 AS INTEGER) AS bits_per_sample,
+                   CAST([16000, 22050, 44100][CAST(doc_id % 3 AS INTEGER) + 1]
+                        * (doc_id % 2 + 1) * 2 AS BIGINT) AS byte_rate
+            FROM documents
+        """,
         "x_token_budget_fill": f"""
             WITH t AS (
                 SELECT doc_id, source,

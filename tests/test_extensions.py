@@ -753,3 +753,32 @@ def test_matryoshka_full_dim_is_identity(spark, sf_dir):
     assert rows[64].overlap_at_k == 10 and rows[64].top1_id == exact[0]
     for d in (16, 32):
         assert 0 <= rows[d].overlap_at_k <= 10
+
+
+def test_wav_header_parser_on_real_bytes(spark):
+    """The parser must decode a genuine WAV header written by Python's
+    stdlib `wave` module (fully independent encoder) and classify a
+    corrupted RIFF signature as opaque bytes."""
+    import io
+    import wave
+
+    from mapr_plugins_spark.operators.multimodal import parse_wav_header
+
+    def wav(channels, rate, width):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setframerate(rate)
+            w.setsampwidth(width)
+            w.writeframes(b"\x00" * width * channels)
+        return buf.getvalue()
+
+    rows = [(1, wav(2, 48000, 2)), (2, wav(1, 8000, 2)), (3, b"X" + wav(1, 8000, 2)[1:])]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    out = {r.doc_id: r for r in parse_wav_header(df).collect()}
+    assert (out[1].mime, out[1].channels, out[1].sample_rate, out[1].bits_per_sample) == (
+        "audio/wav", 2, 48000, 16,
+    )
+    assert out[1].byte_rate == 48000 * 2 * 2
+    assert (out[2].channels, out[2].sample_rate) == (1, 8000)
+    assert out[3].mime == "application/octet-stream"

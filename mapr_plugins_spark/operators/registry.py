@@ -2534,6 +2534,38 @@ def _pii_redact_oracle() -> str:
     """
 
 
+#: χ² drift oracle — shared verbatim by the streaming twin
+#: (s15_stream_drift): the commutative histogram fold finishes at
+#: exactly the batch counts.
+DRIFT_CHI2_ORACLE_SQL = """
+            WITH t AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(floor((value - 0.0) / 10.0) AS INTEGER))) AS bin,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            cells AS (
+                SELECT bin,
+                       CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                       CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+                FROM t GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                       CAST(SUM(n_cur) AS BIGINT) AS t_cur
+                FROM cells
+            )
+            SELECT bin, n_ref, n_cur,
+                   round(CAST(n_ref AS DOUBLE) * t_cur / t_ref, 6) AS expected6,
+                   CASE WHEN n_ref > 0 THEN round(
+                       (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) * t_cur / t_ref)
+                     * (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) * t_cur / t_ref)
+                     / (CAST(n_ref AS DOUBLE) * t_cur / t_ref), 6)
+                   END AS chi2_contrib6
+            FROM cells, tot
+        """
+
+
 def extension_oracles() -> dict[str, str]:
     from mapr_plugins_spark.functions.deterministic import dsum_sql as _dsum_sql
 
@@ -2641,33 +2673,7 @@ def extension_oracles() -> dict[str, str]:
                    cum_tokens <= 2000 AS kept
             FROM c
         """,
-        "x_drift_chi2": """
-            WITH t AS (
-                SELECT LEAST(9, GREATEST(0,
-                           CAST(floor((value - 0.0) / 10.0) AS INTEGER))) AS bin,
-                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref
-                FROM events WHERE event_type IN ('click', 'purchase')
-            ),
-            cells AS (
-                SELECT bin,
-                       CAST(SUM(is_ref) AS BIGINT) AS n_ref,
-                       CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
-                FROM t GROUP BY 1
-            ),
-            tot AS (
-                SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
-                       CAST(SUM(n_cur) AS BIGINT) AS t_cur
-                FROM cells
-            )
-            SELECT bin, n_ref, n_cur,
-                   round(CAST(n_ref AS DOUBLE) * t_cur / t_ref, 6) AS expected6,
-                   CASE WHEN n_ref > 0 THEN round(
-                       (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) * t_cur / t_ref)
-                     * (CAST(n_cur AS DOUBLE) - CAST(n_ref AS DOUBLE) * t_cur / t_ref)
-                     / (CAST(n_ref AS DOUBLE) * t_cur / t_ref), 6)
-                   END AS chi2_contrib6
-            FROM cells, tot
-        """,
+        "x_drift_chi2": DRIFT_CHI2_ORACLE_SQL,
         "x_gopher_rules": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             m AS (

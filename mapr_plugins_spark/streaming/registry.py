@@ -533,6 +533,70 @@ def s14_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s15_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitoring — the ingest-time form
+    of batch ``x_drift_chi2``, graded by the SAME oracle: event waves
+    arrive as real micro-batches; each batch bins its rows row-locally
+    and folds per-(bin, side) counts into explicit GroupState (addition
+    — commutative, so replay order and chunking cannot change the
+    final histogram). The χ² report is computed over the FINISHED
+    cells; at 100 TB state is 2·n_bins integers, period — drift
+    monitoring costs the stream one tiny keyed aggregation."""
+    import pandas as pd
+    from pyspark.sql import Window as _W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "event_type", "value")
+    stream = df_stream_chunked(ev, f"{sf_dir}/drift_events", "event_id", n_chunks=4)
+    bin_id = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor((F.col("value") - 0.0) / 10.0).cast("int"))
+    )
+    tagged = stream.select(
+        bin_id.alias("bin"),
+        (F.col("event_type") == "click").cast("int").alias("is_ref"),
+    )
+
+    def fold(key, pdfs, state):
+        n_ref = state.get[0] if state.exists else 0
+        n_cur = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            n_ref += int(pdf["is_ref"].sum())
+            n_cur += int((1 - pdf["is_ref"]).sum())
+        state.update((n_ref, n_cur))
+        yield pd.DataFrame({"bin": [key[0]], "n_ref": [n_ref], "n_cur": [n_cur]})
+
+    cells0 = tagged.groupBy("bin").applyInPandasWithState(
+        fold,
+        outputStructType="bin INT, n_ref BIGINT, n_cur BIGINT",
+        stateStructType="r BIGINT, c BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(cells0, "update")
+    # update-mode re-emissions are superseded: counts are monotone
+    cells = out.groupBy("bin").agg(
+        F.max("n_ref").alias("n_ref"), F.max("n_cur").alias("n_cur")
+    )
+    w_all = _W.partitionBy()
+    j = cells.withColumn("t_ref", F.sum("n_ref").over(w_all)).withColumn(
+        "t_cur", F.sum("n_cur").over(w_all)
+    )
+    exp = F.col("n_ref").cast("double") * F.col("t_cur") / F.col("t_ref")
+    contrib = F.when(
+        F.col("n_ref") > 0,
+        (F.col("n_cur").cast("double") - exp) * (F.col("n_cur").cast("double") - exp) / exp,
+    ).otherwise(None)
+    return j.select(
+        "bin", "n_ref", "n_cur",
+        F.round(exp, 6).alias("expected6"),
+        F.round(contrib, 6).alias("chi2_contrib6"),
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -548,6 +612,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s12_stream_ewma,
         s13_stream_dedup_admission,
         s14_stream_heavy_hitters,
+        s15_stream_drift,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -561,7 +626,13 @@ def streaming_oracles() -> dict[str, str]:
         _minhash_pairs_ctes,
     )
 
+    from mapr_plugins_spark.operators.registry import DRIFT_CHI2_ORACLE_SQL
+
     oracles = {
+        # the streaming histogram fold finishes at exactly the batch
+        # counts (commutative addition), so the drift report shares the
+        # batch key's oracle verbatim
+        "s15_stream_drift": DRIFT_CHI2_ORACLE_SQL,
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
         "s14_stream_heavy_hitters": f"""

@@ -299,3 +299,14 @@ def test_stream_heavy_hitters_equals_batch(spark, sf_dir):
     }
     batch = {(r.item, r.cnt) for r in x_heavy_hitters(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_stream_drift_equals_batch(spark, sf_dir):
+    """The streaming histogram fold must finish at exactly the batch
+    drift report (commutative addition ⇒ chunking-independent)."""
+    from mapr_plugins_spark.operators.registry import x_drift_chi2
+    from mapr_plugins_spark.streaming.registry import s15_stream_drift
+
+    stream = {tuple(r) for r in s15_stream_drift(spark, sf_dir).collect()}
+    batch = {tuple(r) for r in x_drift_chi2(spark, sf_dir).collect()}
+    assert stream == batch

@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_text_nfc_normalize x_group_split s14_stream_heavy_hitters
 #:   x_bpe_encode x_ann_ivfpq_topk x_winsorize x_mm_png_header
 #:   x_ann_pq_rerank x_gopher_rules x_drift_chi2 x_token_budget_fill
-#:   x_matryoshka_eval x_mm_wav_header s15_stream_drift
+#:   x_matryoshka_eval x_mm_wav_header x_mm_sniff s15_stream_drift
 #:   s07_dedup_within_watermark | x_substr_strip
 #:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
 #:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize

@@ -281,3 +281,29 @@ def parse_wav_header(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
         le(35, 2).cast("int").alias("bits_per_sample"),
         le(29, 4).alias("byte_rate"),
     )
+
+
+def sniff_mime(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Magic-bytes MIME sniffing over an untyped payload column — the
+    dispatch step in front of the per-format header parsers: PNG and
+    RIFF/WAVE by signature, UTF-8-looking text by a printable-prefix
+    heuristic, everything else opaque. Pure codegen byte tests, zero
+    Python, zero shuffle: at 100 TB this classifies a mixed-modality
+    lake in the scan and routes each row to the right decode path."""
+    head4 = F.hex(F.expr("substring(payload, 1, 4)"))
+    png = F.hex(F.expr("substring(payload, 1, 8)")) == F.lit(PNG_SIG_HEX)
+    wav = (head4 == F.lit("52494646")) & (
+        F.hex(F.expr("substring(payload, 9, 4)")) == F.lit("57415645")
+    )
+    # printable-ASCII prefix heuristic (first 4 bytes in 0x20..0x7E)
+    printable = F.lit(True)
+    for i in range(1, 5):
+        b = F.conv(F.hex(F.expr(f"substring(payload, {i}, 1)")), 16, 10).cast("int")
+        printable = printable & (b >= 32) & (b <= 126)
+    mime = (
+        F.when(png, "image/png")
+        .when(wav, "audio/wav")
+        .when(printable, "text/plain")
+        .otherwise("application/octet-stream")
+    )
+    return mm.select(F.col(id_col), mime.alias("mime"), F.length("payload").alias("n_bytes"))

@@ -1675,6 +1675,21 @@ def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.parse_png_header(M.attach_png_payload(docs))
 
 
+def x_mm_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-bytes MIME dispatch over a genuinely MIXED-modality table
+    (each doc becomes a PNG, a WAV, or raw UTF-8 bytes by doc_id mod 3)
+    — the classify-then-route step in front of the per-format header
+    parsers, all codegen byte tests."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    png = M.attach_png_payload(ids.filter(F.col("doc_id") % 3 == 0))
+    wav = M.attach_wav_payload(ids.filter(F.col("doc_id") % 3 == 1))
+    txt = docs.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return M.sniff_mime(png.unionByName(wav).unionByName(txt)).drop("n_bytes")
+
+
 def x_mm_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio sibling of x_mm_png_header: real RIFF/WAVE headers built
     in-plan, parsed back with LITTLE-endian byte arithmetic (channels,
@@ -1906,6 +1921,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_token_budget_fill,
             x_matryoshka_eval,
             x_mm_wav_header,
+            x_mm_sniff,
         )
     }
 
@@ -2645,6 +2661,14 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_bpe_encode": _bpe_oracle(),
         "x_matryoshka_eval": _matryoshka_oracle(),
+        "x_mm_sniff": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'audio/wav'
+                        ELSE 'text/plain' END AS mime
+            FROM documents
+        """,
         "x_mm_wav_header": """
             SELECT doc_id,
                    'audio/wav' AS mime,

@@ -98,6 +98,8 @@ def main() -> None:
         "x_drift_chi2",
         "x_token_budget_fill",
         "x_matryoshka_eval",
+        "x_epoch_shuffle",
+        "x_dsir_select",
     ]
     names = [n for n in headline if n in registry]
 

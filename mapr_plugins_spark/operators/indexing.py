@@ -26,18 +26,24 @@ def global_row_index(
     order_col: str,
     index_col: str = "row_idx",
     n_parts: int | None = None,
+    tie_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Append a dense 0..N-1 ``index_col`` ordered by ``order_col``
-    (which must be unique for the index to be deterministic)."""
+    (which must be unique for the index to be deterministic — or pass
+    ``tie_cols`` to extend the sort key into a total order; the range
+    partitioner and the local sort then share the same composite key,
+    so ties of ``order_col`` straddling a partition boundary still
+    index deterministically)."""
     n = n_parts or df.sparkSession.sparkContext.defaultParallelism
     # per-partition local row number JVM-side: the documented layout of
     # monotonically_increasing_id is (partitionId << 33) | rowNumber, so
     # masking the low 33 bits yields the 0-based position within the
     # sorted partition — no Python, no Arrow transfer, no extra shuffle
     local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    keys = [order_col, *tie_cols]
     d = (
-        df.repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__local", local)
         .persist()  # histogram pass + data pass read the same layout

@@ -1825,6 +1825,30 @@ def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: portable-hash permutation
+    of the corpus with dense global positions (range partition +
+    prefix-sum, no global-sort window) and round-robin shard
+    assignment — the reproducible data-loader order a training run
+    needs at 100 TB."""
+    from mapr_plugins_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "CAST(doc_id AS STRING)", n_shards=8, seed=23, epoch=1)
+
+
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the src0 'target domain':
+    hashed-bigram bucket profiles, integer micro-unit log-likelihood-
+    ratio weights, top-10 kept per source."""
+    from mapr_plugins_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dsir_select(
+        docs, "source = 'src0'", group_col="source", n_buckets=64, k_per_group=10, seed=29
+    )
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -1922,6 +1946,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_matryoshka_eval,
             x_mm_wav_header,
             x_mm_sniff,
+            x_epoch_shuffle,
+            x_dsir_select,
         )
     }
 
@@ -2759,6 +2785,95 @@ def extension_oracles() -> dict[str, str]:
                    CASE WHEN {seeded_hash60_sql("source", "13")} % 100 < 80
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
+        """,
+        "x_epoch_shuffle": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       {seeded_hash60_sql("CAST(doc_id AS STRING)", "'23e1'")}
+                           AS shuffle_key
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, shuffle_key,
+                       row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+                           AS epoch_pos
+                FROM h
+            )
+            SELECT doc_id, shuffle_key,
+                   CAST(epoch_pos AS BIGINT) AS epoch_pos,
+                   CAST(epoch_pos % 8 AS BIGINT) AS shard,
+                   CAST(epoch_pos // 8 AS BIGINT) AS within_shard_pos
+            FROM r
+        """,
+        "x_dsir_select": f"""
+            WITH t AS (
+                SELECT doc_id, source, (source = 'src0') AS is_tgt,
+                       {_TOKS_SQL} AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, source, is_tgt,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)),
+                                                i -> toks[i] || '_' || toks[i + 1])
+                            ELSE [] END AS bgs
+                FROM t
+            ),
+            e AS (SELECT doc_id, is_tgt, unnest(bgs) AS bg FROM g),
+            b AS (
+                SELECT doc_id, is_tgt,
+                       {seeded_hash60_sql("bg", "29")} % 64 AS bucket
+                FROM e
+            ),
+            cnt AS (
+                SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+                FROM b GROUP BY doc_id, bucket
+            ),
+            dist AS (
+                SELECT bucket,
+                       CAST(SUM(c) AS BIGINT) AS raw_n,
+                       CAST(SUM(CASE WHEN b2.is_tgt THEN c ELSE 0 END)
+                            AS BIGINT) AS tgt_n
+                FROM cnt
+                JOIN (SELECT DISTINCT doc_id, is_tgt FROM b) b2 USING (doc_id)
+                GROUP BY bucket
+            ),
+            fulld AS (
+                SELECT rb.bucket,
+                       coalesce(raw_n, 0) AS raw_n,
+                       coalesce(tgt_n, 0) AS tgt_n
+                FROM (SELECT unnest(range(0, 64)) AS bucket) rb
+                LEFT JOIN dist USING (bucket)
+            ),
+            tot AS (
+                SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+                       CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot
+                FROM fulld
+            ),
+            ratio AS (
+                SELECT bucket,
+                       CAST(round((ln((tgt_n + 1.0) / (tgt_tot + 64.0))
+                                   - ln((raw_n + 1.0) / (raw_tot + 64.0)))
+                                  * 1000000, 0) AS BIGINT) AS r
+                FROM fulld, tot
+            ),
+            wts AS (
+                SELECT g.doc_id, g.source,
+                       CAST(len(g.bgs) AS INTEGER) AS n_bigrams,
+                       CAST(coalesce(SUM(c * r), 0) AS BIGINT) AS weight_micro
+                FROM g
+                LEFT JOIN cnt ON cnt.doc_id = g.doc_id
+                LEFT JOIN ratio ON ratio.bucket = cnt.bucket
+                GROUP BY g.doc_id, g.source, len(g.bgs)
+            )
+            SELECT doc_id, source, n_bigrams, weight_micro,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY weight_micro DESC, doc_id)
+                        AS INTEGER) AS sel_rank,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY weight_micro DESC, doc_id) <= 10
+                       AS kept
+            FROM wts
         """,
         "x_hard_negatives": """
             WITH probes AS (

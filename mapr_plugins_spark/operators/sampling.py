@@ -147,6 +147,162 @@ def group_split(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_sql: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 23,
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment: the
+    global sample order every data-loader epoch needs, reproducible
+    from the data alone. Each (seed, epoch) pair induces a fixed
+    pseudo-random permutation — order by portable_hash(id, seed:epoch)
+    — so epoch 1 reshuffles relative to epoch 0, yet any worker can
+    recompute its exact shard on restart without coordination.
+
+    Emits ``shuffle_key`` (the 60-bit order key), ``epoch_pos`` (dense
+    global position 0..N-1), round-robin ``shard`` = pos mod n_shards
+    (shard sizes balanced within 1 row, no skew by construction), and
+    ``within_shard_pos`` = pos div n_shards (each worker's local read
+    order, derived arithmetically — no second shuffle).
+
+    Scale shape: one md5 per row inside codegen, then the range
+    partition + histogram prefix-sum of
+    :func:`~mapr_plugins_spark.operators.indexing.global_row_index` —
+    one range exchange over the data, everything else metadata-sized,
+    no Python stage. The hash tie-breaks on the id, so the permutation
+    is total even on the (astronomically unlikely) 60-bit collision."""
+    from mapr_plugins_spark.operators.indexing import global_row_index
+
+    d = with_seeded_hash60(df, "shuffle_key", id_sql, f"'{seed}e{epoch}'")
+    d = global_row_index(d, "shuffle_key", "epoch_pos", tie_cols=(id_col,))
+    return d.select(
+        id_col,
+        "shuffle_key",
+        F.col("epoch_pos").cast("long").alias("epoch_pos"),
+        F.pmod(F.col("epoch_pos"), F.lit(n_shards)).cast("long").alias("shard"),
+        F.expr(f"epoch_pos DIV {n_shards}").cast("long").alias("within_shard_pos"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred_sql: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    k_per_group: int = 10,
+    seed: int = 29,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public paper): score every raw document by how much more
+    likely its hashed-bigram profile is under a TARGET domain's bucket
+    distribution than under the raw corpus's, then keep the top-k per
+    group. The standard way to skim "looks like the target domain"
+    data out of a web crawl without a trained classifier.
+
+    Per-doc feature = counts of token bigrams hashed into ``n_buckets``
+    buckets (portable 60-bit md5, one per bigram, row-local HOFs — no
+    explode of the corpus). Bucket log-likelihood ratios
+    ``ln((tgt+1)/(tgt_tot+B)) - ln((raw+1)/(raw_tot+B))`` (add-one
+    smoothing) are rounded to integer MICRO-units, so the per-doc
+    importance weight ``Σ count[b]·ratio_micro[b]`` is exact integer
+    arithmetic — order-free and engine-portable. (The only float step
+    is the 64 bucket ``ln`` calls; a unit test pins every rounded
+    value far from its .5 boundary, so JVM-vs-libm last-ulp drift
+    cannot flip a micro-unit.)
+
+    Scale shape: one pass builds the per-doc count vectors (persisted);
+    the distribution aggregate reduces to ``n_buckets`` rows (a
+    metadata-sized driver collect, like the IVF centroids), which embed
+    back as a literal array — the weight pass is then zero-shuffle
+    row-local ``zip_with``/``aggregate``. The final per-group top-k is
+    one window partitioned by ``group_col`` (never a global sort)."""
+    from pyspark.sql import Window
+
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    B = n_buckets
+    d = df.select(
+        id_col,
+        group_col,
+        F.expr(target_pred_sql).alias("__is_tgt"),
+        tokens_col(text_col).alias("__toks"),
+    )
+    bgs = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(__toks) - 2),"
+            " i -> concat(element_at(__toks, i + 1), '_', element_at(__toks, i + 2)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    d = d.withColumn("__bgs", bgs)
+
+    def _bucket(g):
+        # portable hash inside the HOF: md5 once per bigram, then the
+        # conv fast path (equal to the oracle's digit arithmetic —
+        # equality pinned in tests/test_extensions.py)
+        h = F.conv(
+            F.substring(F.md5(F.concat(g, F.lit("#"), F.lit(str(seed)))), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(B))
+
+    d = d.withColumn("__bks", F.transform("__bgs", _bucket))
+    cnts = F.expr(f"transform(sequence(0, {B - 1}), b -> size(filter(__bks, x -> x = b)))")
+    d = (
+        d.select(
+            id_col,
+            group_col,
+            "__is_tgt",
+            F.size("__bgs").alias("n_bigrams"),
+            cnts.alias("__cnts"),
+        )
+        .persist()  # feeds the distribution aggregate AND the weight pass
+    )
+    ex = d.select("__is_tgt", F.posexplode("__cnts").alias("bucket", "c"))
+    wall = Window.partitionBy()  # 64 rows — metadata-sized
+    dist = (
+        ex.groupBy("bucket")
+        .agg(
+            F.sum("c").alias("raw_n"),
+            F.sum(F.when(F.col("__is_tgt"), F.col("c")).otherwise(F.lit(0))).alias("tgt_n"),
+        )
+        .withColumn("raw_tot", F.sum("raw_n").over(wall))
+        .withColumn("tgt_tot", F.sum("tgt_n").over(wall))
+    )
+    # identical expression text to the DuckDB oracle's ratio CTE
+    ratio = dist.select(
+        "bucket",
+        F.expr(
+            f"CAST(round((ln((tgt_n + 1.0) / (tgt_tot + {B}.0))"
+            f" - ln((raw_n + 1.0) / (raw_tot + {B}.0))) * 1000000, 0) AS BIGINT)"
+        ).alias("r"),
+    ).orderBy("bucket")
+    rlist = [0] * B
+    for row in ratio.collect():  # bounded: n_buckets rows of metadata
+        rlist[row["bucket"]] = int(row["r"])
+    lit_r = F.array(*[F.lit(v).cast("long") for v in rlist])
+    out = d.withColumn(
+        "weight_micro",
+        F.aggregate(
+            F.zip_with(F.col("__cnts"), lit_r, lambda c, r: c.cast("long") * r),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("weight_micro").desc(), id_col)
+    return out.select(
+        id_col,
+        group_col,
+        "n_bigrams",
+        "weight_micro",
+        F.row_number().over(w).cast("int").alias("sel_rank"),
+    ).withColumn("kept", F.col("sel_rank") <= k_per_group)
+
+
 def token_budget_fill(
     df: DataFrame,
     group_col: str,

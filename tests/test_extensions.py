@@ -782,3 +782,89 @@ def test_wav_header_parser_on_real_bytes(spark):
     assert out[1].byte_rate == 48000 * 2 * 2
     assert (out[2].channels, out[2].sample_rate) == (1, 8000)
     assert out[3].mime == "application/octet-stream"
+
+
+def test_epoch_shuffle_permutes_balances_and_reshuffles(spark, sf_dir):
+    """epoch_pos must be a dense permutation of 0..N-1, round-robin
+    shards must be balanced within one row, and a different epoch must
+    induce a different order (the reshuffle property a data loader
+    relies on)."""
+    from mapr_plugins_spark.operators.sampling import epoch_shuffle
+
+    from mapr_plugins_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    e1 = epoch_shuffle(docs, "CAST(doc_id AS STRING)", n_shards=8, seed=23, epoch=1)
+    rows = e1.collect()
+    n = len(rows)
+    assert sorted(r.epoch_pos for r in rows) == list(range(n))
+    by_shard = {}
+    for r in rows:
+        assert r.shard == r.epoch_pos % 8
+        assert r.within_shard_pos == r.epoch_pos // 8
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + 1
+    assert max(by_shard.values()) - min(by_shard.values()) <= 1
+    e0 = {
+        r.doc_id: r.epoch_pos
+        for r in epoch_shuffle(
+            docs, "CAST(doc_id AS STRING)", n_shards=8, seed=23, epoch=0
+        ).collect()
+    }
+    moved = sum(1 for r in rows if e0[r.doc_id] != r.epoch_pos)
+    assert moved > 0.9 * n, f"epoch 1 left {n - moved}/{n} rows in place"
+
+
+def test_dsir_ratio_micro_far_from_rounding_boundary(sf_dir):
+    """x_dsir_select's only float step is 64 bucket ln() calls rounded
+    to integer micro-units. Pin every pre-round value at this sf FAR
+    from its .5 boundary (>1e-3 micro-units), so a last-ulp JVM-vs-libm
+    ln() difference can never flip a rounded micro-unit — the exactness
+    claim of the integer weight sum rests on this."""
+    import duckdb
+
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+    from mapr_plugins_spark.operators.registry import _TOKS_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    dists = con.execute(f"""
+        WITH t AS (
+            SELECT doc_id, (source = 'src0') AS is_tgt, {_TOKS_SQL} AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, is_tgt,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || '_' || toks[i + 1])
+                        ELSE [] END AS bgs
+            FROM t
+        ),
+        e AS (SELECT doc_id, is_tgt, unnest(bgs) AS bg FROM g),
+        b AS (SELECT is_tgt, {seeded_hash60_sql("bg", "29")} % 64 AS bucket FROM e),
+        dist AS (
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS raw_n,
+                   CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+            FROM b GROUP BY bucket
+        ),
+        fulld AS (
+            SELECT rb.bucket, coalesce(raw_n, 0) AS raw_n, coalesce(tgt_n, 0) AS tgt_n
+            FROM (SELECT unnest(range(0, 64)) AS bucket) rb LEFT JOIN dist USING (bucket)
+        ),
+        tot AS (
+            SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+                   CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot
+            FROM fulld
+        )
+        SELECT bucket,
+               (ln((tgt_n + 1.0) / (tgt_tot + 64.0))
+                - ln((raw_n + 1.0) / (raw_tot + 64.0))) * 1000000 AS micro
+        FROM fulld, tot
+    """).fetchall()
+    assert len(dists) == 64
+    for bucket, micro in dists:
+        frac = abs(micro - int(micro // 1) - 0.5)  # distance to the .5 boundary
+        assert frac > 1e-3, f"bucket {bucket}: {micro} too close to a .5 boundary"

@@ -320,6 +320,19 @@ def test_row_index_has_no_python_stage(spark, sf_dir):
     assert "MapInPandas" not in p, p
 
 
+def test_epoch_shuffle_has_no_python_stage(spark, sf_dir):
+    """The epoch shuffle is codegen md5 + the row-index range
+    partition/prefix-sum — like x_row_index it must stay all-JVM (no
+    Arrow/Python eval node) and must NOT contain a global-sort window
+    (the single-partition scale-killer the prefix-sum design avoids)."""
+    from mapr_plugins_spark.operators.registry import x_epoch_shuffle
+
+    df = x_epoch_shuffle(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p
+
+
 def test_batch_ann_joins_on_list_id(spark, sf_dir):
     """Batch-probe IVF must reach the corpus through an equi join on
     list_id — never a per-probe cartesian of the corpus. (The graded

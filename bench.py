@@ -100,6 +100,8 @@ def main() -> None:
         "x_matryoshka_eval",
         "x_epoch_shuffle",
         "x_dsir_select",
+        "s16_stream_token_budget",
+        "x_spatial_join",
     ]
     names = [n for n in headline if n in registry]
 

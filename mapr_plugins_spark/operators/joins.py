@@ -138,3 +138,66 @@ def range_join_binned(
     return lb.join(rb, "__bin").filter(
         (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
     ).drop("__bin")
+
+
+def spatial_join_gridded(
+    pts: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: int,
+) -> DataFrame:
+    """All point pairs within ``radius`` (planar euclidean) via
+    GRID-CELL bucketing — the classic fixed-grid spatial join. Each
+    point lands in cell (x div r, y div r); any pair within r is
+    either in the same cell or in adjacent cells, so candidates come
+    from an EQUI join of one side (exploded to its 3×3 neighborhood)
+    against the other side's home cell, and the exact squared-distance
+    filter prunes the residual. Coordinates are integers, so dist_sq
+    is exact BIGINT arithmetic — engine-portable bit-for-bit.
+
+    Scale shape: the O(n²) cross join becomes one hash/sort-merge
+    shuffle on the cell key; the 9× neighbor explode multiplies only
+    the probe-side row count, never the pair space. Skewed cells
+    (urban hotspots) are the known hazard — AQE skew-join or a finer
+    grid splits them. Each qualifying pair is emitted exactly once
+    (``id_a < id_b``)."""
+    p = pts.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    r = int(radius)
+    home = p.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {r}").alias("cx"),
+        F.expr(f"y DIV {r}").alias("cy"),
+    )
+    cells = ", ".join(
+        f"struct({ox} AS ox, {oy} AS oy)" for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+    )
+    offsets = F.expr(f"explode(array({cells}))")
+    probe = p.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        offsets.alias("o"),
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.expr("xa DIV " + str(r)) + F.col("o.ox")).alias("cx"),
+        (F.expr("ya DIV " + str(r)) + F.col("o.oy")).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_sq", d2.cast("long"))
+        .filter(F.col("dist_sq") <= r * r)
+        .select("id_a", "id_b", "dist_sq")
+    )

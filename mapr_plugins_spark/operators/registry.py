@@ -763,6 +763,22 @@ def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.collapse_components(pairs)
 
 
+def x_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the DISTRIBUTED iterative min-label
+    propagation branch of ``collapse_components`` (max_driver_edges=0
+    disables the driver union-find shortcut): each round every vertex
+    adopts the min label among itself and its neighbors, until
+    fixpoint. Same pair graph and same recursive-closure oracle as
+    ``x_minhash_clusters`` — grading this key proves the 100 TB
+    fallback path computes the identical components as the bounded
+    driver path."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.verified_near_dup_pairs(
+        corpus, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS, threshold=0.5
+    )
+    return D.collapse_components(pairs, max_driver_edges=0)
+
+
 def x_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity quality signals, log-free (pure rational
     arithmetic → bit-identical across engines): type-token ratio and
@@ -1849,6 +1865,22 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join: all customer-point pairs
+    within radius 20000 on a synthetic 1M×1M integer plane
+    (deterministic modular scatter of c_custkey — nonnegative, so
+    DIV/% agree across engines). The 3×3 neighbor-cell equi join
+    replaces the O(n²) cross join; exact integer dist_sq filter. The
+    oracle IS the brute-force cross join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * F.lit(2654435761)) % 1000000).alias("x"),
+        ((F.col("c_custkey") * F.lit(40503) + F.lit(12345)) % 1000000).alias("y"),
+    )
+    return J.spatial_join_gridded(pts, "id", "x", "y", radius=20000)
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -1948,6 +1980,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_mm_sniff,
             x_epoch_shuffle,
             x_dsir_select,
+            x_spatial_join,
+            x_graph_components,
         )
     }
 
@@ -2576,6 +2610,27 @@ def _pii_redact_oracle() -> str:
     """
 
 
+#: token-budget oracle — shared verbatim by the streaming twin
+#: (s16_stream_token_budget): the per-source running-total state fold
+#: over doc_id-ordered waves finishes at exactly the batch cumsums.
+TOKEN_BUDGET_ORACLE_SQL = f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens,
+                   cum_tokens <= 2000 AS kept
+            FROM c
+        """
+
 #: χ² drift oracle — shared verbatim by the streaming twin
 #: (s15_stream_drift): the commutative histogram fold finishes at
 #: exactly the batch counts.
@@ -2706,23 +2761,7 @@ def extension_oracles() -> dict[str, str]:
                         * (doc_id % 2 + 1) * 2 AS BIGINT) AS byte_rate
             FROM documents
         """,
-        "x_token_budget_fill": f"""
-            WITH t AS (
-                SELECT doc_id, source,
-                       CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens
-                FROM documents
-            ),
-            c AS (
-                SELECT doc_id, source, n_tokens,
-                       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            AS BIGINT) AS cum_tokens
-                FROM t
-            )
-            SELECT doc_id, source, n_tokens, cum_tokens,
-                   cum_tokens <= 2000 AS kept
-            FROM c
-        """,
+        "x_token_budget_fill": TOKEN_BUDGET_ORACLE_SQL,
         "x_drift_chi2": DRIFT_CHI2_ORACLE_SQL,
         "x_gopher_rules": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -2785,6 +2824,20 @@ def extension_oracles() -> dict[str, str]:
                    CASE WHEN {seeded_hash60_sql("source", "13")} % 100 < 80
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
+        """,
+        "x_spatial_join": """
+            WITH p AS (
+                SELECT c_custkey AS id,
+                       (c_custkey * 2654435761) % 1000000 AS x,
+                       (c_custkey * 40503 + 12345) % 1000000 AS y
+                FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+            FROM p a JOIN p b ON a.id < b.id
+            WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 400000000
         """,
         "x_epoch_shuffle": f"""
             WITH h AS (
@@ -3252,6 +3305,9 @@ def extension_oracles() -> dict[str, str]:
             FROM m GROUP BY user_id, interval_seq
         """,
         "x_minhash_clusters": _clusters_oracle(),
+        # same closure oracle: the distributed min-label branch must
+        # produce the identical components as the driver union-find
+        "x_graph_components": _clusters_oracle(),
         "x_text_diversity": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
             SELECT doc_id,

@@ -597,6 +597,66 @@ def s15_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s16_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-budget admission — the ingest-time
+    form of batch ``x_token_budget_fill``, graded by the SAME oracle:
+    document waves arrive as real micro-batches in doc_id order; token
+    counts are computed JVM-side on the stream with the identical
+    codegen expression as the batch key; per-source GroupState holds
+    ONE running total, each arriving doc is admitted iff the total
+    stays within budget, and every doc is emitted exactly once (in the
+    batch it arrives) with its cumulative total and keep verdict. At
+    100 TB the state is one BIGINT per source — quota enforcement in
+    TOKENS costs the stream a single tiny keyed fold. Assumes per-key
+    in-order arrival (the Kafka-partition-keyed-log contract, as
+    s12); each batch is additionally sorted on doc_id before folding."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.operators.text import tokens_col
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    budget = 2000
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    stream = df_stream_chunked(docs, f"{sf_dir}/token_budget_docs", "doc_id", n_chunks=4)
+
+    def fold(key, pdfs, state):
+        cum = state.get[0] if state.exists else 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values("doc_id")
+            cums = pdf["n_tokens"].astype("int64").cumsum() + cum
+            cum = int(cums.iloc[-1])
+            state.update((cum,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": key[0],
+                    "n_tokens": pdf["n_tokens"].astype("int32"),
+                    "cum_tokens": cums.astype("int64"),
+                    "kept": (cums <= budget),
+                }
+            )
+        else:
+            state.update((cum,))
+
+    result = stream.groupBy("source").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "doc_id BIGINT, source STRING, n_tokens INT, "
+            "cum_tokens BIGINT, kept BOOLEAN"
+        ),
+        stateStructType="cum BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # each doc is emitted exactly once (the batch it arrives in), so
+    # the union of update-mode emissions IS the per-doc admission log
+    return run_available_now(result, "update")
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -613,6 +673,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s13_stream_dedup_admission,
         s14_stream_heavy_hitters,
         s15_stream_drift,
+        s16_stream_token_budget,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -626,13 +687,20 @@ def streaming_oracles() -> dict[str, str]:
         _minhash_pairs_ctes,
     )
 
-    from mapr_plugins_spark.operators.registry import DRIFT_CHI2_ORACLE_SQL
+    from mapr_plugins_spark.operators.registry import (
+        DRIFT_CHI2_ORACLE_SQL,
+        TOKEN_BUDGET_ORACLE_SQL,
+    )
 
     oracles = {
         # the streaming histogram fold finishes at exactly the batch
         # counts (commutative addition), so the drift report shares the
         # batch key's oracle verbatim
         "s15_stream_drift": DRIFT_CHI2_ORACLE_SQL,
+        # the streaming running-total fold over doc_id-ordered waves
+        # finishes at exactly the batch window cumsum, so the admission
+        # log shares the batch key's oracle verbatim
+        "s16_stream_token_budget": TOKEN_BUDGET_ORACLE_SQL,
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
         "s14_stream_heavy_hitters": f"""

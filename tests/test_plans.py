@@ -333,6 +333,18 @@ def test_epoch_shuffle_has_no_python_stage(spark, sf_dir):
     assert "MapInPandas" not in p, p
 
 
+def test_spatial_join_is_equi_not_cartesian(spark, sf_dir):
+    """The gridded spatial join must reach pairs through an equi join
+    on the cell key — never a cartesian/BNLJ of the point set (the
+    oracle's cross join is the semantics, not the plan)."""
+    from mapr_plugins_spark.operators.registry import x_spatial_join
+
+    df = x_spatial_join(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_batch_ann_joins_on_list_id(spark, sf_dir):
     """Batch-probe IVF must reach the corpus through an equi join on
     list_id — never a per-probe cartesian of the corpus. (The graded

@@ -102,6 +102,7 @@ def main() -> None:
         "x_dsir_select",
         "s16_stream_token_budget",
         "x_spatial_join",
+        "x_pmi_collocations",
     ]
     names = [n for n in headline if n in registry]
 

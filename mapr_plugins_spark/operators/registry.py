@@ -763,6 +763,14 @@ def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.collapse_components(pairs)
 
 
+def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (top-3 collocates per head token,
+    c_ab >= 5): the phrase-detection ratio kept log-free as an exact
+    integer rational (num = c_ab·N, den = c_a·c_b)."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return X.pmi_collocations(docs, min_count=5, top_k=3)
+
+
 def x_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via the DISTRIBUTED iterative min-label
     propagation branch of ``collapse_components`` (max_driver_edges=0
@@ -1982,6 +1990,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dsir_select,
             x_spatial_join,
             x_graph_components,
+            x_pmi_collocations,
         )
     }
 
@@ -2824,6 +2833,41 @@ def extension_oracles() -> dict[str, str]:
                    CASE WHEN {seeded_hash60_sql("source", "13")} % 100 < 80
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
+        """,
+        "x_pmi_collocations": """
+            WITH t AS (
+                SELECT string_split(text, ' ') AS wl FROM documents
+                WHERE len(string_split(text, ' ')) >= 2
+            ),
+            b AS (
+                SELECT unnest(wl[1:len(wl) - 1]) AS w1,
+                       unnest(wl[2:len(wl)]) AS w2
+                FROM t
+            ),
+            cab AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM b GROUP BY w1, w2
+            ),
+            ca AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_a FROM b GROUP BY w1),
+            cb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_b FROM b GROUP BY w2),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+            s AS (
+                SELECT cab.w1, cab.w2, c_ab,
+                       CAST(c_ab * n AS BIGINT) AS pmi_num,
+                       CAST(c_a * c_b AS BIGINT) AS pmi_den
+                FROM cab JOIN ca USING (w1) JOIN cb USING (w2), nn
+                WHERE c_ab >= 5
+            ),
+            r AS (
+                SELECT w1, w2, c_ab, pmi_num, pmi_den,
+                       CAST(row_number() OVER (
+                           PARTITION BY w1
+                           ORDER BY CAST(pmi_num AS DOUBLE) / pmi_den DESC, w2
+                       ) AS INTEGER) AS rank
+                FROM s
+            )
+            SELECT w1, w2, c_ab, pmi_num, pmi_den, rank
+            FROM r WHERE rank <= 3
         """,
         "x_spatial_join": """
             WITH p AS (

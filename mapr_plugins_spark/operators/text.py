@@ -494,3 +494,64 @@ def gopher_rules(
         (ok_count & ok_len & ok_stop).alias("passes"),
         reason.alias("fail_reason"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 3,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    adjacent token pairs — the classic phrase-mining signal (Church &
+    Hanks 1990; the word2vec phrase pass uses the same ratio). PMI's
+    log is monotone in its argument, so the score is kept LOG-FREE as
+    an exact integer rational: ``num = c(w1,w2)·N``, ``den =
+    c(w1,·)·c(·,w2)`` (directional contingency counts). Ranking
+    compares ``num/den`` as an IEEE double — one division of exact
+    integers, bit-identical across engines — with (w2) tie-break.
+
+    Plan shape: the positional bigram stream shuffles once on the
+    bigram key for c(w1,w2); the two marginal count tables shuffle
+    their own (smaller) keys and join back on w1/w2; N broadcasts as a
+    1-row aggregate; the final top-k is a window per head token. All
+    counts are map-side combined; nothing is per-doc state."""
+    w = F.split(F.col(text_col), " ")
+    pairs = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+        f" i -> struct(element_at(split({text_col}, ' '), i + 1) AS w1,"
+        f" element_at(split({text_col}, ' '), i + 2) AS w2))"
+    )
+    bgs = (
+        fan_out(df.filter(F.size(w) >= 2).select(text_col))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .persist()  # feeds the pair count and both marginals
+    )
+    c_ab = bgs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = bgs.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    c_b = bgs.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
+    n = bgs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(c_a, "w1")
+        .join(c_b, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            (F.col("c_ab") * F.col("n")).cast("long").alias("pmi_num"),
+            (F.col("c_a") * F.col("c_b")).cast("long").alias("pmi_den"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("w1").orderBy(
+        (F.col("pmi_num").cast("double") / F.col("pmi_den")).desc(), "w2"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("w1", "w2", "c_ab", "pmi_num", "pmi_den", "rank")
+    )

@@ -103,6 +103,7 @@ def main() -> None:
         "s16_stream_token_budget",
         "x_spatial_join",
         "x_pmi_collocations",
+        "x_bpe_train",
     ]
     names = [n for n in headline if n in registry]
 

@@ -763,6 +763,54 @@ def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.collapse_components(pairs)
 
 
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn an 8-merge BPE table from the corpus (count desc /
+    lexicographic tie-break argmax per round); the oracle replays the
+    identical training loop as a chained-CTE round unrolling."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return X.bpe_train(docs, n_merges=8)
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unroll the BPE training rounds as chained CTEs: w{r} is the
+    vocabulary after r merges; p{r}/m{r} are round r's weighted pair
+    counts and argmax. Same representation (space-terminated symbols)
+    and same boundary-safe replace as the Spark loop."""
+    ctes = [
+        """w0 AS (
+            SELECT regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY 1
+        )"""
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+            SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS c FROM (
+                SELECT freq,
+                       unnest(sy[1:len(sy) - 2]) AS l,
+                       unnest(sy[2:len(sy) - 1]) AS r2
+                FROM (
+                    SELECT freq, string_split(sym, ' ') AS sy FROM w{r}
+                ) WHERE len(sy) >= 3
+            ) GROUP BY l, r2
+        )""")
+        ctes.append(
+            f"m{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1)"
+        )
+        ctes.append(f"""w{r + 1} AS (
+            SELECT replace(sym, m.l || ' ' || m.r2 || ' ',
+                           m.l || m.r2 || ' ') AS sym, freq
+            FROM w{r}, m{r} m
+        )""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS INTEGER) AS rank, l AS merge_left,"
+        f" r2 AS merge_right, c AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (top-3 collocates per head token,
     c_ab >= 5): the phrase-detection ratio kept log-free as an exact
@@ -1991,6 +2039,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_spatial_join,
             x_graph_components,
             x_pmi_collocations,
+            x_bpe_train,
         )
     }
 
@@ -2834,6 +2883,7 @@ def extension_oracles() -> dict[str, str]:
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
         """,
+        "x_bpe_train": _bpe_train_oracle(),
         "x_pmi_collocations": """
             WITH t AS (
                 SELECT string_split(text, ' ') AS wl FROM documents

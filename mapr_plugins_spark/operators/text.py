@@ -555,3 +555,65 @@ def pmi_collocations(
         .filter(F.col("rank") <= top_k)
         .select("w1", "w2", "c_ab", "pmi_num", "pmi_den", "rank")
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (Sennrich et al. 2016
+    training loop) — the counterpart of :func:`bpe_encode`, which
+    applies a fixed table. Words collapse to a (symbol-string, freq)
+    vocabulary table first (the classic optimization: all counting is
+    per distinct word, weighted by frequency), in the same
+    space-terminated representation the encoder uses; each round
+    counts adjacent symbol pairs weighted by word frequency, picks the
+    max (count desc, then lexicographic pair — a total order, so the
+    learned table is partitioning-independent), and merges it
+    everywhere via the boundary-safe string replace.
+
+    Iterative dataflow like PageRank: per round ONE map-side-combined
+    pair-count aggregate over the vocabulary table and a single-row
+    argmax collect (bounded driver state); the vocabulary table is
+    localCheckpoint-truncated between rounds. At 100 TB the vocabulary
+    is corpus-DISTINCT-WORD sized — orders of magnitude smaller than
+    the corpus — and the one corpus-sized job is the initial word
+    count. Output: (rank, merge_left, merge_right, pair_count)."""
+    vocab = (
+        fan_out(df.select(text_col))
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sym", F.regexp_replace("w", "(.)", "$1 "))
+        .select("sym", "freq")
+        .localCheckpoint()
+    )
+    pairs = F.when(
+        F.size(F.split(F.col("sym"), " ")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(sym, ' ')) - 3),"
+            " i -> struct(element_at(split(sym, ' '), i + 1) AS l,"
+            " element_at(split(sym, ' '), i + 2) AS r))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<l: string, r: string>>)"))
+    learned = []
+    cur = vocab
+    for rank in range(1, n_merges + 1):
+        top = (
+            cur.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        learned.append((rank, l, r, c))
+        cur = cur.withColumn(
+            "sym", F.replace("sym", F.lit(f"{l} {r} "), F.lit(f"{l}{r} "))
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        learned, "rank INT, merge_left STRING, merge_right STRING, pair_count BIGINT"
+    )

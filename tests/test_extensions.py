@@ -868,3 +868,31 @@ def test_dsir_ratio_micro_far_from_rounding_boundary(sf_dir):
     for bucket, micro in dists:
         frac = abs(micro - int(micro // 1) - 0.5)  # distance to the .5 boundary
         assert frac > 1e-3, f"bucket {bucket}: {micro} too close to a .5 boundary"
+
+
+def test_bpe_train_learned_table_compresses_via_encoder(spark, sf_dir):
+    """The trained merge table must be well-formed (ranks 1..8, positive
+    weighted counts) and EFFECTIVE: applying it through bpe_encode must
+    strictly reduce corpus token count below the unmerged character
+    count — train and apply compose."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.registry import x_bpe_train
+    from mapr_plugins_spark.operators.text import bpe_encode
+
+    rows = sorted(x_bpe_train(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, 9))
+    assert all(r.pair_count >= 1 for r in rows)
+    merges = tuple(
+        (f"{r.merge_left} {r.merge_right} ", f"{r.merge_left}{r.merge_right} ")
+        for r in rows
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tokens = bpe_encode(docs, merges=merges).agg(
+        F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]["t"]
+    n_chars = docs.select(
+        F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("c")
+    ).collect()[0]["c"]
+    assert n_tokens < n_chars, (n_tokens, n_chars)

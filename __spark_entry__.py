@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_matryoshka_eval x_mm_wav_header x_mm_sniff s15_stream_drift
 #:   s07_dedup_within_watermark x_epoch_shuffle x_dsir_select
 #:   s16_stream_token_budget x_spatial_join x_graph_components
-#:   x_pmi_collocations x_bpe_train | x_substr_strip
+#:   x_pmi_collocations x_bpe_train x_target_encode x_feature_bins
+#:   | x_substr_strip
 #:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
 #:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize
 #:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample

@@ -104,6 +104,8 @@ def main() -> None:
         "x_spatial_join",
         "x_pmi_collocations",
         "x_bpe_train",
+        "x_target_encode",
+        "x_feature_bins",
     ]
     names = [n for n in headline if n in registry]
 

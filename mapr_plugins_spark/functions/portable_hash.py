@@ -99,3 +99,14 @@ def with_seeded_hash60(df, out_col: str, value_sql: str, seed_sql: str):
         .withColumn(out_col, F.expr(spark_hex15_to_bigint_sql(tmp)))
         .drop(tmp)
     )
+
+
+def seeded_hash60_col(value: Column, seed: str) -> Column:
+    """Column-composed form of the portable seeded hash (the ``conv``
+    fast path) — for use inside higher-order-function lambdas, where
+    ``F.expr`` SQL text cannot reference the lambda variable.
+    Value-identical to :func:`seeded_hash60_sql`'s digit arithmetic
+    (conv-vs-digits equality is pinned in tests)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(value, F.lit("#"), F.lit(seed))), 1, 15), 16, 10
+    ).cast("long")

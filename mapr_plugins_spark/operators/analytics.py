@@ -288,3 +288,97 @@ def drift_chi2(
         F.round(exp, 6).alias("expected6"),
         F.round(contrib, 6).alias("chi2_contrib6"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    smoothing: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing
+    (Micci-Barreca 2001, the standard tabular-ML categorical feature):
+    each row's category is replaced by the mean target of the OTHER
+    rows in that category, shrunk toward the global mean by
+    ``smoothing`` pseudo-observations — the leave-one-out exclusion is
+    what prevents the feature from leaking the row's own label.
+
+    Determinism: category sums and the global sum accumulate in exact
+    DECIMAL(18,6) (order-free — the same trick as the money
+    aggregates), the row's own value subtracts in decimal, and only
+    the FINAL expression runs one fixed sequence of double ops —
+    bit-identical across engines, partitioning-independent.
+
+    Plan shape: one shuffle on the category (window sum/count share
+    the single partitioning); the global prior broadcasts as a 1-row
+    aggregate. No Python, no per-category state beyond the window."""
+    dec = F.col(target_col).cast("decimal(18,6)")
+    w = Window.partitionBy(cat_col)
+    g = df.select(
+        id_col,
+        cat_col,
+        F.col(target_col),
+        F.sum(dec).over(w).alias("__csum"),
+        F.count(F.lit(1)).over(w).alias("n_cat"),
+    )
+    tot = df.agg(
+        F.sum(dec).alias("__gsum"), F.count(F.lit(1)).alias("__gn")
+    )
+    gmean = (F.col("__gsum").cast("double") / F.col("__gn").cast("double")).alias(
+        "__gmean"
+    )
+    out = g.crossJoin(F.broadcast(tot.select(gmean)))
+    loo = (
+        (F.col("__csum") - F.col(target_col).cast("decimal(18,6)")).cast("double")
+        + F.lit(float(smoothing)) * F.col("__gmean")
+    ) / ((F.col("n_cat") - 1).cast("double") + F.lit(float(smoothing)))
+    return out.select(
+        id_col,
+        cat_col,
+        target_col,
+        F.col("n_cat").cast("long").alias("n_cat"),
+        # n_cat = 1 needs no special case: numerator degenerates to
+        # smoothing·global_mean and denominator to smoothing
+        loo.alias("loo_te"),
+    )
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    cat_col: str,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-category equal-frequency discretization (quantile binning,
+    the standard numeric-feature bucketizer): row's bin =
+    ``(rank-1)·n_bins div n`` over the (value, id)-ordered rows of its
+    category — pure integer rank arithmetic, so bins are exact and
+    engine-portable (no percentile-interpolation convention to match,
+    the same trick as winsorize). Bins are balanced within one row by
+    construction. One shuffle: both windows share the category
+    partitioning."""
+    # NULLS LAST pinned explicitly: Spark's default asc ordering is
+    # NULLS FIRST, DuckDB's is NULLS LAST — a nullable value column
+    # would silently shift every rank between engines otherwise
+    w = Window.partitionBy(cat_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(id_col)
+    )
+    wc = Window.partitionBy(cat_col)
+    d = df.select(
+        id_col,
+        cat_col,
+        value_col,
+        (F.row_number().over(w).cast("long") - 1).alias("__rn0"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("__n"),
+    )
+    # integer DIV, never float division: (rn0*k)/n in double can round
+    # UP to the next integer for adversarial (rn0*k, n) and mis-bin a
+    # boundary row after the long cast
+    return d.select(
+        id_col,
+        cat_col,
+        value_col,
+        F.expr(f"__rn0 * {n_bins} DIV __n").cast("long").alias("bin"),
+    )

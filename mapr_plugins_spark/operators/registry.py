@@ -763,6 +763,27 @@ def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.collapse_components(pairs)
 
 
+def x_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type by event value
+    (smoothing=10): exact-decimal category/global sums, one fixed
+    double-op sequence — the standard leakage-safe categorical
+    feature."""
+    from mapr_plugins_spark.operators.analytics import target_encode_loo
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return target_encode_loo(ev, "event_type", "value", "event_id", smoothing=10.0)
+
+
+def x_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type equal-frequency (decile) binning of event values
+    at exact rank arithmetic — the quantile bucketizer, with no
+    percentile-interpolation convention to match."""
+    from mapr_plugins_spark.operators.analytics import equal_frequency_bins
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return equal_frequency_bins(ev, "event_type", "value", "event_id", n_bins=10)
+
+
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn an 8-merge BPE table from the corpus (count desc /
     lexicographic tie-break argmax per round); the oracle replays the
@@ -778,7 +799,7 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
     and same boundary-safe replace as the Spark loop."""
     ctes = [
         """w0 AS (
-            SELECT regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+            SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym,
                    CAST(COUNT(*) AS BIGINT) AS freq
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
             WHERE w <> '' GROUP BY 1
@@ -788,19 +809,24 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
         ctes.append(f"""p{r} AS (
             SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS c FROM (
                 SELECT freq,
-                       unnest(sy[1:len(sy) - 2]) AS l,
-                       unnest(sy[2:len(sy) - 1]) AS r2
+                       unnest(sy[1:len(sy) - 1]) AS l,
+                       unnest(sy[2:len(sy)]) AS r2
                 FROM (
-                    SELECT freq, string_split(sym, ' ') AS sy FROM w{r}
-                ) WHERE len(sy) >= 3
+                    SELECT freq,
+                           list_filter(string_split(sym, ' '),
+                                       x -> x <> '') AS sy
+                    FROM w{r}
+                ) WHERE len(sy) >= 2
             ) GROUP BY l, r2
         )""")
         ctes.append(
             f"m{r} AS (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1)"
         )
         ctes.append(f"""w{r + 1} AS (
-            SELECT replace(sym, m.l || ' ' || m.r2 || ' ',
-                           m.l || m.r2 || ' ') AS sym, freq
+            SELECT replace(sym,
+                           ' ' || m.l || '  ' || m.r2 || ' ',
+                           ' ' || m.l || m.r2 || ' ') AS sym,
+                   freq
             FROM w{r}, m{r} m
         )""")
     finals = "\n            UNION ALL ".join(
@@ -1865,9 +1891,9 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_oracle() -> str:
-    expr = r"regexp_replace(w, '(.)', '\1 ', 'g')"
+    expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
     for a, b in X.BPE_MERGES:
-        expr = f"replace({expr}, '{a}', '{b}')"
+        expr = f"replace({expr}, '{X._wrap(a)}', '{X._wrap(b)}')"
     return f"""
         WITH e AS (
             SELECT doc_id,
@@ -1878,9 +1904,10 @@ def _bpe_oracle() -> str:
         SELECT doc_id,
                CAST(len(words) AS INTEGER) AS n_words,
                CAST(list_sum(list_transform(encw,
-                    e -> strlen(e) - strlen(replace(e, ' ', '')))) AS INTEGER)
+                    e -> (strlen(e) - strlen(replace(e, ' ', ''))) // 2))
+                    AS INTEGER)
                    AS n_bpe_tokens,
-               trim(encw[1]) AS first_word_bpe
+               replace(trim(encw[1]), '  ', ' ') AS first_word_bpe
         FROM e
     """
 
@@ -1923,16 +1950,22 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial self-join: all customer-point pairs
-    within radius 20000 on a synthetic 1M×1M integer plane
-    (deterministic modular scatter of c_custkey — nonnegative, so
-    DIV/% agree across engines). The 3×3 neighbor-cell equi join
-    replaces the O(n²) cross join; exact integer dist_sq filter. The
-    oracle IS the brute-force cross join."""
+    within radius 20000 on a synthetic 1M×1M integer plane. The
+    coordinates are TWO INDEPENDENT portable hashes of the key (a true
+    2-D scatter — an affine scatter puts points on a 1-D lattice and
+    degenerates to zero pairs at small sf, making the probe vacuous);
+    nonnegative, so DIV/% agree across engines. The 3×3 neighbor-cell
+    equi join replaces the O(n²) cross join; exact integer dist_sq
+    filter. The oracle IS the brute-force cross join."""
+    from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    pts = cust.select(
+    pts = with_seeded_hash60(cust, "__hx", "CAST(c_custkey AS STRING)", "'sx'")
+    pts = with_seeded_hash60(pts, "__hy", "CAST(c_custkey AS STRING)", "'sy'")
+    pts = pts.select(
         F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * F.lit(2654435761)) % 1000000).alias("x"),
-        ((F.col("c_custkey") * F.lit(40503) + F.lit(12345)) % 1000000).alias("y"),
+        F.pmod(F.col("__hx"), F.lit(1000000)).alias("x"),
+        F.pmod(F.col("__hy"), F.lit(1000000)).alias("y"),
     )
     return J.spatial_join_gridded(pts, "id", "x", "y", radius=20000)
 
@@ -2040,6 +2073,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_graph_components,
             x_pmi_collocations,
             x_bpe_train,
+            x_target_encode,
+            x_feature_bins,
         )
     }
 
@@ -2884,6 +2919,36 @@ def extension_oracles() -> dict[str, str]:
             FROM documents
         """,
         "x_bpe_train": _bpe_train_oracle(),
+        "x_feature_bins": """
+            SELECT event_id, event_type, value,
+                   CAST((row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value NULLS LAST,
+                                                     event_id) - 1)
+                        * 10
+                        // (COUNT(*) OVER (PARTITION BY event_type))
+                        AS BIGINT) AS bin
+            FROM events
+        """,
+        "x_target_encode": """
+            WITH g AS (
+                SELECT event_id, event_type, value,
+                       SUM(CAST(value AS DECIMAL(18,6)))
+                           OVER (PARTITION BY event_type) AS csum,
+                       CAST(COUNT(*) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n_cat
+                FROM events
+            ),
+            t AS (
+                SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS gmean
+                FROM events
+            )
+            SELECT event_id, event_type, value, n_cat,
+                   (CAST(csum - CAST(value AS DECIMAL(18,6)) AS DOUBLE)
+                    + 10.0 * gmean)
+                   / (CAST(n_cat - 1 AS DOUBLE) + 10.0) AS loo_te
+            FROM g, t
+        """,
         "x_pmi_collocations": """
             WITH t AS (
                 SELECT string_split(text, ' ') AS wl FROM documents
@@ -2919,11 +2984,13 @@ def extension_oracles() -> dict[str, str]:
             SELECT w1, w2, c_ab, pmi_num, pmi_den, rank
             FROM r WHERE rank <= 3
         """,
-        "x_spatial_join": """
+        "x_spatial_join": f"""
             WITH p AS (
                 SELECT c_custkey AS id,
-                       (c_custkey * 2654435761) % 1000000 AS x,
-                       (c_custkey * 40503 + 12345) % 1000000 AS y
+                       {seeded_hash60_sql("CAST(c_custkey AS STRING)", "'sx'")}
+                           % 1000000 AS x,
+                       {seeded_hash60_sql("CAST(c_custkey AS STRING)", "'sy'")}
+                           % 1000000 AS y
                 FROM customer
             )
             SELECT a.id AS id_a, b.id AS id_b,

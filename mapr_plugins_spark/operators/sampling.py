@@ -242,15 +242,18 @@ def dsir_select(
     d = d.withColumn("__bgs", bgs)
 
     def _bucket(g):
-        # portable hash inside the HOF: md5 once per bigram, then the
-        # conv fast path (equal to the oracle's digit arithmetic —
-        # equality pinned in tests/test_extensions.py)
-        h = F.conv(
-            F.substring(F.md5(F.concat(g, F.lit("#"), F.lit(str(seed)))), 1, 15), 16, 10
-        ).cast("long")
-        return F.pmod(h, F.lit(B))
+        # portable hash inside the HOF (Column-composed fast path —
+        # one source of truth in functions/portable_hash.py)
+        from mapr_plugins_spark.functions.portable_hash import seeded_hash60_col
+
+        return F.pmod(seeded_hash60_col(g, str(seed)), F.lit(B))
 
     d = d.withColumn("__bks", F.transform("__bgs", _bucket))
+    # count vector via B row-local passes over the bucket array —
+    # O(B·n_bigrams) integer compares in codegen, the deliberate trade
+    # against the alternative explode + corpus-wide shuffle shape (both
+    # linear in corpus tokens; this one moves zero bytes). B is small
+    # by design; for B ≫ 64 switch to the explode shape.
     cnts = F.expr(f"transform(sequence(0, {B - 1}), b -> size(filter(__bks, x -> x = b)))")
     d = (
         d.select(

@@ -393,9 +393,13 @@ def nfc_normalize(
 #: Fixed BPE merge table (a pretrained tokenizer's merges are an
 #: artifact shipped with the engine, not data) — applied IN ORDER to
 #: the space-terminated token form ("s p a r k " → "sp ar k ").
-#: Patterns carry each token's trailing space, so a pair pattern can
-#: never match across a longer token's boundary ("x a " cannot fire
-#: inside "x ar ") — the classic string-replace-BPE pitfall.
+#: The table is STORED in the compact trailing-space form; at apply
+#: time each pattern is rewrapped so every symbol owns BOTH its
+#: spaces (" t  h " → " th "), which closes the two classic
+#: string-replace-BPE pitfalls: a right-truncated symbol match
+#: ("x a " inside "x ar ") and a LEFT-suffix match ("e r " inside
+#: "th e  r "), while keeping runs of identical pairs chain-merging
+#: correctly (replacements never consume a neighbor's wrapper).
 BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("t h ", "th "), ("th e ", "the "), ("i n ", "in "), ("in e ", "ine "),
     ("e r ", "er "), ("a r ", "ar "), ("o r ", "or "), ("a n ", "an "),
@@ -405,6 +409,12 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
     ("s p ", "sp "), ("sp ar k ", "spark "), ("j o ", "jo "),
     ("m er g e ", "merge "),
 )
+
+
+def _wrap(pattern: str) -> str:
+    """Stored merge form ("t h " / "th ") → the self-wrapped symbol
+    form (" t  h " / " th ") used at apply time."""
+    return " " + "  ".join(pattern.split()) + " "
 
 
 def bpe_encode(
@@ -421,25 +431,38 @@ def bpe_encode(
 
     Output per document: ``n_words``, ``n_bpe_tokens`` (post-merge),
     ``first_word_bpe`` (the first word's token sequence, a visible
-    artifact of the merge chain)."""
+    artifact of the merge chain).
+
+    Representation: every symbol is wrapped in its OWN spaces
+    (" t  h  e " — adjacent symbols share nothing), so a pattern
+    "␣l␣␣r␣" is boundary-safe on BOTH sides ("␣e␣␣r␣" cannot fire
+    inside symbol "the"), and each replacement leaves the neighboring
+    wrappers intact, so runs of identical pairs chain-merge exactly
+    like iterated greedy application ("aaaa" → "aa","aa", not
+    "aa","a","a" — the flaw of shared-boundary forms)."""
 
     def encode_word(w):
-        spaced = F.regexp_replace(w, "(.)", "$1 ")
+        spaced = F.regexp_replace(w, "(.)", " $1 ")
         for a, b in merges:
-            spaced = F.replace(spaced, F.lit(a), F.lit(b))
+            spaced = F.replace(spaced, F.lit(_wrap(a)), F.lit(_wrap(b)))
         return spaced
 
     words = F.split(F.col(text_col), " ")
     enc = F.transform(words, encode_word)
-    # each token is space-terminated → token count == space count
+    # each symbol carries exactly two spaces of its own wrapper
     tok_counts = F.transform(
-        enc, lambda e: F.length(e) - F.length(F.replace(e, F.lit(" "), F.lit("")))
+        enc,
+        lambda e: (F.length(e) - F.length(F.replace(e, F.lit(" "), F.lit("")))) / 2,
     )
     return df.select(
         "doc_id",
         F.size(words).alias("n_words"),
-        F.aggregate(tok_counts, F.lit(0), lambda a, x: a + x).alias("n_bpe_tokens"),
-        F.trim(F.element_at(enc, 1)).alias("first_word_bpe"),
+        F.aggregate(tok_counts, F.lit(0.0), lambda a, x: a + x)
+        .cast("int")
+        .alias("n_bpe_tokens"),
+        F.regexp_replace(F.trim(F.element_at(enc, 1)), "  ", " ").alias(
+            "first_word_bpe"
+        ),
     )
 
 
@@ -569,7 +592,9 @@ def bpe_train(
     counts adjacent symbol pairs weighted by word frequency, picks the
     max (count desc, then lexicographic pair — a total order, so the
     learned table is partitioning-independent), and merges it
-    everywhere via the boundary-safe string replace.
+    everywhere via the self-wrapped-symbol replace — boundary-safe on
+    both sides and chain-correct on identical-pair runs (see
+    :func:`bpe_encode`).
 
     Iterative dataflow like PageRank: per round ONE map-side-combined
     pair-count aggregate over the vocabulary table and a single-row
@@ -584,16 +609,18 @@ def bpe_train(
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("sym", F.regexp_replace("w", "(.)", "$1 "))
+        .withColumn("sym", F.regexp_replace("w", "(.)", " $1 "))
         .select("sym", "freq")
         .localCheckpoint()
     )
+    # symbols = non-empty split cells of the wrapped form
     pairs = F.when(
-        F.size(F.split(F.col("sym"), " ")) >= 3,
+        F.size(F.filter(F.split("sym", " "), lambda x: x != "")) >= 2,
         F.expr(
-            "transform(sequence(0, size(split(sym, ' ')) - 3),"
-            " i -> struct(element_at(split(sym, ' '), i + 1) AS l,"
-            " element_at(split(sym, ' '), i + 2) AS r))"
+            "transform(sequence(0, size(filter(split(sym, ' '), x -> x != '')) - 2),"
+            " i -> struct("
+            " element_at(filter(split(sym, ' '), x -> x != ''), i + 1) AS l,"
+            " element_at(filter(split(sym, ' '), x -> x != ''), i + 2) AS r))"
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<l: string, r: string>>)"))
     learned = []
@@ -611,8 +638,10 @@ def bpe_train(
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         learned.append((rank, l, r, c))
+        # self-wrapped symbols make the replace safe on BOTH
+        # boundaries AND chain-correct on identical-pair runs
         cur = cur.withColumn(
-            "sym", F.replace("sym", F.lit(f"{l} {r} "), F.lit(f"{l}{r} "))
+            "sym", F.replace("sym", F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
         ).localCheckpoint()
     return df.sparkSession.createDataFrame(
         learned, "rank INT, merge_left STRING, merge_right STRING, pair_count BIGINT"

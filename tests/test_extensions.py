@@ -896,3 +896,21 @@ def test_bpe_train_learned_table_compresses_via_encoder(spark, sf_dir):
         F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("c")
     ).collect()[0]["c"]
     assert n_tokens < n_chars, (n_tokens, n_chars)
+
+
+def test_seeded_hash60_col_equals_sql_form(spark):
+    """The Column-composed hash helper (used inside HOF lambdas) must
+    produce the identical value as the shared-SQL-text form."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.functions.portable_hash import (
+        seeded_hash60,
+        seeded_hash60_col,
+    )
+
+    df = spark.createDataFrame([("alpha",), ("beta gamma",), ("",)], "v STRING")
+    out = df.select(
+        seeded_hash60_col(F.col("v"), "29").alias("a"),
+        seeded_hash60("v", "29").alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in out), out

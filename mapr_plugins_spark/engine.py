@@ -87,8 +87,20 @@ class Engine:
             "shuffles": A.shuffle_count(df),
             "broadcast_join": A.has_broadcast_join(df),
             "cartesian": A.has_cartesian(df),
+            # every physical node that executes Python: row UDFs, Arrow
+            # UDFs, mapInPandas/mapInArrow, applyInPandas(+WithState).
+            # FlatMapGroupsInPandasWithState also substring-matches
+            # "FlatMapGroupsInPandas", so one count covers both.
             "python_stages": sum(
-                p.count(n) for n in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+                p.count(n)
+                for n in (
+                    "BatchEvalPython",
+                    "ArrowEvalPython",
+                    "MapInPandas",
+                    "FlatMapGroupsInPandas",
+                    "FlatMapCoGroupsInPandas",
+                    "MapInArrow",
+                )
             ),
             "pushed_filters": A.pushed_filters(df),
             "read_schemas": A.read_schemas(df),

@@ -212,7 +212,12 @@ def winsorize(
     raw scan. Output: key, tiebreak, clipped value + flag."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(value_col, tiebreak_col)
+    # asc_nulls_last: Spark windows default NULLS FIRST vs DuckDB's
+    # NULLS LAST — a nullable value column would shift every rank
+    # between engines (same pin as equal_frequency_bins below).
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+    )
     ranked = df.select(
         key_col,
         value_col,
@@ -228,11 +233,18 @@ def winsorize(
     )
     out = df.join(F.broadcast(bounds), key_col)
     v = F.col(value_col)
+    # Nulls are handled explicitly: a NULL value passes through as NULL
+    # unclipped (least/greatest skip nulls and would otherwise clamp it
+    # to a bound), and a NULL bound (percentile rank landing past the
+    # last non-null) means no clip on that side, not a NULL verdict.
+    clip = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    lo_hit = F.coalesce(v < F.col("__lo"), F.lit(False))
+    hi_hit = F.coalesce(v > F.col("__hi"), F.lit(False))
     return out.select(
         key_col,
         tiebreak_col,
-        F.least(F.greatest(v, F.col("__lo")), F.col("__hi")).alias(f"{value_col}_w"),
-        ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("clipped"),
+        F.when(v.isNull(), v).otherwise(clip).alias(f"{value_col}_w"),
+        (lo_hit | hi_hit).alias("clipped"),
     )
 
 

@@ -295,11 +295,16 @@ def sniff_mime(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     wav = (head4 == F.lit("52494646")) & (
         F.hex(F.expr("substring(payload, 9, 4)")) == F.lit("57415645")
     )
-    # printable-ASCII prefix heuristic (first 4 bytes in 0x20..0x7E)
-    printable = F.lit(True)
+    # printable-ASCII prefix heuristic: bytes 1..min(4, len) in
+    # 0x20..0x7E. Short payloads are decided explicitly — a byte past
+    # the end passes (conv(hex('')) would be NULL and silently sink the
+    # row to octet-stream), and the empty payload is opaque by rule.
+    printable = F.length("payload") >= 1
     for i in range(1, 5):
         b = F.conv(F.hex(F.expr(f"substring(payload, {i}, 1)")), 16, 10).cast("int")
-        printable = printable & (b >= 32) & (b <= 126)
+        printable = printable & F.when(F.length("payload") < i, F.lit(True)).otherwise(
+            (b >= 32) & (b <= 126)
+        )
     mime = (
         F.when(png, "image/png")
         .when(wav, "audio/wav")

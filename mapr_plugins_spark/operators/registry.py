@@ -2893,7 +2893,8 @@ def extension_oracles() -> dict[str, str]:
             WITH r AS (
                 SELECT event_type, event_id, value,
                        row_number() OVER (PARTITION BY event_type
-                                          ORDER BY value, event_id) AS rn,
+                                          ORDER BY value ASC NULLS LAST,
+                                                   event_id ASC NULLS LAST) AS rn,
                        COUNT(*) OVER (PARTITION BY event_type) AS n
                 FROM events
             ),

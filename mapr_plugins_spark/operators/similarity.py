@@ -39,19 +39,23 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k of ``emb`` rows against a single-row ``probe``
     DataFrame (columns: probe_id, probe_vec). Broadcast probe; ordering
-    tie-broken by id; planner executes TakeOrderedAndProject."""
+    tie-broken by id; planner executes TakeOrderedAndProject.
+
+    ``keep_raw`` additionally returns the UNROUNDED ``cos`` — required
+    by any caller that re-sorts the result (the rounded ``cos6`` can
+    merge two candidates that the exact ordering distinguishes)."""
     joined = emb.crossJoin(F.broadcast(probe))
     scored = joined.filter(F.col(id_col) != F.col("probe_id")).withColumn(
         "cos", cosine_similarity(vec_col, "probe_vec")
     )
-    return (
-        scored.orderBy(F.col("cos").desc(), F.col(id_col))
-        .limit(k)
-        .select(id_col, F.round("cos", 6).alias("cos6"))
-    )
+    cols = [F.col(id_col), F.round("cos", 6).alias("cos6")]
+    if keep_raw:
+        cols.append(F.col("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k).select(*cols)
 
 
 def signature_col(vec_col: str, n_bits: int, dim: int):
@@ -860,7 +864,10 @@ def matryoshka_eval(
         p = probe.select(
             "probe_id", F.slice(F.col("probe_vec"), 1, d).alias("probe_vec")
         )
-        return brute_force_topk(sliced, p, k=k, id_col=id_col, vec_col=vec_col)
+        # keep_raw: top-1 below re-sorts, and must use the EXACT cosine
+        # ordering (two candidates tying at the 1e-6 rounding resolution
+        # would otherwise pick a different winner than the oracle).
+        return brute_force_topk(sliced, p, k=k, id_col=id_col, vec_col=vec_col, keep_raw=True)
 
     full_ids = topk_at(full_dim).select(id_col)
     out = None
@@ -870,7 +877,7 @@ def matryoshka_eval(
             t.join(full_ids, id_col, "left_semi")
             .agg(F.count("*").cast("int").alias("overlap_at_k"))
         )
-        top1 = t.orderBy(F.col("cos6").desc(), F.col(id_col)).limit(1).select(
+        top1 = t.orderBy(F.col("cos").desc(), F.col(id_col)).limit(1).select(
             F.col(id_col).alias("top1_id")
         )
         row = overlap.crossJoin(top1).select(

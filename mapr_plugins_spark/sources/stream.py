@@ -31,9 +31,30 @@ from pyspark.sql import functions as F
 
 from mapr_plugins_spark.sources.formats import parse_expr
 
-#: Initial-offset policy values, per the reference's config doc
-#: (``MapRStreamConfig.java:40-44`` — defaultInitialOffset earliest/latest).
+#: Canonical initial-offset policies (Structured Streaming vocabulary).
 OFFSET_POLICIES = ("earliest", "latest")
+
+#: The reference's documented value vocabulary is ``beginning``/``latest``,
+#: case-insensitive (``MapRStreamConfig.java:42-44`` Description
+#: "Beginning/Latest", ``MapRStreamingSource.java:80-84``
+#: ``equalsIgnoreCase("beginning")`` → auto.offset.reset=earliest,
+#: widget values ``widgets/MapRStream-streamingsource.json:32-35``).
+#: ``beginning`` maps to Spark's ``earliest``; unknown values are a
+#: loud configure-time error rather than the reference's silent
+#: fall-through to latest — the §1.4 fail-fast upgrade.
+_OFFSET_ALIASES = {"beginning": "earliest", "earliest": "earliest", "latest": "latest"}
+
+
+def normalize_offset_policy(value: str) -> str:
+    """Map a reference-vocabulary offset value to the canonical policy,
+    case-insensitively; raise on anything outside the documented surface."""
+    canon = _OFFSET_ALIASES.get(str(value).strip().lower())
+    if canon is None:
+        raise ValueError(
+            f"offset policy must be one of beginning/earliest/latest "
+            f"(case-insensitive), got {value!r}"
+        )
+    return canon
 
 
 @dataclass(frozen=True)
@@ -49,11 +70,9 @@ class StreamSourceSpec:
     options: dict[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        if self.offset_policy not in OFFSET_POLICIES:
-            raise ValueError(
-                f"offset policy must be one of {OFFSET_POLICIES}, "
-                f"got {self.offset_policy!r}"
-            )
+        # Normalize the reference's case-insensitive beginning|latest
+        # vocabulary to the canonical earliest|latest; unknown → loud error.
+        object.__setattr__(self, "offset_policy", normalize_offset_policy(self.offset_policy))
         if not self.topics:
             raise ValueError("topics must be non-empty")
 

@@ -61,3 +61,26 @@ def test_engine_audit_reports_plan_quality(spark, sf_dir):
     assert "l_quantity" in b["pushed_filters"]
     c = eng.audit("x_embed_pq_encode")
     assert c["shuffles"] == 0 and c["python_stages"] == 0
+
+
+def test_engine_audit_counts_every_python_stage_kind(spark, sf_dir):
+    """audit() must see ALL Python-executing physical nodes, not just
+    the eval-UDF ones: applyInPandas (FlatMapGroupsInPandas),
+    mapInPandas, and mapInArrow each count."""
+    import pandas as pd
+
+    from mapr_plugins_spark.engine import Engine
+
+    eng = Engine(sf_dir, spark=spark)
+    base = eng.table("nation").select("n_nationkey", "n_regionkey")
+
+    grouped = base.groupBy("n_regionkey").applyInPandas(
+        lambda pdf: pdf.head(1), schema="n_nationkey INT, n_regionkey INT"
+    )
+    assert eng.audit(grouped)["python_stages"] >= 1
+
+    def _ident(it):
+        yield from it
+
+    assert eng.audit(base.mapInPandas(_ident, base.schema))["python_stages"] >= 1
+    assert eng.audit(base.mapInArrow(_ident, base.schema))["python_stages"] >= 1

@@ -914,3 +914,56 @@ def test_seeded_hash60_col_equals_sql_form(spark):
         seeded_hash60("v", "29").alias("b"),
     ).collect()
     assert all(r.a == r.b for r in out), out
+
+
+def test_sniff_mime_short_payloads_decided_explicitly(spark):
+    """Payloads shorter than the 4-byte heuristic window must be
+    classified deliberately, not fall through because conv(hex(''))
+    goes NULL: short printable → text/plain, empty → opaque, short
+    non-printable → opaque."""
+    from mapr_plugins_spark.operators.multimodal import sniff_mime
+
+    df = spark.createDataFrame(
+        [
+            (1, b""),  # empty → opaque by rule
+            (2, b"a"),  # 1 printable byte
+            (3, b"ok!"),  # 3 printable bytes
+            (4, b"\x01\x02"),  # short, non-printable
+            (5, b"text that is long enough"),
+            (6, b"\x00binary"),
+        ],
+        "doc_id INT, payload BINARY",
+    )
+    got = {r.doc_id: r.mime for r in sniff_mime(df).collect()}
+    assert got == {
+        1: "application/octet-stream",
+        2: "text/plain",
+        3: "text/plain",
+        4: "application/octet-stream",
+        5: "text/plain",
+        6: "application/octet-stream",
+    }, got
+
+
+def test_winsorize_ranks_nulls_last(spark):
+    """A NULL value must sort AFTER every real value in the rank window
+    (DuckDB convention), so the P1 bound over 100 reals + 2 nulls is
+    the rank-2 real value — under Spark's default NULLS FIRST the
+    nulls would occupy ranks 1-2 and shift every bound."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.analytics import winsorize
+
+    rows = [("g", float(i), i) for i in range(1, 101)]
+    rows += [("g", None, 101), ("g", None, 102)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE, id INT")
+    out = winsorize(df, "k", "v", "id")
+    got = {r.id: (r.v_w, r.clipped) for r in out.collect()}
+    # n=102 → lo rank = (1*102+99)//100 = 2 → lo = 2.0 (nulls last);
+    # value 1.0 clips up to 2.0, value 100.0 passes through (the P99
+    # rank lands on a null → no upper clip, verdict still False, not
+    # NULL), and null values stay null unclipped.
+    assert got[1] == (2.0, True), got[1]
+    assert got[100] == (100.0, False), got[100]
+    assert got[101] == (None, False), got[101]
+    assert got[102] == (None, False), got[102]

@@ -60,6 +60,52 @@ def test_from_properties_validation(tmp_path):
         )
 
 
+def test_reference_offset_property_surface(tmp_path):
+    """The reference's REAL config surface, verbatim: property name
+    ``offsetField`` (MapRStreamConfig.java:41-44), value vocabulary
+    ``beginning``/``latest`` case-insensitive
+    (MapRStreamingSource.java:80-84 equalsIgnoreCase("beginning") →
+    auto.offset.reset=earliest; widget values
+    widgets/MapRStream-streamingsource.json:32-35)."""
+    from mapr_plugins_spark.sources.stream import reader_options
+
+    base_sink = {"tableName": str(tmp_path / "t"), "key": "k"}
+
+    # The Description string spells it "Beginning/Latest" — mixed case
+    # must map to earliest exactly as equalsIgnoreCase does.
+    for val in ("beginning", "Beginning", "BEGINNING"):
+        spec = PipelineSpec.from_properties(
+            {"referenceName": "ref", "topics": "t", "offsetField": val}, base_sink
+        )
+        assert spec.source.offset_policy == "earliest"
+        assert reader_options(spec.source)["startingOffsets"] == "earliest"
+
+    for val in ("latest", "Latest"):
+        spec = PipelineSpec.from_properties(
+            {"referenceName": "ref", "topics": "t", "offsetField": val}, base_sink
+        )
+        assert spec.source.offset_policy == "latest"
+
+    # widget default: property absent → latest (MapRStream widget default)
+    spec = PipelineSpec.from_properties({"topics": "t"}, base_sink)
+    assert spec.source.offset_policy == "latest"
+
+    # the engine's own alias keeps working, and offsetField wins over it
+    spec = PipelineSpec.from_properties(
+        {"topics": "t", "defaultInitialOffset": "earliest"}, base_sink
+    )
+    assert spec.source.offset_policy == "earliest"
+    spec = PipelineSpec.from_properties(
+        {"topics": "t", "offsetField": "beginning", "defaultInitialOffset": "latest"},
+        base_sink,
+    )
+    assert spec.source.offset_policy == "earliest"
+
+    # unknown values fail LOUDLY instead of silently defaulting
+    with pytest.raises(ValueError, match="offset policy"):
+        PipelineSpec.from_properties({"topics": "t", "offsetField": "middle"}, base_sink)
+
+
 def test_batch_pipeline_end_to_end(spark, tmp_path):
     d = tmp_path / "in"
     d.mkdir()

@@ -276,6 +276,22 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return d
 
 
+def _pq_index_dir(sf_dir: str) -> str:
+    import os
+
+    d = f"/tmp/mapr_plugins_pq/{_data_fingerprint(sf_dir)}-pq8x16"
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    import os
+
+    d = f"/tmp/mapr_plugins_ivfpq/{_data_fingerprint(sf_dir)}-ivfpq8l8m16"
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
 def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per probe, the 5
     most-cosine-similar vectors with a DIFFERENT label (the DPR/ANCE
@@ -1595,8 +1611,13 @@ def x_embed_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation a billion-scale ANN index actually stores. Row-local
     codegen against a literal codebook — zero shuffle, zero Python.
     Codes render as a comma-joined scalar (the engine-portable graded
-    form — collection cells break the driver's pandas hashing)."""
-    enc = S.pq_encode(_t(spark, sf_dir, "embeddings"), m=8, kc=16)
+    form — collection cells break the driver's pandas hashing). The
+    codebook loads from the staged PQ index (metadata-sized), so the
+    per-call seed derivation scan is amortized away."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _pq_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.pq_index_write(emb, tmp, m=8, kc=16))
+    enc = S.pq_encode(emb, m=8, kc=16, cents=S.load_pq_codebook(spark, d))
     return enc.select(
         "vec_id", F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes")
     )
@@ -1607,9 +1628,14 @@ def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-subspace distance table (probe-side work, corpus-independent)
     and each corpus row costs 8 table lookups over its compressed codes
     — the float vectors never enter the scan. Deterministic codebook ⇒
-    full-value DuckDB oracle replays encode AND search exactly."""
+    full-value DuckDB oracle replays encode AND search exactly. Serves
+    from the staged PQ index (codes + codebook persisted once per data
+    fingerprint): the scan reads the compressed code column, with no
+    seed collects and no encode pass in the query path."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.pq_topk(emb, S.probe_of(emb, 0), k=10, m=8, kc=16)
+    d = _pq_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.pq_index_write(emb, tmp, m=8, kc=16))
+    return S.pq_topk_indexed(spark, d, S.probe_of(emb, 0), k=10)
 
 
 def x_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,11 +1643,33 @@ def x_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coarse lists prune I/O, residual PQ compresses memory) with every
     stage deterministic and replayed by the full-value oracle: coarse
     argmin over seed centroids, residual v−c_list, PQ codes of the
-    residual, per-probed-list distance tables, code-lookup ADC sum."""
+    residual, per-probed-list distance tables, code-lookup ADC sum.
+    The codebooks load from the staged IVF-PQ index (two metadata
+    reads), so the round-3 per-call seed-collect scans are gone; the
+    corpus encode itself stays IN-PLAN here (one codegen scan) — the
+    fully-staged query path is x_ann_ivfpq_indexed."""
     emb = _t(spark, sf_dir, "embeddings")
+    d = _ivfpq_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.ivfpq_index_write(emb, tmp, n_lists=8, m=8, kc=16))
+    coarse, cents = S.load_ivfpq_codebooks(spark, d)
+    assigned = S.ivfpq_assign(emb, coarse, cents)
     return S.ivfpq_topk(
-        emb, S.probe_of(emb, 0), k=10, n_lists=8, n_probe=4, m=8, kc=16
+        emb, S.probe_of(emb, 0), k=10, n_probe=4, parts=(coarse, cents, assigned)
     )
+
+
+def x_ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ against the PERSISTED index — the production query path:
+    codebooks load as metadata, the probe's list set becomes a
+    partition filter on the list-partitioned corpus of codes (reads
+    n_probe/n_lists of the files, none of the float vectors), ADC
+    ranks. Provably identical to x_ann_ivfpq_topk (same codebooks ⇒
+    same codes ⇒ same ADC), so it carries the same full-value oracle;
+    the partition pruning is plan-pinned in tests/test_plans.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _ivfpq_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.ivfpq_index_write(emb, tmp, n_lists=8, m=8, kc=16))
+    return S.ivfpq_topk_indexed(spark, d, S.probe_of(emb, 0), k=10, n_probe=4)
 
 
 def _ivfpq_oracle(
@@ -1741,9 +1789,14 @@ def x_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-candidates → exact re-rank: ADC top-50 from the compressed
     scan, exact cosine top-10 among only those — the standard two-stage
     retrieval recipe, deterministic in both stages so the full oracle
-    replays it."""
+    replays it. Stage one serves from the staged PQ index (compressed
+    code scan, zero codebook derivation)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.pq_topk_rerank(emb, S.probe_of(emb, 0), k=10, k_cand=50, m=8, kc=16)
+    d = _pq_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: S.pq_index_write(emb, tmp, m=8, kc=16))
+    return S.pq_topk_rerank(
+        emb, S.probe_of(emb, 0), k=10, k_cand=50, index_path=d
+    )
 
 
 def _pq_rerank_oracle(m: int = 8, kc: int = 16, dsub: int = 8, k: int = 10, k_cand: int = 50) -> str:
@@ -2058,6 +2111,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_group_split,
             x_bpe_encode,
             x_ann_ivfpq_topk,
+            x_ann_ivfpq_indexed,
             x_winsorize,
             x_mm_png_header,
             x_ann_pq_rerank,
@@ -2803,6 +2857,7 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_ann_pq_topk": _pq_topk_oracle(),
         "x_ann_ivfpq_topk": _ivfpq_oracle(),
+        "x_ann_ivfpq_indexed": _ivfpq_oracle(),
         "x_ann_pq_rerank": _pq_rerank_oracle(),
         "x_scd2_build": """
             WITH c AS (

@@ -621,12 +621,64 @@ def pq_codes_col(vec_col: str, cents: list[list[list[float]]]):
     return F.array(*codes)
 
 
+def pq_index_write(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the PQ index: the codebook (m·kc·dsub doubles
+    — metadata-sized) under ``<path>/cents`` and the corpus CODES
+    (the 32×-compressed representation, the only thing an ADC scan
+    reads) under ``<path>/codes``. Build once per corpus: every later
+    probe loads the codebook as metadata and scans codes — the seed
+    collects and the encode scan amortize across all queries instead
+    of re-running per call (the round-3 amortization caveat)."""
+    cents = pq_centroids(emb, m, kc, id_col, vec_col)
+    spark = emb.sparkSession
+    rows = [
+        (j, c, cents[j][c]) for j in range(len(cents)) for c in range(len(cents[j]))
+    ]
+    spark.createDataFrame(rows, "j INT, c INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/cents")
+    emb.select(F.col(id_col), pq_codes_col(vec_col, cents).alias("codes")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def load_pq_codebook(spark, path: str) -> list[list[list[float]]]:
+    """Load a persisted PQ codebook back into the plan-literal form —
+    a bounded metadata read (m·kc rows), never a corpus scan."""
+    rows = spark.read.parquet(f"{path}/cents").collect()
+    m = 1 + max(r.j for r in rows)
+    kc = 1 + max(r.c for r in rows)
+    cents: list[list[list[float]]] = [[[] for _ in range(kc)] for _ in range(m)]
+    for r in rows:
+        cents[r.j][r.c] = [float(x) for x in r.centroid]
+    return cents
+
+
+def _adc_col(m: int):
+    """ADC approximate distance: m table lookups over the row's codes,
+    summed in fixed subspace order (left-to-right, matching the
+    oracle's pivoted coalesce(+) chain)."""
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"__dt_{j}"), F.element_at(F.col("codes"), j + 1) + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 8,
     kc: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ compression (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search", public paper): each vector becomes ``m``
@@ -634,10 +686,13 @@ def pq_encode(
     a 32× memory reduction. Zero shuffle, zero Python: the codebook is
     plan literals and encoding is row-local codegen, so a 100 TB corpus
     compresses in one embarrassingly-parallel scan (persist the code
-    column; re-encode only on codebook rotation).
+    column; re-encode only on codebook rotation). Pass a pre-loaded
+    ``cents`` (see :func:`load_pq_codebook`) to skip the per-call seed
+    derivation.
 
     Columns: ``(vec_id, codes array<int>)``."""
-    cents = pq_centroids(emb, m, kc, id_col, vec_col)
+    if cents is None:
+        cents = pq_centroids(emb, m, kc, id_col, vec_col)
     return emb.select(F.col(id_col), pq_codes_col(vec_col, cents).alias("codes"))
 
 
@@ -649,6 +704,8 @@ def pq_topk(
     kc: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[list[float]]] | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the probe builds a
     per-subspace distance table against the codebook (m·kc folds — probe
@@ -657,11 +714,15 @@ def pq_topk(
     100 TB the scan touches ONLY the code column (the compressed
     representation) — the float vectors never leave storage; candidates
     from this scan are re-ranked exactly on the small top-k set if
-    needed. Columns: ``(vec_id, adc6)``, ascending approximate
-    distance."""
-    cents = pq_centroids(emb, m, kc, id_col, vec_col)
+    needed. ``cents``/``coded`` accept the persisted-index artifacts
+    (:func:`pq_index_write`) so repeated probes pay neither the seed
+    derivation nor the encode scan. Columns: ``(vec_id, adc6)``,
+    ascending approximate distance."""
+    if cents is None:
+        cents = pq_centroids(emb, m, kc, id_col, vec_col)
     dsub = len(cents[0][0])
-    coded = emb.select(F.col(id_col), pq_codes_col(vec_col, cents).alias("codes"))
+    if coded is None:
+        coded = emb.select(F.col(id_col), pq_codes_col(vec_col, cents).alias("codes"))
     # distance table materialized ON THE PROBE SIDE (m·kc folds over a
     # probe-sized frame, then broadcast): corpus rows pay only m
     # element_at lookups + a left-to-right sum (same associativity as
@@ -671,17 +732,31 @@ def pq_topk(
     for j in range(m):
         p = p.withColumn(f"__dt_{j}", _sub_d2s("probe_vec", j, dsub, cents[j]))
     joined = coded.crossJoin(F.broadcast(p)).filter(F.col(id_col) != F.col("probe_id"))
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.col(f"__dt_{j}"), F.element_at(F.col("codes"), j + 1) + 1
-        )
-        adc = term if adc is None else adc + term
-    scored = joined.withColumn("adc", adc)
+    scored = joined.withColumn("adc", _adc_col(m))
     return (
         scored.orderBy(F.col("adc").asc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("adc", 6).alias("adc6"))
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index (:func:`pq_index_write`):
+    the codebook loads as metadata, the scan reads ONLY the persisted
+    code column — no seed collects, no encode pass, no float vectors.
+    Identical results to :func:`pq_topk` by construction (same
+    codebook, same codes). Columns: ``(vec_id, adc6)``."""
+    cents = load_pq_codebook(spark, index_path)
+    coded = spark.read.parquet(f"{index_path}/codes")
+    # emb is unused when both artifacts are supplied
+    return pq_topk(
+        coded, probe, k=k, m=len(cents), id_col=id_col, cents=cents, coded=coded
     )
 
 
@@ -748,6 +823,30 @@ def ivfpq_parts(
     return coarse, cents, assigned
 
 
+def ivfpq_assign(
+    emb: DataFrame,
+    coarse: list[list[float]],
+    cents: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus list assignment + residual PQ codes from GIVEN codebooks
+    (e.g. loaded from a persisted index): one row-local codegen scan —
+    zero collects, zero shuffle, zero Python. Columns:
+    ``(id, list_id, codes)``."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    list_id = _nearest_idx(vec_d, coarse)
+    resid = F.zip_with(
+        vec_d, F.element_at(_cents_lit(coarse), list_id + 1), lambda x, c: x - c
+    )
+    with_res = emb.select(
+        F.col(id_col), list_id.alias("list_id"), resid.alias("resid")
+    )
+    return with_res.select(
+        id_col, "list_id", pq_codes_col("resid", cents).alias("codes")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     probe: DataFrame,
@@ -758,6 +857,7 @@ def ivfpq_topk(
     kc: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parts=None,
 ) -> DataFrame:
     """IVF-PQ ADC search (Jégou et al. 2011): probe the ``n_probe``
     nearest coarse lists; within them, approximate distance is the PQ
@@ -768,10 +868,38 @@ def ivfpq_topk(
     codes. At 100 TB ``list_id`` is the partition key (see
     ``ivf_index_write``) so the probed lists are also an I/O partition
     filter, and the scan reads codes, not vectors — pruning for I/O,
-    PQ for memory, in one plan. Columns: ``(vec_id, adc6)``."""
-    coarse, cents, assigned = ivfpq_parts(emb, n_lists, m, kc, id_col, vec_col)
+    PQ for memory, in one plan. ``parts`` accepts pre-derived
+    ``(coarse, cents, assigned)`` (e.g. from a persisted index) so
+    repeated probes skip the per-call codebook derivation.
+    Columns: ``(vec_id, adc6)``."""
+    if parts is None:
+        parts = ivfpq_parts(emb, n_lists, m, kc, id_col, vec_col)
+    coarse, cents, assigned = parts
+    p = _ivfpq_probe_tables(probe, coarse, cents, n_probe)
+    joined = assigned.join(F.broadcast(p), "list_id").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    return (
+        joined.withColumn("adc", _adc_col(len(cents)))
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc", 6).alias("adc6"))
+    )
+
+
+def _ivfpq_probe_tables(
+    probe: DataFrame,
+    coarse: list[list[float]],
+    cents: list[list[list[float]]],
+    n_probe: int,
+) -> DataFrame:
+    """Probe side of IVF-PQ ADC: route each probe to its ``n_probe``
+    nearest coarse lists (argmin by (d2, list_id)), then per
+    (probe, list) build the residual q − c_list distance tables — ALL
+    float work, on a probe-sized frame ready to broadcast. Columns:
+    probe_id, list_id, __dt_0..__dt_{m-1}."""
+    m = len(cents)
     dsub = len(cents[0][0])
-    # probe side: nearest n_probe coarse lists by (d2, list_id)
     pv = F.transform(F.col("probe_vec"), lambda x: x.cast("double"))
     dists = F.transform(
         _cents_lit(coarse),
@@ -788,7 +916,6 @@ def ivfpq_topk(
         "probe_vec",
         F.col("l")["list_id"].alias("list_id"),
     )
-    # per-(probe, list): residual q − c_list, then its distance table
     qres = F.zip_with(
         F.transform(F.col("probe_vec"), lambda x: x.cast("double")),
         F.element_at(_cents_lit(coarse), F.col("list_id") + 1),
@@ -797,17 +924,86 @@ def ivfpq_topk(
     p = probed.withColumn("qres", qres)
     for j in range(m):
         p = p.withColumn(f"__dt_{j}", _sub_d2s("qres", j, dsub, cents[j]))
-    joined = assigned.join(
-        F.broadcast(p.drop("probe_vec", "qres")), "list_id"
-    ).filter(F.col(id_col) != F.col("probe_id"))
-    adc = None
-    for j in range(m):
-        term = F.element_at(
-            F.col(f"__dt_{j}"), F.element_at(F.col("codes"), j + 1) + 1
-        )
-        adc = term if adc is None else adc + term
+    return p.drop("probe_vec", "qres")
+
+
+def ivfpq_index_write(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    m: int = 8,
+    kc: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and persist the IVF-PQ index: corpus codes hive-partitioned
+    by ``list_id`` under ``<path>/corpus`` (probed lists become an I/O
+    partition filter, and the scan reads the 32×-compressed codes, not
+    vectors), the coarse codebook under ``<path>/coarse`` and the
+    residual PQ codebook under ``<path>/cents`` (both metadata-sized).
+    The round-3 amortization fix: the three bounded seed collects in
+    :func:`ivfpq_parts` (2–3 extra scan jobs per query) now run once
+    per corpus, exactly as :func:`ivf_index_write` already amortizes
+    the IVF coarse quantizer."""
+    coarse, cents, assigned = ivfpq_parts(emb, n_lists, m, kc, id_col, vec_col)
+    (
+        assigned.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/corpus")
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)], "list_id INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    rows = [
+        (j, c, cents[j][c]) for j in range(len(cents)) for c in range(len(cents[j]))
+    ]
+    spark.createDataFrame(rows, "j INT, c INT, centroid ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/cents")
+
+
+def load_ivfpq_codebooks(spark, path: str):
+    """Load the persisted coarse + residual codebooks — two bounded
+    metadata reads (n_lists + m·kc rows), never a corpus scan."""
+    coarse_rows = spark.read.parquet(f"{path}/coarse").collect()
+    coarse = [
+        [float(x) for x in r.centroid]
+        for r in sorted(coarse_rows, key=lambda r: r.list_id)
+    ]
+    return coarse, load_pq_codebook(spark, path)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    probe: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ADC top-k against a persisted index
+    (:func:`ivfpq_index_write`) — the production query path: codebooks
+    load as metadata, the probe's list assignment collects (query-sized)
+    to become a PARTITION FILTER on the corpus scan, so only
+    ``n_probe/n_lists`` of the files are read, and those files hold
+    codes, not vectors. Identical results to :func:`ivfpq_topk` by
+    construction (same codebooks ⇒ same codes ⇒ same ADC).
+    Columns: ``(vec_id, adc6)``."""
+    coarse, cents = load_ivfpq_codebooks(spark, index_path)
+    p = _ivfpq_probe_tables(probe, coarse, cents, n_probe)
+    # probe batch is query-sized: collecting its list set is metadata,
+    # and buys partition pruning on the index scan
+    needed = sorted({r.list_id for r in p.select("list_id").distinct().collect()})
+    idx = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("list_id").isin(needed)
+    )
+    joined = idx.join(F.broadcast(p), "list_id").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
     return (
-        joined.withColumn("adc", adc)
+        joined.withColumn("adc", _adc_col(len(cents)))
         .orderBy(F.col("adc").asc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("adc", 6).alias("adc6"))
@@ -823,6 +1019,7 @@ def pq_topk_rerank(
     kc: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_path: str | None = None,
 ) -> DataFrame:
     """The full production retrieval recipe: ADC over PQ codes selects
     ``k_cand`` candidates (compressed scan — cheap, approximate), then
@@ -832,8 +1029,17 @@ def pq_topk_rerank(
     fetch of k_cand vectors — exactness where it matters, at the cost
     of a candidate fetch instead of a full-precision corpus scan.
     Deterministic end-to-end (candidate cut ordered by (adc, id)), so
-    the oracle replays both stages. Columns: ``(vec_id, cos6)``."""
-    cands = pq_topk(emb, probe, k=k_cand, m=m, kc=kc, id_col=id_col, vec_col=vec_col)
+    the oracle replays both stages. ``index_path`` (a persisted
+    :func:`pq_index_write` tree) makes stage one a compressed-index
+    scan with zero codebook derivation. Columns: ``(vec_id, cos6)``."""
+    if index_path is not None:
+        cands = pq_topk_indexed(
+            emb.sparkSession, index_path, probe, k=k_cand, id_col=id_col
+        )
+    else:
+        cands = pq_topk(
+            emb, probe, k=k_cand, m=m, kc=kc, id_col=id_col, vec_col=vec_col
+        )
     fetched = emb.join(cands.select(id_col), id_col, "left_semi")
     return brute_force_topk(fetched, probe, k=k, id_col=id_col, vec_col=vec_col)
 

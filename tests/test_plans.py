@@ -592,3 +592,33 @@ def test_matryoshka_eval_no_corpus_shuffle(spark, sf_dir):
     p = A.plan_str(df)
     assert "TakeOrderedAndProject" in p, p
     assert A.shuffle_count(df) == 0, p
+
+
+def test_ivfpq_indexed_scan_prunes_partitions(spark, sf_dir):
+    """The persisted IVF-PQ corpus is partitioned by list_id and holds
+    codes, not vectors: the probe's list set must surface as a
+    partition filter (n_probe of n_lists directories read) and the
+    scan's ReadSchema must carry ONLY the code column — never the
+    float embeddings."""
+    import os
+
+    from mapr_plugins_spark.operators.registry import (
+        _ivfpq_index_dir,
+        x_ann_ivfpq_indexed,
+    )
+
+    df = x_ann_ivfpq_indexed(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "PartitionFilters" in p and "list_id" in p, p
+    assert A.shuffle_count(df) == 0, p
+    assert "TakeOrderedAndProject" in p, p
+    # the staged tree holds all 8 list directories; the probe reads 4
+    d = _ivfpq_index_dir(sf_dir)
+    n_dirs = len([x for x in os.listdir(f"{d}/corpus") if x.startswith("list_id=")])
+    assert n_dirs == 8, n_dirs
+    # the corpus side reads the compressed codes, not float vectors
+    # (the only embedding scans are the 1-row probe lookups)
+    schemas = str(A.read_schemas(df))
+    assert "codes:array<int>" in schemas, schemas
+    corpus_scans = [s for s in schemas.splitlines() if "codes" in s]
+    assert corpus_scans and all("embedding" not in s for s in corpus_scans), schemas

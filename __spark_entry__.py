@@ -42,21 +42,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-4 rotation pool (62 keys with no driver row through round 3 —
+#: Round-5 rotation pool (keys with no driver row through round 4 —
 #: rotate ~20 per round, all full-value-oracled except the 5 noted
-#: rows-only ANN/HLL keys which stay outside the window):
+#: rows-only ANN/HLL keys which stay outside the window). Round-4
+#: debuts (x_ann_ivfpq_indexed, x_bpe_train_collected, x_mm_wav_pcm,
+#: s17_stream_heavy_hitters_bounded) join the pool here:
 #:   q23 q25 q29 q51-q56 q58-q61 q64-q71(q71=warc) q72(jsonl)
 #:   x_dedup_incremental x_semantic_dedup x_cdc_chunk_dedup x_lm_score
 #:   x_retrieval_metrics x_pagerank x_dedup_incremental_indexed
-#:   x_training_mix x_embed_pq_encode x_ann_pq_topk x_scd2_build
-#:   x_text_nfc_normalize x_group_split s14_stream_heavy_hitters
-#:   x_bpe_encode x_ann_ivfpq_topk x_winsorize x_mm_png_header
-#:   x_ann_pq_rerank x_gopher_rules x_drift_chi2 x_token_budget_fill
-#:   x_matryoshka_eval x_mm_wav_header x_mm_sniff s15_stream_drift
-#:   s07_dedup_within_watermark x_epoch_shuffle x_dsir_select
-#:   s16_stream_token_budget x_spatial_join x_graph_components
-#:   x_pmi_collocations x_bpe_train x_target_encode x_feature_bins
-#:   | x_substr_strip
+#:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
+#:   x_ann_ivfpq_topk x_ann_ivfpq_indexed x_ann_pq_rerank
+#:   x_bpe_train_collected x_mm_wav_pcm s17_stream_heavy_hitters_bounded
+#:   x_token_budget_fill (its oracle constant is driver-proven via s16,
+#:   which shares TOKEN_BUDGET_ORACLE_SQL verbatim)
+#:   x_mm_wav_header x_mm_sniff s07_dedup_within_watermark
 #:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
 #:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize
 #:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample
@@ -93,32 +92,30 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (20, round 3: never-graded keys) ---
-    # relational tail incl. the four keys whose dtype/date artifacts the
-    # round-3 harness caught and fixed — prove them under the driver
-    "q05_left_join", "q09_rollup", "q15_date_funcs",
-    # (q50_null_order_try_arith stays pytest-covered: its nullable-int
-    # artifact class is already proven under the driver by q38, and its
-    # date class by q15/q49)
-    "q38_window_analytics", "q49_date_extras",
-    # round-3 debut: flagship end-to-end WARC ingestion composition
-    "x_warc_ingest",
-    # format parse tail (q29_csv_parse stays pytest-covered: CSV parse
-    # already transits graded q26-family machinery)
-    "q27_syslog_parse", "q28_grok_parse",
-    # round-3 debut: substring-level exact dedup (Lee et al. criterion)
-    "x_substr_dedup",
-    # extension tail
-    "x_curate", "x_rrf_fusion", "x_gap_fill", "x_cohort_retention",
-    # streaming tail (s11: the A1 Kafka-API DataSource; s12: GroupState
-    # fold — both full-value-oracled, zero driver rows before round 3;
-    # s13: round-3 debut, streaming MinHash admission control — the
-    # ingest-time dedup composition. s07 rotates to the round-4 pool:
-    # its dropDuplicatesWithinWatermark family is represented by graded
-    # s04 this round)
-    "s02_sliding_window", "s05_stream_static_join",
-    "s06_stream_stream_join", "s13_stream_dedup_admission",
-    "s08_stateful_running_max", "s11_pyds_kafka_source", "s12_stream_ewma",
+    # --- rotation slots (20, round 4: never-graded keys, per the
+    # round-3 verdict's priority list — the round-3 debut operators
+    # with the most new machinery. x_token_budget_fill defers to the
+    # round-5 pool: graded s16 shares TOKEN_BUDGET_ORACLE_SQL verbatim,
+    # so its oracle constant already carries a driver row.) ---
+    # text/tokenizer machinery debuts
+    "x_bpe_train", "x_pmi_collocations", "x_gopher_rules",
+    "x_substr_strip",
+    # feature-engineering debuts
+    "x_target_encode", "x_feature_bins", "x_winsorize", "x_drift_chi2",
+    "x_scd2_build",
+    # sampling/selection debuts
+    "x_epoch_shuffle", "x_dsir_select",
+    # joins/graph debuts
+    "x_spatial_join", "x_graph_components",
+    # similarity/PQ family (x_ann_pq_topk + x_embed_pq_encode now serve
+    # from the staged PQ index — grading them proves the persisted path)
+    "x_ann_pq_topk", "x_embed_pq_encode", "x_matryoshka_eval",
+    # multimodal byte-arithmetic decode
+    "x_mm_png_header",
+    # streaming debuts (s14: vocab-state heavy hitters; s15: drift χ²;
+    # s16: token-budget admission — the shared-oracle constants)
+    "s14_stream_heavy_hitters", "s15_stream_drift",
+    "s16_stream_token_budget",
 )
 
 

@@ -283,6 +283,121 @@ def parse_wav_header(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_wav_pcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a COMPLETE minimal WAV byte stream per row — RIFF/WAVE +
+    fmt chunk (as :func:`attach_wav_payload`) plus a real ``data``
+    chunk of ``16 + doc_id % 17`` deterministic 16-bit little-endian
+    PCM samples ``s_i = (doc_id·7919 + i·104729) mod 65536 − 32768``.
+    The sample generator is pure integer arithmetic, so a DuckDB
+    oracle replays the expected DECODED aggregates exactly while the
+    engine round-trips through real bytes."""
+    channels = (F.col(id_col) % 2 + 1).cast("bigint")
+    rate = F.element_at(
+        F.array(F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    ).cast("bigint")
+    bits = F.lit(16).cast("bigint")
+    n = (F.col(id_col) % 17 + 16).cast("bigint")
+    data_size = n * 2
+
+    def le(col, n_bytes: int):
+        parts = [
+            F.lpad(F.hex((col / F.lit(256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(n_bytes)
+        ]
+        return F.concat(*parts)
+
+    def sample_hex(i):
+        # unsigned 16-bit encoding of the signed sample: (s + 65536) % 65536
+        u = (F.col(id_col) * 7919 + i.cast("bigint") * 104729) % 65536
+        enc = (u + 32768) % 65536
+        return F.concat(
+            F.lpad(F.hex(enc % 256), 2, "0"),
+            F.lpad(F.hex((enc / 256).cast("bigint") % 256), 2, "0"),
+        )
+
+    pcm_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), sample_hex), ""
+    )
+    hx = F.concat(
+        F.lit("52494646"),                     # "RIFF"
+        le(F.lit(36).cast("bigint") + data_size, 4),
+        F.lit("57415645"),                     # "WAVE"
+        F.lit("666D7420"),                     # "fmt "
+        le(F.lit(16).cast("bigint"), 4),
+        le(F.lit(1).cast("bigint"), 2),        # PCM
+        le(channels, 2),
+        le(rate, 4),
+        le((rate * channels * bits / F.lit(8)).cast("bigint"), 4),
+        le((channels * bits / F.lit(8)).cast("bigint"), 2),
+        le(bits, 2),
+        F.lit("64617461"),                     # "data"
+        le(data_size, 4),
+        pcm_hex,
+    )
+    return df.select(F.col(id_col), F.unhex(hx).alias("payload"))
+
+
+def decode_wav_pcm(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CONTENT-level audio decode without any codec library: the PCM
+    samples of a canonical-layout WAV (fmt at byte 13, data chunk at
+    37) are reconstructed from raw bytes — per sample two dynamic
+    substrings, little-endian recompose, two's-complement sign fold —
+    entirely as codegen byte arithmetic (zero Python, zero shuffle;
+    plan-pinned). Emits exact integer aggregates of the decoded
+    waveform: sample count, sum, min, max, sum of squares — the
+    features an audio-curation pass filters on (silence, clipping,
+    energy). At 100 TB this runs inside the scan like the header
+    parsers; a real compression codec is the documented environment
+    gate, but PCM — the dominant raw-audio interchange — decodes
+    fully here."""
+    sig_ok = (F.hex(F.expr("substring(payload, 1, 4)")) == F.lit("52494646")) & (
+        F.hex(F.expr("substring(payload, 9, 4)")) == F.lit("57415645")
+    ) & (F.hex(F.expr("substring(payload, 37, 4)")) == F.lit("64617461"))
+
+    def le_static(pos: int, n_bytes: int):
+        total = None
+        for i in range(n_bytes):
+            b = F.conv(F.hex(F.expr(f"substring(payload, {pos + i}, 1)")), 16, 10).cast(
+                "bigint"
+            ) * F.lit(256 ** i).cast("bigint")
+            total = b if total is None else total + b
+        return total
+
+    n = (le_static(41, 4) / 2).cast("bigint")
+
+    def sample_at(i):
+        # 1-based byte positions of sample i: 45 + 2i, 46 + 2i
+        pos = (F.lit(45) + i.cast("int") * 2).cast("int")
+        b0 = F.conv(F.hex(F.substring(F.col("payload"), pos, F.lit(1))), 16, 10).cast(
+            "bigint"
+        )
+        b1 = F.conv(
+            F.hex(F.substring(F.col("payload"), pos + 1, F.lit(1))), 16, 10
+        ).cast("bigint")
+        u = b0 + b1 * 256
+        return F.when(u >= 32768, u - 65536).otherwise(u)
+
+    samples = F.when(
+        sig_ok & (n >= 1),
+        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), sample_at),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    s = F.col("__samples")
+    return (
+        mm.select(F.col(id_col), samples.alias("__samples"))
+        .select(
+            F.col(id_col),
+            F.size(s).alias("n_samples"),
+            F.aggregate(s, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_pcm"),
+            F.array_min(s).cast("int").alias("min_pcm"),
+            F.array_max(s).cast("int").alias("max_pcm"),
+            F.aggregate(s, F.lit(0).cast("bigint"), lambda a, x: a + x * x).alias(
+                "sumsq_pcm"
+            ),
+        )
+    )
+
+
 def sniff_mime(mm: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Magic-bytes MIME sniffing over an untyped payload column — the
     dispatch step in front of the per-format header parsers: PNG and

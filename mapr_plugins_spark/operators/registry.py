@@ -808,6 +808,17 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_train(docs, n_merges=8)
 
 
+def x_bpe_train_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-merge-count BPE trainer (one corpus-sized word
+    count in Spark, merge loop driver-side over the bounded collected
+    vocabulary — the 30k-merge architecture, see SCALE.md): same
+    8-merge table as x_bpe_train, graded by the same chained-CTE
+    oracle, with round-for-round equality to the distributed trainer
+    additionally pinned in tests."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return X.bpe_train_collected(docs, n_merges=8)
+
+
 def _bpe_train_oracle(n_merges: int = 8) -> str:
     """Unroll the BPE training rounds as chained CTEs: w{r} is the
     vocabulary after r merges; p{r}/m{r} are round r's weighted pair
@@ -1849,6 +1860,18 @@ def x_mm_wav_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.parse_wav_header(M.attach_wav_payload(docs))
 
 
+def x_mm_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-level codec-free audio decode: complete WAV streams
+    (header + real 16-bit PCM data chunk) built in-plan, then the
+    waveform reconstructed from raw bytes (LE recompose + sign fold,
+    pure codegen) and reduced to exact integer features — sample
+    count, sum, min, max, energy. The oracle replays the deterministic
+    sample generator arithmetic, so the whole byte round-trip is
+    full-value graded."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_wav_pcm(M.attach_wav_pcm_payload(docs))
+
+
 def x_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality-vs-dimension report for prefix-truncated
     embeddings (MRL recipe): top-10 overlap with the full-dimension
@@ -2120,6 +2143,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_token_budget_fill,
             x_matryoshka_eval,
             x_mm_wav_header,
+            x_mm_wav_pcm,
             x_mm_sniff,
             x_epoch_shuffle,
             x_dsir_select,
@@ -2127,6 +2151,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_graph_components,
             x_pmi_collocations,
             x_bpe_train,
+            x_bpe_train_collected,
             x_target_encode,
             x_feature_bins,
         )
@@ -2898,6 +2923,23 @@ def extension_oracles() -> dict[str, str]:
                         ELSE 'text/plain' END AS mime
             FROM documents
         """,
+        "x_mm_wav_pcm": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_transform(range(0, CAST(16 + doc_id % 17 AS BIGINT)),
+                           i -> (doc_id * 7919 + i * 104729) % 65536 - 32768
+                       ) AS samps
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(samps) AS INTEGER) AS n_samples,
+                   CAST(list_sum(samps) AS BIGINT) AS sum_pcm,
+                   CAST(list_min(samps) AS INTEGER) AS min_pcm,
+                   CAST(list_max(samps) AS INTEGER) AS max_pcm,
+                   CAST(list_sum(list_transform(samps, x -> x * x)) AS BIGINT)
+                       AS sumsq_pcm
+            FROM s
+        """,
         "x_mm_wav_header": """
             SELECT doc_id,
                    'audio/wav' AS mime,
@@ -2975,6 +3017,7 @@ def extension_oracles() -> dict[str, str]:
             FROM documents
         """,
         "x_bpe_train": _bpe_train_oracle(),
+        "x_bpe_train_collected": _bpe_train_oracle(),
         "x_feature_bins": """
             SELECT event_id, event_type, value,
                    CAST((row_number() OVER (PARTITION BY event_type

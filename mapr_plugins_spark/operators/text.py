@@ -669,3 +669,69 @@ def bpe_train(
     return df.sparkSession.createDataFrame(
         learned, "rank INT, merge_left STRING, merge_right STRING, pair_count BIGINT"
     )
+
+
+def bpe_train_collected(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_vocab_rows: int = 5_000_000,
+) -> DataFrame:
+    """BPE training at PRODUCTION merge counts (30k+): Spark does the
+    one corpus-sized job (the distinct-word frequency count), then the
+    merge loop runs driver-side over the collected vocabulary — the
+    architecture every production tokenizer trainer uses (HF
+    tokenizers, sentencepiece: corpus-scale counting, node-local
+    merging), because per-round cluster jobs cannot amortize at 30k
+    rounds (30k scheduler round-trips dominate; see SCALE.md). The
+    vocabulary is corpus-DISTINCT-WORD sized — million-row, not
+    corpus-sized — and the collect is capped loudly at
+    ``max_vocab_rows`` (at 100 TB, pre-filter with a min-frequency
+    threshold, the standard vocab truncation, to stay under it).
+
+    Semantics are IDENTICAL to :func:`bpe_train` by construction: same
+    self-wrapped symbol form, same freq-weighted pair counts, same
+    (count desc, pair lexicographic) total-order argmax, same
+    non-overlapping left-to-right merge replace —
+    ``tests/test_extensions.py`` pins equality with the distributed
+    trainer round-for-round. Output: (rank, merge_left, merge_right,
+    pair_count)."""
+    vocab_df = (
+        fan_out(df.select(text_col))
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_vocab = vocab_df.count()
+    if n_vocab > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary has {n_vocab} distinct words > max_vocab_rows="
+            f"{max_vocab_rows}; apply a min-frequency filter before training"
+        )
+    # the ONE driver-side materialization: (spaced symbol string, freq)
+    vocab = [
+        ["".join(f" {ch} " for ch in r.w), int(r.freq)] for r in vocab_df.collect()
+    ]
+    learned = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab:
+            toks = [t for t in sym.split(" ") if t]
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        # total order: count desc, then lexicographic (l, r) asc
+        (left, right), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        learned.append((rank, left, right, c))
+        pat, rep = f" {left}  {right} ", f" {left}{right} "
+        for row in vocab:
+            if pat in row[0]:
+                # str.replace is left-to-right non-overlapping — the
+                # same scan Spark's replace() performs, so identical
+                # chaining on runs like " a  a  a  a "
+                row[0] = row[0].replace(pat, rep)
+    return df.sparkSession.createDataFrame(
+        learned, "rank INT, merge_left STRING, merge_right STRING, pair_count BIGINT"
+    )

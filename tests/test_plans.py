@@ -622,3 +622,15 @@ def test_ivfpq_indexed_scan_prunes_partitions(spark, sf_dir):
     assert "codes:array<int>" in schemas, schemas
     corpus_scans = [s for s in schemas.splitlines() if "codes" in s]
     assert corpus_scans and all("embedding" not in s for s in corpus_scans), schemas
+
+
+def test_wav_pcm_decode_shuffle_free_no_python(spark, sf_dir):
+    """Content-level PCM decode is byte arithmetic in codegen: zero
+    exchanges, zero Python — the waveform decodes inside the scan."""
+    from mapr_plugins_spark.operators.registry import x_mm_wav_pcm
+
+    df = x_mm_wav_pcm(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    assert "MapInPandas" not in p, p

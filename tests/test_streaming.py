@@ -310,3 +310,30 @@ def test_stream_drift_equals_batch(spark, sf_dir):
     stream = {tuple(r) for r in s15_stream_drift(spark, sf_dir).collect()}
     batch = {tuple(r) for r in x_drift_chi2(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_stream_heavy_hitters_bounded_state_and_exact(spark, sf_dir):
+    """The bounded-state variant must (a) never hold more than k
+    counters in any bucket's GroupState at any batch — the designed
+    contrast to s14's vocabulary-sized state — and (b) still produce
+    the EXACT heavy-hitter answer (superset candidates + exact
+    recount), bit-identical to the batch op."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.registry import x_heavy_hitters
+    from mapr_plugins_spark.streaming.registry import (
+        _stream_mg_candidates,
+        s17_stream_heavy_hitters_bounded,
+    )
+
+    k = 64  # tight cap to force real MG decrements at test scale
+    emitted = _stream_mg_candidates(spark, sf_dir, k=k, n_buckets=4)
+    mx = emitted.agg(F.max("state_size").alias("m")).collect()[0]["m"]
+    assert mx is not None and mx <= k, mx
+
+    stream = {
+        (r.item, r.cnt)
+        for r in s17_stream_heavy_hitters_bounded(spark, sf_dir).collect()
+    }
+    batch = {(r.item, r.cnt) for r in x_heavy_hitters(spark, sf_dir).collect()}
+    assert stream == batch

@@ -91,6 +91,7 @@ def main() -> None:
         "x_pagerank",
         "x_bpe_encode",
         "x_ann_ivfpq_topk",
+        "x_ann_ivfpq_indexed",  # persisted-index query path (round 4)
         "x_ann_pq_rerank",
         "x_winsorize",
         "x_mm_png_header",
@@ -104,8 +105,10 @@ def main() -> None:
         "x_spatial_join",
         "x_pmi_collocations",
         "x_bpe_train",
+        "x_bpe_train_collected",  # production-merge-count trainer (round 4)
         "x_target_encode",
         "x_feature_bins",
+        "x_mm_wav_pcm",  # content-level codec-free PCM decode (round 4)
     ]
     names = [n for n in headline if n in registry]
 

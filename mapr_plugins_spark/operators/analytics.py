@@ -394,3 +394,92 @@ def equal_frequency_bins(
         value_col,
         F.expr(f"__rn0 * {n_bins} DIV __n").cast("long").alias("bin"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    k_times: int = 3,
+) -> DataFrame:
+    """Per-group robust outlier detection by Median Absolute Deviation
+    (Hampel's rule, |x − median| > k·MAD) at EXACT order statistics:
+    both medians are the LOWER median — the element at rank
+    ⌈n/2⌉ = (n+1) DIV 2 under a fully-specified (value, tiebreak)
+    NULLS LAST ordering — selected by integer rank arithmetic, so no
+    percentile-interpolation convention exists to disagree on and the
+    verdict is bit-exact across engines (deviations are IEEE ops on
+    identically-selected doubles).
+
+    Plan: two rank windows + two broadcast joins of group-cardinality
+    bounds tables — the winsorize shape twice. Output: key, tiebreak,
+    value, deviation (rounded for hashing), is_outlier."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+    )
+    ranked = df.select(
+        key_col,
+        value_col,
+        tiebreak_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count(value_col).over(Window.partitionBy(key_col)).alias("__n"),
+    )
+    med_idx = F.expr("CAST((__n + 1) DIV 2 AS INT)")
+    med = ranked.groupBy(key_col).agg(
+        F.max(F.when(F.col("__rn") == med_idx, F.col(value_col))).alias("__med")
+    )
+    devs = df.join(F.broadcast(med), key_col).select(
+        key_col,
+        value_col,
+        tiebreak_col,
+        F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+        "__med",
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col("__dev").asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+    )
+    ranked2 = devs.select(
+        key_col,
+        tiebreak_col,
+        "__dev",
+        F.row_number().over(w2).alias("__rn2"),
+        F.count("__dev").over(Window.partitionBy(key_col)).alias("__n2"),
+    )
+    mad_idx = F.expr("CAST((__n2 + 1) DIV 2 AS INT)")
+    mad = ranked2.groupBy(key_col).agg(
+        F.max(F.when(F.col("__rn2") == mad_idx, F.col("__dev"))).alias("__mad")
+    )
+    out = devs.join(F.broadcast(mad), key_col)
+    return out.select(
+        key_col,
+        tiebreak_col,
+        value_col,
+        F.round("__dev", 6).alias("dev6"),
+        (F.col("__dev") > F.lit(float(k_times)) * F.col("__mad")).alias("is_outlier"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 10
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination — the
+    governance gate a training-data release runs before shipping
+    (Sweeney 2002, public): every equivalence class of the quasi
+    columns with fewer than ``k`` members re-identifies its rows.
+    One map-side-combined aggregate; the report is class-cardinality
+    sized. Output: quasi cols, class size, is_anonymous, plus the
+    share of total rows the class holds (micro-units, exact)."""
+    tot = df.count()  # scalar; a driver-side metadata value
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            *quasi_cols,
+            "class_size",
+            (F.col("class_size") >= k).alias("is_anonymous"),
+            F.expr(f"(class_size * 1000000) DIV {max(tot, 1)}").alias("share_micro"),
+        )
+    )

@@ -26,15 +26,28 @@ def asof_join(
     by: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right-side values with
-    ``right.on <= left.on`` within the same ``by`` group.
+    """For each left row, attach the nearest right-side values at or
+    before (``direction="backward"``, default) or at or after
+    (``"forward"``) the left ``on``, within the same ``by`` group —
+    pandas ``merge_asof`` semantics, as one union + running
+    last-non-null window (ONE shuffle on the key, no pair blow-up, no
+    Python at any group size).
+
+    ``tolerance_us`` (microseconds, for timestamp ``on`` columns)
+    nulls the attached values when the matched right row is farther
+    than the tolerance — the merge_asof ``tolerance`` contract: the
+    row still appears, unmatched.
 
     ``right`` must be unique per (by, on) — pre-aggregate if not.
-    Ties at equal ``on`` resolve to the right row (inclusive <=).
-    """
+    Ties at equal ``on`` resolve to the right row (inclusive)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l = left.select(*lcols, F.lit(1).alias("__is_left"))
+    rv_cols = [*value_cols, *([on] if tolerance_us is not None else [])]
     r = right.select(
         F.col(by),
         F.col(on),
@@ -44,32 +57,51 @@ def asof_join(
     # align schemas: left rows carry null right-values, and vice versa
     for c in value_cols:
         l = l.withColumn(f"__rv_{c}", F.lit(None).cast(right.schema[c].dataType))
+    if tolerance_us is not None:
+        l = l.withColumn(f"__rv_{on}", F.lit(None).cast(right.schema[on].dataType))
     r2 = r.select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in (by, on) else F.col(c)
             for c in lcols
         ],
         F.col("__is_left"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__rv_{c}") for c in rv_cols],
     )
-    unioned = l.select(*lcols, "__is_left", *[f"__rv_{c}" for c in value_cols]).unionByName(r2)
+    unioned = l.select(*lcols, "__is_left", *[f"__rv_{c}" for c in rv_cols]).unionByName(r2)
 
-    # right rows sort before left rows at equal timestamps → inclusive <=
+    # scan order: backward ascends, forward descends — either way the
+    # running last-non-null is the nearest eligible right row, and
+    # right rows sort before left rows at equal ``on`` → inclusive
+    on_sorted = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(on_sorted, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*",
         *[
             F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
+            for c in rv_cols
         ],
     )
-    return filled.filter(F.col("__is_left") == 1).drop(
-        "__is_left", *[f"__rv_{c}" for c in value_cols]
-    )
+    out = filled.filter(F.col("__is_left") == 1)
+    if tolerance_us is not None:
+        lus = F.unix_micros(F.col(on).cast("timestamp"))
+        rus = F.unix_micros(F.col(f"{on}{suffix}").cast("timestamp"))
+        gap = (lus - rus) if direction == "backward" else (rus - lus)
+        ok = F.col(f"{on}{suffix}").isNotNull() & (gap <= F.lit(int(tolerance_us)))
+        out = out.select(
+            *lcols,
+            "__is_left",
+            *[f"__rv_{c}" for c in rv_cols],
+            f"{on}{suffix}",
+            *[
+                F.when(ok, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        ).drop(f"{on}{suffix}")
+    return out.drop("__is_left", *[f"__rv_{c}" for c in rv_cols])
 
 
 def overlap_join_binned(

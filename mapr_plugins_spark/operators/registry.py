@@ -1319,6 +1319,60 @@ def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, toks, "token", width=64, depth=4)
 
 
+def x_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability as the GRADED query path: one sketch per
+    document source (shards summarize independently — the 100 TB
+    deployment shape), merged by cell-wise sum, then estimates for
+    every distinct token. Provably identical to the single global
+    sketch (associative counts), so it shares x_sketch_cms's oracle;
+    the merge law is additionally pinned in test_extensions.py."""
+    from mapr_plugins_spark.operators.sketch import (
+        cms_build_per_part,
+        cms_estimate,
+        cms_merge,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(X.tokens_col("text")).alias("token")
+    )
+    per_src = cms_build_per_part(toks, "token", "source", width=64, depth=4)
+    merged = cms_merge(per_src)
+    return cms_estimate(merged, toks.select("token"), "token", width=64, depth=4)
+
+
+def x_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality-classifier inference (the
+    fastText-style shipped-model pattern): four exact micro-unit
+    integer features, fixed integer weights, BIGINT score, integer
+    keep cut — classifier inference as a zero-shuffle codegen scan
+    with a bit-exact oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.lr_quality_score(docs).select(
+        "doc_id", "f_cap", "f_stop", "f_ttr", "f_wlen", "score_micro", "keep"
+    )
+
+
+def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outliers by Hampel's |x − median| > 3·MAD
+    rule at exact lower-median order statistics (integer rank
+    arithmetic — no percentile-interpolation convention)."""
+    from mapr_plugins_spark.operators.analytics import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), "event_type", "value", "event_id")
+
+
+def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=10) over the (nation, market-segment)
+    quasi-identifier of the customer table — the re-identification
+    gate a data release runs; equivalence classes below k are
+    flagged."""
+    from mapr_plugins_spark.operators.analytics import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the corpus token stream (frequency >
     1/200) via the two-pass Misra-Gries pattern: bounded-memory
@@ -1522,6 +1576,49 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = J.asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["pval"])
     return out.select("event_id", "user_id", F.col("pval_asof").alias("last_purchase"))
+
+
+def x_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pandas merge_asof direction='forward'): each
+    click attaches the NEXT purchase value at-or-after it per user —
+    same union + running-window plan as the backward join, scanned
+    descending."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = J.asof_join(
+        clicks, purchases, on="ts", by="user_id", value_cols=["pval"], direction="forward"
+    )
+    return out.select("event_id", "user_id", F.col("pval_asof").alias("next_purchase"))
+
+
+def x_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute tolerance (merge_asof
+    ``tolerance``): the match is nulled — not dropped — when the most
+    recent purchase is older than the window; the row count is exactly
+    the click count either way."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = J.asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["pval"],
+        tolerance_us=1_800_000_000,
+    )
+    return out.select(
+        "event_id", "user_id", F.col("pval_asof").alias("last_purchase_30m")
+    )
 
 
 def x_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2078,6 +2175,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_sketch_hll,
             x_sketch_quantile,
             x_heavy_hitters,
+            x_sketch_merge,
+            x_quality_lr_score,
+            x_mad_outliers,
+            x_k_anonymity,
             x_text_langid,
             x_text_quality,
             x_text_tokens,
@@ -2119,6 +2220,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_cohort_retention,
             x_stratified_sample,
             x_asof_join,
+            x_asof_forward,
+            x_asof_tolerance,
             x_mm_meta,
             x_mm_features,
             x_mm_features_arrow,
@@ -3793,6 +3896,79 @@ def extension_oracles() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "x_sketch_cms": _cms_oracle(),
+        "x_sketch_merge": (
+            "SELECT token, est FROM (" + _cms_oracle() + ") t"
+        ),
+        "x_quality_lr_score": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            f AS (
+                SELECT doc_id,
+                       LEAST(len(toks), 100) * 10000 AS f_cap,
+                       (len(list_filter(toks, x -> list_contains([{_EN_STOP}], x)))
+                        * 1000000) // GREATEST(len(toks), 1) AS f_stop,
+                       (len(list_distinct(toks)) * 1000000)
+                        // GREATEST(len(toks), 1) AS f_ttr,
+                       LEAST((list_sum(list_transform(toks, x -> strlen(x)))
+                              * 1000000) // GREATEST(len(toks), 1), 8000000)
+                        // 8 AS f_wlen
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(f_cap AS BIGINT) AS f_cap,
+                   CAST(f_stop AS BIGINT) AS f_stop,
+                   CAST(f_ttr AS BIGINT) AS f_ttr,
+                   CAST(f_wlen AS BIGINT) AS f_wlen,
+                   CAST(3*f_cap + 2*f_stop + 3*f_ttr + 2*f_wlen AS BIGINT)
+                       AS score_micro,
+                   (3*f_cap + 2*f_stop + 3*f_ttr + 2*f_wlen) > 4300000 AS keep
+            FROM f
+        """,
+        "x_mad_outliers": """
+            WITH r AS (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value ASC NULLS LAST,
+                                                   event_id ASC NULLS LAST) AS rn,
+                       COUNT(value) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+                FROM r GROUP BY 1
+            ),
+            d AS (
+                SELECT e.event_type, e.event_id, e.value,
+                       ABS(e.value - m.med) AS dev
+                FROM events e JOIN m USING (event_type)
+            ),
+            r2 AS (
+                SELECT event_type, event_id, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev ASC NULLS LAST,
+                                                   event_id ASC NULLS LAST) AS rn2,
+                       COUNT(dev) OVER (PARTITION BY event_type) AS n2
+                FROM d
+            ),
+            md AS (
+                SELECT event_type,
+                       MAX(CASE WHEN rn2 = (n2 + 1) // 2 THEN dev END) AS mad
+                FROM r2 GROUP BY 1
+            )
+            SELECT d.event_type, d.event_id, d.value,
+                   ROUND(d.dev, 6) AS dev6,
+                   d.dev > 3 * md.mad AS is_outlier
+            FROM d JOIN md USING (event_type)
+        """,
+        "x_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   COUNT(*) >= 10 AS is_anonymous,
+                   CAST((COUNT(*) * 1000000)
+                        // (SELECT COUNT(*) FROM customer) AS BIGINT)
+                       AS share_micro
+            FROM customer GROUP BY 1, 2
+        """,
         "x_heavy_hitters": f"""
             WITH toks AS (SELECT unnest({_TOKS_SQL}) AS item FROM documents),
             tot AS (SELECT COUNT(*) AS n FROM toks),
@@ -3877,6 +4053,25 @@ def extension_oracles() -> dict[str, str]:
             SELECT tg.doc_id, COUNT(*) AS n_shared
             FROM tg JOIN eg USING (gram)
             GROUP BY tg.doc_id
+        """,
+        "x_asof_forward": """
+            SELECT c.event_id, c.user_id, p.pval AS next_purchase
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, MAX(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ) p ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        "x_asof_tolerance": """
+            SELECT c.event_id, c.user_id,
+                   CASE WHEN p.ts IS NOT NULL
+                             AND epoch_us(c.ts) - epoch_us(p.ts) <= 1800000000
+                        THEN p.pval END AS last_purchase_30m
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, MAX(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ) p ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "x_asof_join": """
             SELECT c.event_id, c.user_id, p.pval AS last_purchase

@@ -48,6 +48,34 @@ def cms_build(keys: DataFrame, key_col: str, width: int, depth: int) -> DataFram
     return cells.groupBy("seed", "pos").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def cms_build_per_part(
+    keys: DataFrame, key_col: str, part_col: str, width: int, depth: int
+) -> DataFrame:
+    """One count-min sketch PER PARTITION VALUE of ``part_col`` (e.g.
+    per source, per ingest wave): rows ``(part, seed, pos, cnt)``.
+    The point of sketching at 100 TB is never the single global pass —
+    it is that each shard/wave summarizes independently and the tiny
+    summaries MERGE: CMS cells are counts, so merge = cell-wise sum."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    cells = with_seeded_hash60(
+        fan_out(
+            keys.select(F.col(part_col).alias("__part"), F.col(key_col).alias("__k"))
+        ).select("__part", "__k", seeds),
+        "__h",
+        "__k",
+        "seed",
+    ).select("__part", "seed", (F.col("__h") % width).alias("pos"))
+    return cells.groupBy("__part", "seed", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge per-partition CMS sketches into one: cell-wise sum — the
+    associative/commutative merge that makes the sketch distributable
+    (provably identical to building one sketch over the union stream;
+    pinned in tests)."""
+    return sketches.groupBy("seed", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str, width: int, depth: int) -> DataFrame:
     """Point-frequency estimates for ``probes``: min over the sketch
     cells each key hashes to (CMS guarantees est >= true count)."""

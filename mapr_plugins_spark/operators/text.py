@@ -97,6 +97,68 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lr_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_micro: int = 4_300_000,
+) -> DataFrame:
+    """Fixed-weight linear quality-classifier INFERENCE — the
+    fastText-style shipped-model pattern (CCNet/LLaMA-lineage corpora
+    score documents with a small linear model trained offline; the
+    weights ARE the artifact, inference is the corpus-scale job).
+    Four normalized features, each an EXACT micro-unit integer
+    (integer DIV — no float in any feature), combined with fixed
+    integer weights into one BIGINT score, so the full-value oracle
+    replays inference bit-for-bit and the keep cut is a pure integer
+    comparison:
+
+      f_cap  = min(n_tokens, 100) · 10⁴          (length, saturating)
+      f_stop = ⌊n_stopword_hits · 10⁶ / n⌋       (stopword density)
+      f_ttr  = ⌊n_distinct · 10⁶ / n⌋            (type-token ratio)
+      f_wlen = ⌊min(⌊Σlen·10⁶/n⌋, 8·10⁶) / 8⌋    (mean word length, cap 8)
+      score  = 3·f_cap + 2·f_stop + 3·f_ttr + 2·f_wlen   ∈ [0, 10⁷]
+
+    Row-local HOFs in codegen, zero shuffle, zero Python — at 100 TB
+    classifier inference rides the scan like the other quality ops.
+    Output: (doc_id cols…, f_cap, f_stop, f_ttr, f_wlen, score_micro,
+    keep)."""
+    toks = tokens_col(text_col)
+    sum_len = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    staged = (
+        fan_out(df)
+        .withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks").cast("bigint"))
+        .withColumn(
+            "__stop", _in_list_count(F.col("__toks"), STOPWORDS["en"]).cast("bigint")
+        )
+        .withColumn("__dist", F.size(F.array_distinct("__toks")).cast("bigint"))
+        .withColumn("__sumlen", sum_len)
+    )
+    # integer DIV throughout (double `/` + cast floors wrong on exact
+    # boundaries — the q50 class)
+    out = staged.select(
+        "*",
+        F.expr("LEAST(__n, 100) * CAST(10000 AS BIGINT)").alias("f_cap"),
+        F.expr("(__stop * 1000000) DIV GREATEST(__n, 1)").alias("f_stop"),
+        F.expr("(__dist * 1000000) DIV GREATEST(__n, 1)").alias("f_ttr"),
+        F.expr(
+            "LEAST((__sumlen * 1000000) DIV GREATEST(__n, 1), 8000000) DIV 8"
+        ).alias("f_wlen"),
+    )
+    score = (
+        3 * F.col("f_cap") + 2 * F.col("f_stop") + 3 * F.col("f_ttr") + 2 * F.col("f_wlen")
+    )
+    return (
+        out.withColumn("score_micro", score)
+        .withColumn("keep", score > F.lit(int(threshold_micro)))
+        .drop("__toks", "__n", "__stop", "__dist", "__sumlen")
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letter runs / single digits / other non-space symbols)."""

@@ -1023,3 +1023,94 @@ def test_wav_pcm_decoder_on_independent_bytes(spark):
     )
     rb = decode_wav_pcm(bad).collect()[0]
     assert rb.n_samples == 0 and rb.sum_pcm == 0
+
+
+def test_lr_quality_score_laws(spark, sf_dir):
+    """Classifier inference laws: every feature in [0, 1e6] (f_cap ≤
+    1e6 by the saturating cap), score = the fixed weight combination,
+    BOTH verdicts occur on the corpus, and keep ⟺ score > threshold."""
+    from pyspark.sql import functions as F
+
+    out = R.x_quality_lr_score(spark, sf_dir)
+    bad = out.filter(
+        (F.col("f_cap") < 0) | (F.col("f_cap") > 1_000_000)
+        | (F.col("f_stop") < 0) | (F.col("f_stop") > 1_000_000)
+        | (F.col("f_ttr") < 0) | (F.col("f_ttr") > 1_000_000)
+        | (F.col("f_wlen") < 0) | (F.col("f_wlen") > 1_000_000)
+    )
+    assert bad.count() == 0
+    recomputed = out.filter(
+        F.col("score_micro")
+        != 3 * F.col("f_cap") + 2 * F.col("f_stop") + 3 * F.col("f_ttr") + 2 * F.col("f_wlen")
+    )
+    assert recomputed.count() == 0
+    verdicts = {r.keep for r in out.select("keep").distinct().collect()}
+    assert verdicts == {True, False}, verdicts
+    assert out.filter(F.col("keep") != (F.col("score_micro") > 4_300_000)).count() == 0
+
+
+def test_mad_outliers_laws(spark, sf_dir):
+    """Hampel-rule laws: dev6 = |value − group median| (checked via a
+    zero-dev row per group — the median element itself), outliers are
+    a minority in every group, and both verdicts occur."""
+    from pyspark.sql import functions as F
+
+    out = R.x_mad_outliers(spark, sf_dir)
+    per = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).alias("n_out"),
+        F.min("dev6").alias("min_dev"),
+    )
+    rows = per.collect()
+    assert rows
+    for r in rows:
+        assert r.min_dev == 0.0, r  # the median element has zero deviation
+        assert 0 < r.n_out < 0.5 * r.n, r  # robust rule flags a minority
+
+
+def test_k_anonymity_laws(spark, sf_dir):
+    """Class sizes sum to the table size, the verdict is exactly the
+    k cut, and both verdicts occur at this scale."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+
+    out = R.x_k_anonymity(spark, sf_dir)
+    n = table(spark, sf_dir, "customer").count()
+    assert out.agg(F.sum("class_size")).collect()[0][0] == n
+    assert out.filter(F.col("is_anonymous") != (F.col("class_size") >= 10)).count() == 0
+    # both verdicts occur whenever any class reaches k (true at the
+    # graded sf0.01: ~125 classes, mean size ~12; sf0.001 is all-small)
+    mx = out.agg(F.max("class_size")).collect()[0][0]
+    if mx >= 10:
+        verdicts = {
+            r.is_anonymous for r in out.select("is_anonymous").distinct().collect()
+        }
+        assert verdicts == {True, False}, verdicts
+
+
+def test_cms_merge_per_source_equals_global(spark, sf_dir):
+    """Cell-wise merge of per-source sketches must equal the single
+    global sketch EXACTLY (cells are counts; merge is associative)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.sketch import (
+        cms_build,
+        cms_build_per_part,
+        cms_merge,
+    )
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    toks = table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_col("text")).alias("token")
+    )
+    merged = {
+        (r.seed, r.pos): r.cnt
+        for r in cms_merge(cms_build_per_part(toks, "token", "source", 64, 4)).collect()
+    }
+    whole = {
+        (r.seed, r.pos): r.cnt
+        for r in cms_build(toks.select("token"), "token", 64, 4).collect()
+    }
+    assert merged == whole

@@ -94,3 +94,51 @@ def test_vocab_encode_oov_and_order(spark):
     assert v == {"aa": 0, "bb": 1}
     enc = {r["doc_id"]: r["ids"] for r in encode_tokens(docs, vocab).collect()}
     assert enc == {1: [0, 1, 0, -1], 2: [-1, 0]}
+
+
+def test_asof_join_forward_and_tolerance_semantics(spark):
+    """merge_asof parity on a constructed frame: forward picks the
+    nearest at-or-after row; tolerance nulls (never drops) matches
+    farther than the window."""
+    import datetime as dt
+
+    from mapr_plugins_spark.operators.joins import asof_join
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, t(10), "L1"), (1, t(20), "L2"), (2, t(5), "L3")],
+        "k INT, ts TIMESTAMP_NTZ, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (1, t(40), 400.0), (2, t(9), 900.0)],
+        "k INT, ts TIMESTAMP_NTZ, v DOUBLE",
+    )
+    fwd = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, on="ts", by="k", value_cols=["v"], direction="forward"
+        ).collect()
+    }
+    # L1: at-or-after 10 → 10 (inclusive); L2: next is 40; L3: 9 < 5? no — next after 5 is 9
+    assert fwd == {"L1": 100.0, "L2": 400.0, "L3": 900.0}, fwd
+
+    tol = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, on="ts", by="k", value_cols=["v"],
+            tolerance_us=5_000_000,
+        ).collect()
+    }
+    # L1: match at 10, gap 0 ≤ 5s → kept; L2: match at 15, gap 5s → kept;
+    # L3: no earlier purchase → null. Tighten: with 4s tolerance L2 nulls.
+    assert tol == {"L1": 100.0, "L2": 150.0, "L3": None}, tol
+    tight = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, on="ts", by="k", value_cols=["v"],
+            tolerance_us=4_000_000,
+        ).collect()
+    }
+    assert tight == {"L1": 100.0, "L2": None, "L3": None}, tight

@@ -79,3 +79,59 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the
+    clustering/community-density signal a crawl-graph curation pass
+    computes next to PageRank. Input: distinct undirected edges in
+    canonical form (a < b).
+
+    The algorithm is the standard DEGREE-ORDERED edge orientation
+    (Cohen 2009's MapReduce formulation, public): orient every edge
+    from its lower-(degree, id) endpoint to the higher, so each
+    triangle is counted exactly once and — the scale property — the
+    wedge join's per-source fan-out is bounded by O(√|E|) even on
+    power-law hubs (a hub's edges point INTO it, so it never anchors
+    wedges). Three dataflow steps: degree aggregate, wedge self-join
+    on the oriented source, closing-edge semi join — all hash
+    equi-joins, no cartesian. Output: (node, n_triangles), nodes in
+    ≥1 triangle."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    # orient low-(degree, id) → high-(degree, id): total order, so the
+    # orientation is deterministic and acyclic
+    tagged = e.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("v")) < F.struct(
+        F.col("db").alias("d"), F.col("b").alias("v")
+    )
+    oriented = tagged.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    # wedges anchored at lo: (lo→x, lo→y), x<y to count each pair once
+    o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
+    o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
+    wedges = o1.join(o2, "w").filter(F.col("x") < F.col("y"))
+    # close the wedge: the (x, y) edge in EITHER orientation
+    closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")).unionAll(
+        oriented.select(F.col("hi").alias("x"), F.col("lo").alias("y"))
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    per_node = (
+        tris.select(F.col("w").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

@@ -1319,6 +1319,29 @@ def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, toks, "token", width=64, depth=4)
 
 
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the part co-purchase graph (parts
+    sharing an order), by degree-ordered edge orientation — each
+    triangle counted once at its unique pivot, hub fan-out bounded by
+    the orientation (the O(√|E|) property that survives power-law
+    graphs at 100 TB). The oracle is the independent brute-force
+    3-edge join, so the algorithm is validated against first
+    principles, not replayed."""
+    from mapr_plugins_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def x_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS mergeability as the GRADED query path: one sketch per
     document source (shards summarize independently — the 100 TB
@@ -2176,6 +2199,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_sketch_quantile,
             x_heavy_hitters,
             x_sketch_merge,
+            x_triangle_count,
             x_quality_lr_score,
             x_mad_outliers,
             x_k_anonymity,
@@ -3959,6 +3983,28 @@ def extension_oracles() -> dict[str, str]:
                    ROUND(d.dev, 6) AS dev6,
                    d.dev > 3 * md.mad AS is_outlier
             FROM d JOIN md USING (event_type)
+        """,
+        "x_triangle_count": """
+            WITH e AS (
+                SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM lineitem l1
+                JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+            ),
+            t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            nodes AS (
+                SELECT x AS node FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM nodes GROUP BY 1
         """,
         "x_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

@@ -50,6 +50,7 @@ FORMATS: tuple[str, ...] = (
     "json",  # engine extension: first-class JSON payloads
     "xml",  # engine extension: Spark 4 native XML payloads
     "warc",  # engine extension: WARC records (ISO 28500 / Common Crawl)
+    "fixedwidth",  # engine extension: fixed-column-width records
 )
 
 # ---------------------------------------------------------------------------
@@ -229,6 +230,15 @@ def parse_expr(
         return from_avro(value, schema, opts)
     if fmt == "warc":
         return _warc_struct(value)
+    if fmt == "fixedwidth":
+        if schema is None:
+            raise ValueError("fixedwidth format requires a DDL schema")
+        widths = opts.get("widths")
+        if not widths:
+            raise ValueError(
+                "fixedwidth format requires options={'widths': 'w1,w2,...'}"
+            )
+        return _fixedwidth_struct(_as_string(value), schema, str(widths))
     if fmt == "clf":
         return _regex_struct(value, CLF_REGEX, _CLF_FIELDS)
     if fmt == "syslog":
@@ -239,6 +249,33 @@ def parse_expr(
         regex, fields = grok_compile(grok_pattern)
         return _regex_struct(value, regex, fields)
     raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+
+
+def _fixedwidth_struct(text: Column, schema: str, widths: str) -> Column:
+    """Fixed-column-width record parse (the mainframe/COBOL copybook
+    and classic log-export layout): field i occupies the next
+    ``widths[i]`` characters; values are trimmed then cast to the DDL
+    schema's types. Pure substring arithmetic in codegen — the whole
+    record parses inside the scan, and a DuckDB oracle replays the
+    identical offsets."""
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(schema).fields
+    ws = [int(w) for w in widths.split(",")]
+    if len(fields) != len(ws):
+        raise ValueError(
+            f"fixedwidth: {len(fields)} schema fields but {len(ws)} widths"
+        )
+    cols = []
+    off = 0
+    for fld, w in zip(fields, ws):
+        if w <= 0:
+            raise ValueError(f"fixedwidth: width must be positive, got {w}")
+        cols.append(
+            F.trim(F.substring(text, off + 1, w)).cast(fld.dataType).alias(fld.name)
+        )
+        off += w
+    return F.struct(*cols)
 
 
 _AVRO_PROBE: dict[int, bool] = {}

@@ -211,6 +211,32 @@ def q72_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-column-width payload parse (Q73): customer rows rendered
+    as 40-char fixed records (rpad'd name/segment, lpad'd key), parsed
+    back by pure substring arithmetic — trim + cast per column, all in
+    codegen. The mainframe-export layout of the A4 format family."""
+    cust = _t(spark, sf_dir, "customer")
+    line = F.concat(
+        F.rpad(F.col("c_name"), 18, " "),
+        F.rpad(F.col("c_mktsegment"), 10, " "),
+        F.lpad(F.col("c_custkey").cast("string"), 12, " "),
+    )
+    r = parse_expr(
+        "fixedwidth",
+        line,
+        "name STRING, seg STRING, key BIGINT",
+        options={"widths": "18,10,12"},
+    )
+    return cust.select("c_custkey", r.alias("r")).select(
+        "c_custkey",
+        F.col("r.name").alias("fw_name"),
+        F.col("r.seg").alias("fw_seg"),
+        F.col("r.key").alias("fw_key"),
+        (F.col("r.key") == F.col("c_custkey")).alias("roundtrip_ok"),
+    )
+
+
 def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         fn.__name__: fn
@@ -221,6 +247,7 @@ def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q29_csv_parse,
             q71_warc_parse,
             q72_jsonl_parse,
+            q73_fixedwidth_parse,
         )
     }
 
@@ -304,6 +331,22 @@ def format_oracles() -> dict[str, str]:
                    CAST(t[3] AS BIGINT) AS tsv_key,
                    CAST(c[3] AS BIGINT) = CAST(t[3] AS BIGINT) AS csv_tsv_agree
             FROM l
+        """,
+        "q73_fixedwidth_parse": """
+            WITH lines AS (
+                SELECT c_custkey,
+                       rpad(c_name, 18, ' ')
+                       || rpad(c_mktsegment, 10, ' ')
+                       || lpad(CAST(c_custkey AS VARCHAR), 12, ' ') AS line
+                FROM customer
+            )
+            SELECT c_custkey,
+                   trim(substring(line, 1, 18)) AS fw_name,
+                   trim(substring(line, 19, 10)) AS fw_seg,
+                   CAST(trim(substring(line, 29, 12)) AS BIGINT) AS fw_key,
+                   CAST(trim(substring(line, 29, 12)) AS BIGINT) = c_custkey
+                       AS roundtrip_ok
+            FROM lines
         """,
         "q72_jsonl_parse": """
             WITH l AS (

@@ -760,6 +760,62 @@ def s17_stream_heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def s18_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch (w=64, d=4): the ingest-time form of
+    batch ``x_sketch_cms``, graded by the SAME oracle. Token waves
+    arrive as real micro-batches; each batch computes its (seed, pos)
+    cells row-locally with the engine-portable hash and folds the cell
+    counts into per-cell GroupState — addition, so chunking and replay
+    order cannot change the finished sketch, and state is AT MOST
+    w·d = 256 BIGINTs no matter the vocabulary (the sketch IS the
+    bounded-state answer to frequency tracking). Final cells feed the
+    batch estimator for every distinct token."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+    from mapr_plugins_spark.operators.sketch import cms_estimate
+    from mapr_plugins_spark.operators.text import tokens_col
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    width, depth = 64, 4
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stream = df_stream_chunked(docs, f"{sf_dir}/cms_docs", "doc_id", n_chunks=4)
+    toks = stream.select(F.explode(tokens_col("text")).alias("__k"))
+    cells = with_seeded_hash60(
+        toks.select(
+            "__k",
+            F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed"),
+        ),
+        "__h",
+        "__k",
+        "seed",
+    ).select("seed", (F.col("__h") % width).alias("pos"))
+
+    def fold(key, pdfs, state):
+        c = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            c += int(len(pdf))
+        state.update((c,))
+        yield pd.DataFrame({"seed": [key[0]], "pos": [key[1]], "cnt": [c]})
+
+    counted = cells.groupBy("seed", "pos").applyInPandasWithState(
+        fold,
+        outputStructType="seed INT, pos BIGINT, cnt BIGINT",
+        stateStructType="c BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(counted, "update")
+    # finished cells = max per cell (counts are monotone across
+    # update-mode re-emissions)
+    sketch = out.groupBy("seed", "pos").agg(F.max("cnt").alias("cnt"))
+    probes = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("token")
+    )
+    return cms_estimate(sketch, probes, "token", width=width, depth=depth)
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -778,6 +834,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s15_stream_drift,
         s16_stream_token_budget,
         s17_stream_heavy_hitters_bounded,
+        s18_stream_cms,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -796,7 +853,13 @@ def streaming_oracles() -> dict[str, str]:
         TOKEN_BUDGET_ORACLE_SQL,
     )
 
+    from mapr_plugins_spark.operators.registry import _cms_oracle
+
     oracles = {
+        # the streaming cell fold finishes at exactly the batch cells
+        # (commutative addition), so the sketch estimates share the
+        # batch x_sketch_cms oracle verbatim
+        "s18_stream_cms": _cms_oracle(),
         # the streaming histogram fold finishes at exactly the batch
         # counts (commutative addition), so the drift report shares the
         # batch key's oracle verbatim

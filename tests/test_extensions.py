@@ -1114,3 +1114,17 @@ def test_cms_merge_per_source_equals_global(spark, sf_dir):
         for r in cms_build(toks.select("token"), "token", 64, 4).collect()
     }
     assert merged == whole
+
+
+def test_triangle_count_on_known_graphs(spark):
+    """K4: every node sits in C(3,2) = 3 triangles; adding a pendant
+    node changes nothing; a square (4-cycle) has none."""
+    from mapr_plugins_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "a INT, b INT")
+    got = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}, got
+
+    square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "a INT, b INT")
+    assert triangle_count(square).count() == 0

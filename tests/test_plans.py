@@ -634,3 +634,37 @@ def test_wav_pcm_decode_shuffle_free_no_python(spark, sf_dir):
     assert A.shuffle_count(df) == 0, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     assert "MapInPandas" not in p, p
+
+
+def test_lr_quality_score_shuffle_free_no_python(spark, sf_dir):
+    """Classifier inference is row-local integer arithmetic in codegen:
+    zero exchanges, zero Python — the model runs inside the scan."""
+    from mapr_plugins_spark.operators.registry import x_quality_lr_score
+
+    df = x_quality_lr_score(spark, sf_dir)
+    p = A.plan_str(df)
+    # at most the one deliberate fan-out (round-robin, data-independent)
+    # — never a hash exchange, never Python
+    assert A.shuffle_count(df) <= 1, p
+    assert "hashpartitioning" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_fixedwidth_parse_shuffle_free(spark, sf_dir):
+    """Fixed-width parse is substring arithmetic in codegen: zero
+    exchanges, zero Python."""
+    from mapr_plugins_spark.sources.registry import q73_fixedwidth_parse
+
+    df = q73_fixedwidth_parse(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) == 0, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+
+
+def test_triangle_count_all_hash_joins(spark, sf_dir):
+    """Degree-ordered triangle counting must plan every step as a hash
+    equi-join — never a cartesian/BNLJ pair blow-up."""
+    from mapr_plugins_spark.operators.registry import x_triangle_count
+
+    df = x_triangle_count(spark, sf_dir)
+    assert not A.has_cartesian(df), A.plan_str(df)

@@ -35,7 +35,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapr_plugins_spark.sinks.document import write_document_table
+from mapr_plugins_spark.sinks.document import (
+    conform_to_declared,
+    parse_declared_schema,
+    write_document_table,
+)
 from mapr_plugins_spark.sources.formats import FORMATS, parse_expr
 from mapr_plugins_spark.sources.stream import StreamSourceSpec, open_stream, parsed_stream
 
@@ -69,6 +73,10 @@ class DocumentSinkSpec:
     table_path: str  # reference: tableName
     key: str  # reference: key (document _id field)
     strict: bool = True  # reference type lattice (§1.2); False allows nested types
+    #: reference: schema — the declared output schema (DDL here; the
+    #: reference takes Avro-schema JSON), parsed + validated at
+    #: configure time and enforced as a projection at write time.
+    schema: str | None = None
 
 
 @dataclass(frozen=True)
@@ -97,7 +105,10 @@ class PipelineSpec:
         ``widgets/MapRStream-streamingsource.json:32-35`` — ``beginning``
         maps to earliest; ``defaultInitialOffset`` kept as an alias),
         ``format``, ``schema`` (+ any extra reader options).
-        Sink: ``tableName``, ``key``, optional ``strict``.
+        Sink: ``tableName``, ``key``, optional ``schema`` (the declared
+        output schema, ``MapRDBJSONSink.java:313-315`` — parsed and
+        lattice-validated here at configure time, enforced as the
+        document projection at write time), optional ``strict``.
         """
         sp = resolve_macros(source_props, macros or {})
         kp = resolve_macros(sink_props, macros or {})
@@ -130,10 +141,17 @@ class PipelineSpec:
             raise ValueError("sink tableName is required")
         if not kp.get("key"):
             raise ValueError("sink key is required")
+        strict = str(kp.get("strict", "true")).lower() != "false"
+        declared = kp.get("schema") or None
+        if declared is not None:
+            # configure-time parse + lattice validation — the
+            # reference's getSchema()/validateSchema failure channel
+            parse_declared_schema(declared, kp["key"], strict=strict)
         sink = DocumentSinkSpec(
             table_path=kp["tableName"],
             key=kp["key"],
-            strict=str(kp.get("strict", "true")).lower() != "false",
+            strict=strict,
+            schema=declared,
         )
         return PipelineSpec(
             source=source,
@@ -148,6 +166,12 @@ def _transform(df: DataFrame, spec: PipelineSpec) -> DataFrame:
         df = df.filter(F.expr(pred))
     if spec.select:
         df = df.selectExpr(*spec.select)
+    if spec.sink.schema is not None:
+        # write-time enforcement of the declared output schema: the
+        # reference iterates the OUTPUT schema's fields when building
+        # each document (MapRDBJSONSink.java:119-147)
+        st = parse_declared_schema(spec.sink.schema, spec.sink.key, strict=spec.sink.strict)
+        df = conform_to_declared(df, st)
     return df
 
 

@@ -51,6 +51,58 @@ _KEY_TYPES: tuple[type, ...] = (
 )
 
 
+def parse_declared_schema(schema_ddl: str, key_field: str, strict: bool = True):
+    """Parse + validate the sink's DECLARED output schema — the
+    reference's third sink property (``MapRDBJSONSink.java:313-315``
+    ``@Description("Output schema for the MapR-DB JSON table.")``),
+    which its ``getSchema()`` parses at configure time and fails
+    loudly on (``"Unable to parse output schema."``,
+    ``MapRDBJSONSink.java:321-327``). Accepts a DDL string; returns
+    the StructType. Raises ValueError on unparseable DDL, a missing
+    or non-scalar key field, or (strict) a type outside the
+    reference's lattice."""
+    from pyspark.sql.types import StructType
+
+    try:
+        st = StructType.fromDDL(schema_ddl)
+    except Exception as e:
+        raise ValueError(f"unable to parse output schema: {schema_ddl!r}") from e
+    names = {f.name for f in st.fields}
+    if key_field not in names:
+        raise ValueError(f"key field {key_field!r} not in declared schema {sorted(names)}")
+    for field in st.fields:
+        dt = field.dataType
+        if field.name == key_field and not isinstance(dt, _KEY_TYPES):
+            raise ValueError(
+                f"key field {key_field!r} has unsupported key type {dt.simpleString()}"
+            )
+        if not strict:
+            continue
+        ok = isinstance(dt, DOC_SINK_SUPPORTED_TYPES) or (
+            isinstance(dt, T.ArrayType)
+            and isinstance(dt.elementType, DOC_SINK_SUPPORTED_TYPES)
+        )
+        if not ok:
+            raise ValueError(
+                f"unsupported type {dt.simpleString()} for declared field "
+                f"{field.name!r} (reference-compatible strict mode)"
+            )
+    return st
+
+
+def conform_to_declared(df: DataFrame, st) -> DataFrame:
+    """Project the outgoing frame onto the declared output schema
+    (name-selected, type-cast) — what the reference's record-to-
+    document loop does by iterating the OUTPUT schema's fields
+    (``MapRDBJSONSink.java:119-147``). A declared field missing from
+    the frame is a loud error, not a silent null column."""
+    have = set(df.columns)
+    missing = [f.name for f in st.fields if f.name not in have]
+    if missing:
+        raise ValueError(f"declared schema fields missing from pipeline output: {missing}")
+    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+
+
 def validate_doc_schema(df: DataFrame, key_field: str, strict: bool = True) -> None:
     """Configure-time schema validation, mirroring the reference's
     IllegalArgumentException behavior (MapRDBJSONSink.java:292-296,

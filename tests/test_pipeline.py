@@ -241,3 +241,73 @@ def test_stream_into_registered_doc_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert set(back.columns) == {"_id", "doc"}
+
+
+def test_sink_declared_schema_surface(spark, tmp_path):
+    """The reference's THIRD sink property — the declared output
+    schema (MapRDBJSONSink.java:313-315) — must be honored: parsed at
+    configure time (loud failure channel, 'Unable to parse output
+    schema', :321-327), lattice-validated, and enforced as the
+    document projection at write time."""
+    import json as _json
+
+    import pytest as _pytest
+
+    base_src = {
+        "topics": "purchases",
+        "offsetField": "beginning",
+        "format": "csv",
+        "schema": PURCHASE_SCHEMA,
+    }
+
+    # configure-time failures: unparseable DDL / unsupported type / bad key
+    with _pytest.raises(ValueError, match="unable to parse output schema"):
+        PipelineSpec.from_properties(
+            base_src,
+            {"tableName": str(tmp_path / "t"), "key": "user", "schema": "user STRING,"},
+        )
+    with _pytest.raises(ValueError, match="unsupported type"):
+        PipelineSpec.from_properties(
+            base_src,
+            {
+                "tableName": str(tmp_path / "t"),
+                "key": "user",
+                "schema": "user STRING, m MAP<STRING, STRING>",
+            },
+        )
+    with _pytest.raises(ValueError, match="key field"):
+        PipelineSpec.from_properties(
+            base_src,
+            {"tableName": str(tmp_path / "t"), "key": "nope", "schema": "user STRING"},
+        )
+
+    # write-time: the declared schema PROJECTS the output (drops count,
+    # casts price to float) exactly like the reference's output-schema
+    # field loop
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "events.txt").write_text(PAYLOADS)
+    spec = PipelineSpec.from_properties(
+        base_src,
+        {
+            "tableName": str(tmp_path / "purchase_docs"),
+            "key": "user",
+            "schema": "user STRING, item STRING, price FLOAT",
+        },
+    )
+    run_batch(spark, spec, str(d))
+    rows = spark.read.parquet(str(tmp_path / "purchase_docs")).orderBy("_id").collect()
+    doc = _json.loads(rows[0]["doc"])
+    assert set(doc) == {"user", "item", "price"}, doc  # count projected away
+
+    # a declared field the pipeline doesn't produce fails loudly
+    spec_bad = PipelineSpec.from_properties(
+        base_src,
+        {
+            "tableName": str(tmp_path / "t2"),
+            "key": "user",
+            "schema": "user STRING, nonexistent STRING",
+        },
+    )
+    with _pytest.raises(ValueError, match="missing from pipeline output"):
+        run_batch(spark, spec_bad, str(d))

@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_bpe_train_collected x_mm_wav_pcm s17_stream_heavy_hitters_bounded
 #:   x_asof_forward x_asof_tolerance x_quality_lr_score x_mad_outliers
 #:   x_k_anonymity x_sketch_merge x_triangle_count s18_stream_cms
-#:   q73_fixedwidth_parse
+#:   q73_fixedwidth_parse x_scd2_lookup x_dq_expectations
+#:   s19_stream_quantile
 #:   x_token_budget_fill (its oracle constant is driver-proven via s16,
 #:   which shares TOKEN_BUDGET_ORACLE_SQL verbatim)
 #:   x_mm_wav_header x_mm_sniff s07_dedup_within_watermark

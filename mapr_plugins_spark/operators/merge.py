@@ -115,3 +115,37 @@ def scd2_build(
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_us_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Point-in-time (temporal) lookup against a type-2 dimension: each
+    fact row attaches the dimension version whose validity interval
+    contains its timestamp — the correctness-critical join every
+    warehouse backfill and every leakage-safe feature pipeline needs
+    (joining TODAY's dimension row onto YESTERDAY's fact leaks the
+    future).
+
+    Because SCD2 intervals partition each key's timeline, "the version
+    valid at t" ≡ "the last version starting at or before t", so the
+    lookup rides the as-of join machinery (union + running window —
+    ONE shuffle, no interval pair blow-up). Zero-length intervals
+    (two changes in the same microsecond) are dropped first: interval
+    containment cannot match them, and they would make the as-of
+    reduction ambiguous. ``dim`` needs columns
+    (key, valid_from_us, valid_to_us, *value_cols)."""
+    from mapr_plugins_spark.operators.joins import asof_join
+
+    live = dim.filter(
+        F.col("valid_to_us").isNull()
+        | (F.col("valid_to_us") != F.col("valid_from_us"))
+    ).select(key_col, F.col("valid_from_us").alias("__t_us"), *value_cols)
+    f = facts.withColumn("__t_us", F.col(fact_us_col))
+    out = asof_join(f, live, on="__t_us", by=key_col, value_cols=value_cols)
+    renames = [F.col(f"{c}_asof").alias(c) for c in value_cols]
+    return out.select(*facts.columns, *renames)

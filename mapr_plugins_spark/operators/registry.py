@@ -1900,6 +1900,50 @@ def x_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup of each purchase against the SCD2 state
+    dimension built from the same event log: the leakage-safe temporal
+    join (each fact sees the dimension version valid AT its own
+    timestamp, never a later one). The oracle is the independent
+    interval-containment formulation, so the as-of reduction is
+    validated against first principles."""
+    from mapr_plugins_spark.operators.merge import scd2_build, scd2_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_build(ev, "user_id", "event_type", "ts", "event_id").select(
+        "user_id",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("event_type").alias("state"),
+        "version",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("fact_us"),
+    )
+    return scd2_lookup(facts, dim, "user_id", "fact_us", ["state", "version"])
+
+
+def x_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract on orders: not_null / unique /
+    accepted_values / referential expectations, each compiled to one
+    aggregate or anti-join, verdicts as data. (The injected
+    accepted_values rule excludes status 'P' so a real violation count
+    shows up at every sf.)"""
+    from mapr_plugins_spark.operators.expectations import dq_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return dq_expectations(
+        orders,
+        not_null=("o_custkey", "o_orderdate"),
+        unique=("o_orderkey",),
+        accepted_values={"o_orderstatus": ("O", "F")},
+        references={"o_custkey": (cust, "c_custkey")},
+    )
+
+
 def x_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (Arrow-vectorized pandas UDF over
     ``unicodedata``) differentially tested against DuckDB's utf8proc
@@ -2200,6 +2244,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_heavy_hitters,
             x_sketch_merge,
             x_triangle_count,
+            x_scd2_lookup,
+            x_dq_expectations,
             x_quality_lr_score,
             x_mad_outliers,
             x_k_anonymity,
@@ -3011,6 +3057,72 @@ def extension_oracles() -> dict[str, str]:
         "x_ann_ivfpq_topk": _ivfpq_oracle(),
         "x_ann_ivfpq_indexed": _ivfpq_oracle(),
         "x_ann_pq_rerank": _pq_rerank_oracle(),
+        "x_scd2_lookup": """
+            WITH c AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            ch AS (
+                SELECT user_id, event_type, ts, event_id FROM c
+                WHERE prev IS NULL OR prev <> event_type
+            ),
+            dim AS (
+                SELECT user_id, event_type AS state,
+                       epoch_us(ts) AS valid_from_us,
+                       epoch_us(lead(ts) OVER w) AS valid_to_us,
+                       CAST(row_number() OVER w AS BIGINT) AS version
+                FROM ch
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            f AS (
+                SELECT event_id, user_id, epoch_us(ts) AS fact_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT f.event_id, f.user_id, f.fact_us, d.state, d.version
+            FROM f
+            LEFT JOIN dim d
+              ON f.user_id = d.user_id
+             AND d.valid_from_us <= f.fact_us
+             AND (d.valid_to_us IS NULL OR f.fact_us < d.valid_to_us)
+        """,
+        "x_dq_expectations": """
+            SELECT 'accepted_values:o_orderstatus' AS rule,
+                   CAST((SELECT COUNT(*) FROM orders
+                         WHERE o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT)
+                       AS n_violations,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F')) = 0 AS passed
+            UNION ALL
+            SELECT 'not_null:o_custkey',
+                   CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                        AS BIGINT),
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) = 0
+            UNION ALL
+            SELECT 'not_null:o_orderdate',
+                   CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+                        AS BIGINT),
+                   (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) = 0
+            UNION ALL
+            SELECT 'references:o_custkey',
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE o.o_custkey IS NOT NULL
+                           AND o.o_custkey NOT IN
+                               (SELECT c_custkey FROM customer)) AS BIGINT),
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL
+                      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                       = 0
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+                   CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                         FROM orders) AS BIGINT),
+                   (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                    FROM orders) = 0
+        """,
         "x_scd2_build": """
             WITH c AS (
                 SELECT user_id, event_type, ts, event_id,

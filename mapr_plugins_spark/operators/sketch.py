@@ -231,6 +231,21 @@ def histogram_quantile(
         .agg(F.count(F.lit(1)).alias("__n"), F.first("__lo").alias("__lo"),
              F.first("__hi").alias("__hi"))
     )
+    return histogram_quantile_from_cells(cells, group_col, quantiles, n_bins)
+
+
+def histogram_quantile_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Finalize quantile estimates from finished histogram cells
+    ``(group, __b, __n, __lo, __hi)`` — shared by the batch sketch and
+    its streaming GroupState twin (the cells are the mergeable state;
+    this is the read-side reduction over them)."""
+    from pyspark.sql import Window
+
     win = Window.partitionBy(group_col).orderBy("__b")
     cum = cells.withColumn("__cum", F.sum("__n").over(win)).withColumn(
         "__total", F.sum("__n").over(Window.partitionBy(group_col))

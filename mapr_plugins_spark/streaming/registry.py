@@ -816,6 +816,70 @@ def s18_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, probes, "token", width=width, depth=depth)
 
 
+def s19_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-quantile sketch — the ingest-time twin of
+    batch ``x_sketch_quantile``, graded by the SAME oracle. The
+    histogram range [lo, hi] is fixed up front (here taken from the
+    static table — production metrics histograms configure it a
+    priori), each micro-batch buckets its rows row-locally with the
+    identical explicit arithmetic, and per-(group, bucket) counts fold
+    into GroupState (addition ⇒ chunking/replay independent). State is
+    ≤ groups·n_bins BIGINTs — bounded at any event volume. Finished
+    cells feed the shared finalize reduction, so estimates equal the
+    batch sketch bit for bit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.operators.sketch import histogram_quantile_from_cells
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    n_bins = 256
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(b.lo), float(b.hi)
+    stream = df_stream_chunked(ev, f"{sf_dir}/quantile_events", "event_id", n_chunks=4)
+    if hi == lo:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("value") - F.lit(lo)) / F.lit((hi - lo) / n_bins)).cast(
+                "int"
+            ),
+        )
+    tagged = stream.select("event_type", bucket.alias("__b"))
+
+    def fold(key, pdfs, state):
+        c = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            c += int(len(pdf))
+        state.update((c,))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "__b": [key[1]], "cnt": [c]}
+        )
+
+    counted = tagged.groupBy("event_type", "__b").applyInPandasWithState(
+        fold,
+        outputStructType="event_type STRING, __b INT, cnt BIGINT",
+        stateStructType="c BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(counted, "update")
+    cells = (
+        out.groupBy("event_type", "__b")
+        .agg(F.max("cnt").alias("__n"))  # counts are monotone per cell
+        .select(
+            "event_type",
+            "__b",
+            "__n",
+            F.lit(lo).alias("__lo"),
+            F.lit(hi).alias("__hi"),
+        )
+    )
+    return histogram_quantile_from_cells(cells, "event_type", (0.5, 0.9), n_bins)
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -835,6 +899,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s16_stream_token_budget,
         s17_stream_heavy_hitters_bounded,
         s18_stream_cms,
+        s19_stream_quantile,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -860,6 +925,13 @@ def streaming_oracles() -> dict[str, str]:
         # (commutative addition), so the sketch estimates share the
         # batch x_sketch_cms oracle verbatim
         "s18_stream_cms": _cms_oracle(),
+        # the streaming cell fold finishes at the batch histogram cells
+        # (the [lo, hi] range is the same static min/max), so the
+        # quantile report shares the batch x_sketch_quantile oracle
+        "s19_stream_quantile": __import__(
+            "mapr_plugins_spark.operators.sketch",
+            fromlist=["histogram_quantile_oracle_sql"],
+        ).histogram_quantile_oracle_sql("event_type", "value", "events"),
         # the streaming histogram fold finishes at exactly the batch
         # counts (commutative addition), so the drift report shares the
         # batch key's oracle verbatim

@@ -1128,3 +1128,71 @@ def test_triangle_count_on_known_graphs(spark):
 
     square = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "a INT, b INT")
     assert triangle_count(square).count() == 0
+
+
+def test_scd2_lookup_point_in_time_semantics(spark):
+    """A fact must see exactly the dimension version valid AT its own
+    timestamp — never an earlier or later one — and facts before the
+    first version attach nothing."""
+    import datetime as dt
+
+    from mapr_plugins_spark.operators.merge import scd2_build, scd2_lookup
+
+    def t(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    log = spark.createDataFrame(
+        [(1, "A", t(10), 1), (1, "B", t(20), 2), (1, "B", t(25), 3), (1, "C", t(30), 4)],
+        "k INT, attr STRING, ts TIMESTAMP_NTZ, id INT",
+    )
+    dim = scd2_build(log, "k", "attr", "ts", "id").select(
+        "k", "valid_from_us", "valid_to_us", F.col("attr").alias("state"), "version"
+    )
+    from pyspark.sql import functions as F2
+
+    facts = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(10)), (102, 1, t(22)), (103, 1, t(30)), (104, 1, t(99))],
+        "fid INT, k INT, fts TIMESTAMP_NTZ",
+    ).select("fid", "k", F2.unix_micros(F2.col("fts").cast("timestamp")).alias("fact_us"))
+    got = {
+        r.fid: (r.state, r.version)
+        for r in scd2_lookup(facts, dim, "k", "fact_us", ["state", "version"]).collect()
+    }
+    assert got == {
+        100: (None, None),  # before the first version
+        101: ("A", 1),      # inclusive at valid_from
+        102: ("B", 2),      # mid-interval (the t25 duplicate never made a version)
+        103: ("C", 3),      # boundary belongs to the NEW version
+        104: ("C", 3),      # open current interval
+    }, got
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_dq_expectations_detects_injected_violations(spark):
+    """Each rule kind must fire on a constructed frame with known
+    defects and stay quiet on the clean part."""
+    from mapr_plugins_spark.operators.expectations import dq_expectations
+
+    df = spark.createDataFrame(
+        [(1, "O", 10), (2, "O", 10), (2, "F", None), (3, "X", 99)],
+        "id INT, status STRING, fk INT",
+    )
+    ref = spark.createDataFrame([(10,)], "k INT")
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in dq_expectations(
+            df,
+            not_null=("fk",),
+            unique=("id",),
+            accepted_values={"status": ("O", "F")},
+            references={"fk": (ref, "k")},
+        ).collect()
+    }
+    assert out == {
+        "not_null:fk": (1, False),
+        "unique:id": (1, False),
+        "accepted_values:status": (1, False),
+        "references:fk": (1, False),
+    }, out

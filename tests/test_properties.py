@@ -192,3 +192,43 @@ def test_chunking_reassembly_law(spark, words, max_tokens):
         ws = r["chunk_text"].split()
         rebuilt.extend(ws if j == 0 else ws[max_tokens - step :])
     assert rebuilt == words
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    """Differential law vs an INDEPENDENT implementation: for any
+    small frame, asof_join must produce exactly what pandas
+    merge_asof produces (same direction, inclusive matches, per-key)."""
+    import pandas as pd
+
+    from mapr_plugins_spark.operators.joins import asof_join
+
+    right = sorted({(k, t) for k, t in right})  # unique per (by, on)
+    lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    rrows = [(k, t, float(k * 100 + t)) for k, t in right]
+    ldf = spark.createDataFrame(lrows, "k INT, t INT, lid INT")
+    rdf = spark.createDataFrame(rrows, "k INT, t INT, v DOUBLE")
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(
+            ldf, rdf, on="t", by="k", value_cols=["v"], direction=direction
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values("t", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+    want = {
+        int(r.lid): (None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want, (direction, lrows, rrows, got, want)

@@ -42,21 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-5 rotation pool (keys with no driver row through round 4 —
+#: Round-6 rotation pool (keys with no driver row through round 5 —
 #: rotate ~20 per round, all full-value-oracled except the 5 noted
-#: rows-only ANN/HLL keys which stay outside the window). Round-4
-#: debuts (x_ann_ivfpq_indexed, x_bpe_train_collected, x_mm_wav_pcm,
-#: s17_stream_heavy_hitters_bounded) join the pool here:
-#:   q23 q25 q29 q51-q56 q58-q61 q64-q71(q71=warc) q72(jsonl)
+#: rows-only ANN/HLL keys which stay outside the window). Round-5
+#: debuts (x_bpe_encode_fast, x_triangle_estimate) join the pool:
+#:   q23 q25 q29 q52-q56 q58-q61 q65-q71(q71=warc) q72(jsonl)
 #:   x_dedup_incremental x_semantic_dedup x_cdc_chunk_dedup x_lm_score
 #:   x_retrieval_metrics x_pagerank x_dedup_incremental_indexed
 #:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
-#:   x_ann_ivfpq_topk x_ann_ivfpq_indexed x_ann_pq_rerank
-#:   x_bpe_train_collected x_mm_wav_pcm s17_stream_heavy_hitters_bounded
-#:   x_asof_forward x_asof_tolerance x_quality_lr_score x_mad_outliers
-#:   x_k_anonymity x_sketch_merge x_triangle_count s18_stream_cms
-#:   q73_fixedwidth_parse x_scd2_lookup x_dq_expectations
-#:   s19_stream_quantile
+#:   x_bpe_encode_fast x_ann_ivfpq_topk x_ann_pq_rerank
+#:   x_url_canonical_dedup x_snapshot_diff
 #:   x_token_budget_fill (its oracle constant is driver-proven via s16,
 #:   which shares TOKEN_BUDGET_ORACLE_SQL verbatim)
 #:   x_mm_wav_header x_mm_sniff s07_dedup_within_watermark
@@ -65,11 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample
 #:   x_hypertable_rollup x_inverted_index x_mm_features[_arrow]
 #:   x_mm_frames x_mm_resize x_ref_integrity x_salted_join
-#:   x_sketch_quantile x_snapshot_diff x_stratified_sample
+#:   x_sketch_quantile x_stratified_sample
 #:   x_text_{diversity,fingerprint,quality,repetition} x_topk_per_group
 #:   x_vocab_encode x_weighted_sample x_bloom_semi_join
 #:   (rows-only, keep out: x_ann_lsh_topk x_ann_lsh_indexed
-#:    x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll)
+#:    x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll
+#:    x_triangle_estimate)
 PRIORITY: tuple[str, ...] = (
     # --- stable family representatives (30) ---
     # relational core
@@ -96,30 +92,25 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (20, round 4: never-graded keys, per the
-    # round-3 verdict's priority list — the round-3 debut operators
-    # with the most new machinery. x_token_budget_fill defers to the
-    # round-5 pool: graded s16 shares TOKEN_BUDGET_ORACLE_SQL verbatim,
-    # so its oracle constant already carries a driver row.) ---
-    # text/tokenizer machinery debuts
-    "x_bpe_train", "x_pmi_collocations", "x_gopher_rules",
-    "x_substr_strip",
-    # feature-engineering debuts
-    "x_target_encode", "x_feature_bins", "x_winsorize", "x_drift_chi2",
-    "x_scd2_build",
-    # sampling/selection debuts
-    "x_epoch_shuffle", "x_dsir_select",
-    # joins/graph debuts
-    "x_spatial_join", "x_graph_components",
-    # similarity/PQ family (x_ann_pq_topk + x_embed_pq_encode now serve
-    # from the staged PQ index — grading them proves the persisted path)
-    "x_ann_pq_topk", "x_embed_pq_encode", "x_matryoshka_eval",
-    # multimodal byte-arithmetic decode
-    "x_mm_png_header",
-    # streaming debuts (s14: vocab-state heavy hitters; s15: drift χ²;
-    # s16: token-budget admission — the shared-oracle constants)
-    "s14_stream_heavy_hitters", "s15_stream_drift",
-    "s16_stream_token_budget",
+    # --- rotation slots (20, round 5: never-graded keys, per the
+    # round-4 verdict's priority list — the 16 round-4 debuts with the
+    # most new machinery, then the oldest spot-verified tail.) ---
+    # round-4 operator debuts
+    "x_scd2_lookup", "x_dq_expectations", "x_triangle_count",
+    "x_mad_outliers", "x_k_anonymity", "x_sketch_merge",
+    "x_quality_lr_score",
+    # asof variants (merge_asof forward/tolerance parity)
+    "x_asof_forward", "x_asof_tolerance",
+    # production ANN / tokenizer / multimodal paths
+    "x_ann_ivfpq_indexed", "x_bpe_train_collected", "x_mm_wav_pcm",
+    # format parse debut
+    "q73_fixedwidth_parse",
+    # bounded-state streaming debuts (s17 twin of graded s14; CMS;
+    # quantile sketch)
+    "s17_stream_heavy_hitters_bounded", "s18_stream_cms",
+    "s19_stream_quantile",
+    # oldest never-graded tail (spot-verified green in round 4)
+    "q51_array_setops", "q64_na_funcs", "x_bm25", "x_cohort_retention",
 )
 
 

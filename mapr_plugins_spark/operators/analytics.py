@@ -471,15 +471,18 @@ def k_anonymity(
     columns with fewer than ``k`` members re-identifies its rows.
     One map-side-combined aggregate; the report is class-cardinality
     sized. Output: quasi cols, class size, is_anonymous, plus the
-    share of total rows the class holds (micro-units, exact)."""
-    tot = df.count()  # scalar; a driver-side metadata value
+    share of total rows the class holds (micro-units, exact). The
+    total is a cross-joined broadcast 1-row aggregate INSIDE the plan
+    (not an eager ``df.count()``), so building the report stays lazy
+    and the input is scanned once per action, not twice."""
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    tot = classes.agg(F.greatest(F.sum("class_size"), F.lit(1)).alias("__tot"))
     return (
-        df.groupBy(*quasi_cols)
-        .agg(F.count(F.lit(1)).alias("class_size"))
+        classes.crossJoin(F.broadcast(tot))
         .select(
             *quasi_cols,
             "class_size",
             (F.col("class_size") >= k).alias("is_anonymous"),
-            F.expr(f"(class_size * 1000000) DIV {max(tot, 1)}").alias("share_micro"),
+            F.expr("(class_size * 1000000) DIV __tot").alias("share_micro"),
         )
     )

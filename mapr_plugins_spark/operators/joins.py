@@ -36,10 +36,13 @@ def asof_join(
     last-non-null window (ONE shuffle on the key, no pair blow-up, no
     Python at any group size).
 
-    ``tolerance_us`` (microseconds, for timestamp ``on`` columns)
-    nulls the attached values when the matched right row is farther
-    than the tolerance — the merge_asof ``tolerance`` contract: the
-    row still appears, unmatched.
+    ``tolerance_us`` nulls the attached values when the matched right
+    row is farther than the tolerance — the merge_asof ``tolerance``
+    contract: the row still appears, unmatched. Units: microseconds
+    for timestamp ``on`` columns; the column's OWN units for integral
+    ``on`` columns; any other ``on`` type raises (a silent
+    ``cast("timestamp")`` would read numerics as seconds and mis-scale
+    the gap by 1e6).
 
     ``right`` must be unique per (by, on) — pre-aggregate if not.
     Ties at equal ``on`` resolve to the right row (inclusive)."""
@@ -87,8 +90,23 @@ def asof_join(
     )
     out = filled.filter(F.col("__is_left") == 1)
     if tolerance_us is not None:
-        lus = F.unix_micros(F.col(on).cast("timestamp"))
-        rus = F.unix_micros(F.col(f"{on}{suffix}").cast("timestamp"))
+        from pyspark.sql import types as T
+
+        on_type = right.schema[on].dataType
+        if isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+            lus = F.unix_micros(F.col(on).cast("timestamp"))
+            rus = F.unix_micros(F.col(f"{on}{suffix}").cast("timestamp"))
+        elif isinstance(on_type, T.IntegralType):
+            # numeric ``on``: compare in the column's own units — a
+            # timestamp cast would interpret the value as SECONDS and
+            # mis-scale the microsecond tolerance by 1e6 silently
+            lus = F.col(on).cast("long")
+            rus = F.col(f"{on}{suffix}").cast("long")
+        else:
+            raise TypeError(
+                f"asof_join tolerance requires a timestamp or integral 'on' "
+                f"column; got {on_type.simpleString()} for {on!r}"
+            )
         gap = (lus - rus) if direction == "backward" else (rus - lus)
         ok = F.col(f"{on}{suffix}").isNotNull() & (gap <= F.lit(int(tolerance_us)))
         out = out.select(

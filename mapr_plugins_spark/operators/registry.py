@@ -244,10 +244,18 @@ def _ensure_staged(d: str, build) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: Encoder code-version token folded into every staged-index dir name:
+#: bump it whenever the signature/codebook/encoding LOGIC changes, so a
+#: stale on-disk index from an older encoder can never be served for a
+#: matching data fingerprint (the old "-ivf16v2" suffix was a one-off
+#: manual bump of exactly this kind — now it is systematic).
+_INDEX_CODE_VERSION = "c1"
+
+
 def _lsh_index_dir(sf_dir: str) -> str:
     import os
 
-    d = f"/tmp/mapr_plugins_lsh/{_data_fingerprint(sf_dir)}-lsh6"
+    d = f"/tmp/mapr_plugins_lsh/{_data_fingerprint(sf_dir)}-lsh6-{_INDEX_CODE_VERSION}"
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 
@@ -271,7 +279,7 @@ def _ivf_index_dir(sf_dir: str) -> str:
     import os
 
     # v2: corpus/centroids subdirs (atomically-renameable single root)
-    d = f"/tmp/mapr_plugins_ivf/{_data_fingerprint(sf_dir)}-ivf16v2"
+    d = f"/tmp/mapr_plugins_ivf/{_data_fingerprint(sf_dir)}-ivf16v2-{_INDEX_CODE_VERSION}"
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 
@@ -279,7 +287,7 @@ def _ivf_index_dir(sf_dir: str) -> str:
 def _pq_index_dir(sf_dir: str) -> str:
     import os
 
-    d = f"/tmp/mapr_plugins_pq/{_data_fingerprint(sf_dir)}-pq8x16"
+    d = f"/tmp/mapr_plugins_pq/{_data_fingerprint(sf_dir)}-pq8x16-{_INDEX_CODE_VERSION}"
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 
@@ -287,7 +295,7 @@ def _pq_index_dir(sf_dir: str) -> str:
 def _ivfpq_index_dir(sf_dir: str) -> str:
     import os
 
-    d = f"/tmp/mapr_plugins_ivfpq/{_data_fingerprint(sf_dir)}-ivfpq8l8m16"
+    d = f"/tmp/mapr_plugins_ivfpq/{_data_fingerprint(sf_dir)}-ivfpq8l8m16-{_INDEX_CODE_VERSION}"
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 

@@ -95,12 +95,39 @@ def conform_to_declared(df: DataFrame, st) -> DataFrame:
     (name-selected, type-cast) — what the reference's record-to-
     document loop does by iterating the OUTPUT schema's fields
     (``MapRDBJSONSink.java:119-147``). A declared field missing from
-    the frame is a loud error, not a silent null column."""
+    the frame is a loud error, not a silent null column; a VALUE that
+    cannot be converted to the declared type is a loud per-row error
+    at write time (``try_cast`` + ``raise_error``), matching the
+    reference's per-type conversion exceptions — never a silent NULL
+    in the written document."""
     have = set(df.columns)
     missing = [f.name for f in st.fields if f.name not in have]
     if missing:
         raise ValueError(f"declared schema fields missing from pipeline output: {missing}")
-    return df.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+
+    def conv(f):
+        src = F.col(f.name)
+        if df.schema[f.name].dataType == f.dataType:
+            return src.alias(f.name)
+        tried = src.try_cast(f.dataType)
+        return (
+            F.when(
+                src.isNotNull() & tried.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"cannot convert value of field {f.name!r} to declared "
+                            f"type {f.dataType.simpleString()}: "
+                        ),
+                        src.cast("string"),
+                    )
+                ).cast(f.dataType),
+            )
+            .otherwise(tried)
+            .alias(f.name)
+        )
+
+    return df.select(*[conv(f) for f in st.fields])
 
 
 def validate_doc_schema(df: DataFrame, key_field: str, strict: bool = True) -> None:

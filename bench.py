@@ -109,6 +109,23 @@ def main() -> None:
         "x_target_encode",
         "x_feature_bins",
         "x_mm_wav_pcm",  # content-level codec-free PCM decode (round 4)
+        # round-4 operators the round-4 verdict flagged as missing from
+        # the regression series — above all x_triangle_count, the
+        # suite's slowest query per SCALE.md's sf curve:
+        "x_triangle_count",
+        "x_triangle_estimate_prod",  # guard-free DOULION estimator (round 5)
+        "s17_stream_heavy_hitters_bounded",
+        "s18_stream_cms",
+        "s19_stream_quantile",
+        "x_scd2_lookup",
+        "x_dq_expectations",
+        "x_mad_outliers",
+        "x_k_anonymity",
+        "x_sketch_merge",
+        "x_asof_forward",
+        "x_asof_tolerance",
+        "q73_fixedwidth_parse",
+        "x_bpe_encode_fast",  # production-merge-count encoder (round 5)
     ]
     names = [n for n in headline if n in registry]
 

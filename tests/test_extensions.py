@@ -1196,3 +1196,130 @@ def test_dq_expectations_detects_injected_violations(spark):
         "accepted_values:status": (1, False),
         "references:fk": (1, False),
     }, out
+
+
+# ---------------------------------------------------------------------------
+# round 5: production-merge-count BPE encode + DOULION triangle estimate
+
+
+def _synthetic_merges(n: int) -> tuple[tuple[str, str], ...]:
+    """Deterministic synthetic merge table of arbitrary size: all
+    letter digrams first (these actually fire on the corpus), then
+    digram+letter trigram patterns to reach production table sizes."""
+    import itertools
+    import string
+
+    letters = string.ascii_lowercase
+    out: list[tuple[str, str]] = []
+    for a, b in itertools.product(letters, letters):
+        out.append((f"{a} {b} ", f"{a}{b} "))
+        if len(out) >= n:
+            return tuple(out)
+    for a, b, c in itertools.product(letters, letters, letters):
+        out.append((f"{a}{b} {c} ", f"{a}{b}{c} "))
+        if len(out) >= n:
+            return tuple(out)
+    return tuple(out)
+
+
+def test_bpe_encode_fast_equals_chain_shipped_table(spark, sf_dir):
+    """The Arrow-vectorized encoder must be row-for-row identical to
+    the codegen replace chain at the shipped merge table (the same
+    equality pattern that pins bpe_train_collected to bpe_train)."""
+    a = R.x_bpe_encode(spark, sf_dir).orderBy("doc_id").collect()
+    b = R.x_bpe_encode_fast(spark, sf_dir).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bpe_encode_fast_equals_chain_at_256_merges(spark, sf_dir):
+    """Cross-implementation equality an order of magnitude beyond the
+    shipped table: 256 digram merges (all of which CAN fire on real
+    text), chain vs pandas-UDF scan, on a corpus slice."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.text import bpe_encode, bpe_encode_fast
+
+    merges = _synthetic_merges(256)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    a = bpe_encode(docs, merges=merges).orderBy("doc_id").collect()
+    b = bpe_encode_fast(docs, merges=merges).orderBy("doc_id").collect()
+    assert len(a) > 0
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bpe_encode_fast_handles_30k_merges(spark, sf_dir):
+    """The production claim itself: a 30 000-merge table runs through
+    the pandas-UDF encoder with an O(1)-size plan (the chain encoder
+    would build a 30k-deep Catalyst expression tree here — SCALE.md's
+    plan-size trap). Digram prefix ⇒ the output must also stay
+    consistent with the 676-digram table wherever trigram patterns
+    never fire (trigram patterns require the space-free digram symbol
+    produced by the digram prefix, so they only compose further)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.text import bpe_encode_fast
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    big = bpe_encode_fast(docs, merges=_synthetic_merges(30_000)).orderBy("doc_id")
+    rows = big.collect()
+    assert len(rows) == docs.count() > 0
+    chars = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.length(F.replace("text", F.lit(" "), F.lit(""))).alias("n"),
+        ).collect()
+    }
+    for r in rows:
+        assert 0 < r.n_bpe_tokens < chars[r.doc_id]
+    # trigram merges only ever shrink token counts further
+    small = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode_fast(docs, merges=_synthetic_merges(676)).collect()
+    }
+    for r in rows:
+        assert r.n_bpe_tokens <= small[r.doc_id]
+
+
+def test_sparsify_edges_deterministic_across_partitionings(spark, sf_dir):
+    """The DOULION coin is a pure function of the edge — the kept
+    subset must be identical under any physical partitioning, and a
+    strict, non-empty subset at p=1/2."""
+    from mapr_plugins_spark.operators.graph import sparsify_edges
+
+    edges = R._copurchase_edges(spark, sf_dir)
+    a = sorted(map(tuple, sparsify_edges(edges.repartition(3)).collect()))
+    b = sorted(map(tuple, sparsify_edges(edges.repartition(11)).collect()))
+    assert a == b
+    assert 0 < len(a) < edges.count()
+
+
+def test_triangle_estimate_is_exactly_scaled_sparse_count(spark, sf_dir):
+    """est = 8 × (exact triangle count of the sparsified graph) — the
+    estimator composes the EXACT counter, so its only new moving part
+    is the deterministic coin and the integer scale-up."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.graph import (
+        sparsify_edges,
+        triangle_count,
+        triangle_global_estimate,
+    )
+
+    edges = R._copurchase_edges(spark, sf_dir)
+    t_sparse = (
+        triangle_count(sparsify_edges(edges))
+        .agg(F.expr("CAST(coalesce(sum(n_triangles), 0) DIV 3 AS BIGINT)").alias("t"))
+        .collect()[0][0]
+    )
+    est = triangle_global_estimate(edges).collect()[0][0]
+    assert est == 8 * t_sparse
+
+
+def test_triangle_estimate_guard_throws_on_violation(spark, sf_dir):
+    """The accuracy guard is a retained column Catalyst cannot prune:
+    with an impossible bound (-1 micro) the query itself must fail."""
+    with pytest.raises(Exception, match="DOULION estimate error"):
+        R.x_triangle_estimate(spark, sf_dir, max_rel_err_micro=-1).collect()

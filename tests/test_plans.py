@@ -668,3 +668,34 @@ def test_triangle_count_all_hash_joins(spark, sf_dir):
 
     df = x_triangle_count(spark, sf_dir)
     assert not A.has_cartesian(df), A.plan_str(df)
+
+
+def test_triangle_estimate_cartesian_free_and_plan_bounded(spark, sf_dir):
+    """The DOULION estimator keeps the exact counter's all-equi-join
+    shape on the sparsified graph: no cartesian, and its coin is a
+    row-local filter (exactly one md5 evaluation per edge)."""
+    from mapr_plugins_spark.operators.registry import x_triangle_estimate_prod
+
+    df = x_triangle_estimate_prod(spark, sf_dir)
+    p = A.plan_str(df)
+    assert not A.has_cartesian(df), p
+    # the coin is pushed INTO the edge-derivation join condition
+    # (pre-distinct pruning), not applied as a late filter
+    assert "md5" in p and "Join condition" in p, p
+
+
+def test_bpe_encode_fast_plan_size_constant_in_merges(spark, sf_dir):
+    """The pandas-UDF encoder's plan must not grow with the merge
+    table (the chain encoder's plan does — that is the 30k-merge trap
+    it exists to avoid): one ArrowEvalPython stage, same plan length
+    at 24 and at 2000 merges."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.text import BPE_MERGES, bpe_encode_fast
+
+    docs = table(spark, sf_dir, "documents")
+    small = A.plan_str(bpe_encode_fast(docs, merges=BPE_MERGES))
+    from tests.test_extensions import _synthetic_merges
+
+    big = A.plan_str(bpe_encode_fast(docs, merges=_synthetic_merges(2000)))
+    assert "ArrowEvalPython" in small
+    assert len(big) == len(small)

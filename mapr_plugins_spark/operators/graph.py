@@ -99,7 +99,12 @@ def triangle_count(
     on the oriented source, closing-edge semi join — all hash
     equi-joins, no cartesian. Output: (node, n_triangles), nodes in
     ≥1 triangle."""
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # e feeds the degree aggregate (twice) and the orientation join;
+    # oriented feeds both wedge sides AND both closing orientations —
+    # without persist each reference re-derives the whole upstream
+    # edge pipeline (for the co-purchase graph: a lineitem self-join +
+    # distinct, recomputed up to 6×).
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -117,7 +122,7 @@ def triangle_count(
     oriented = tagged.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).persist()
     # wedges anchored at lo: (lo→x, lo→y), x<y to count each pair once
     o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))

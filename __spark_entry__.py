@@ -45,8 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Round-6 rotation pool (keys with no driver row through round 5 —
 #: rotate ~20 per round, all full-value-oracled except the 5 noted
 #: rows-only ANN/HLL keys which stay outside the window). Round-5
-#: debuts (x_bpe_encode_fast, x_triangle_estimate) join the pool:
+#: debuts (x_bpe_encode_fast, x_scd2_apply, x_temperature_mix,
+#: x_triangle_estimate, x_triangle_estimate_prod — the estimator pair
+#: IS full-value-oracled, deterministic coin) join the pool:
 #:   q23 q25 q29 q52-q56 q58-q61 q65-q71(q71=warc) q72(jsonl)
+#:   x_scd2_apply x_temperature_mix x_triangle_estimate
+#:   x_triangle_estimate_prod
 #:   x_dedup_incremental x_semantic_dedup x_cdc_chunk_dedup x_lm_score
 #:   x_retrieval_metrics x_pagerank x_dedup_incremental_indexed
 #:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
@@ -64,8 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_text_{diversity,fingerprint,quality,repetition} x_topk_per_group
 #:   x_vocab_encode x_weighted_sample x_bloom_semi_join
 #:   (rows-only, keep out: x_ann_lsh_topk x_ann_lsh_indexed
-#:    x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll
-#:    x_triangle_estimate)
+#:    x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll)
 PRIORITY: tuple[str, ...] = (
     # --- stable family representatives (30) ---
     # relational core

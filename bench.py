@@ -126,6 +126,8 @@ def main() -> None:
         "x_asof_tolerance",
         "q73_fixedwidth_parse",
         "x_bpe_encode_fast",  # production-merge-count encoder (round 5)
+        "x_scd2_apply",  # incremental SCD2 maintenance (round 5)
+        "x_temperature_mix",  # alpha=1/2 domain sampling (round 5)
     ]
     names = [n for n in headline if n in registry]
 

@@ -149,3 +149,109 @@ def scd2_lookup(
     out = asof_join(f, live, on="__t_us", by=key_col, value_cols=value_cols)
     renames = [F.col(f"{c}_asof").alias(c) for c in value_cols]
     return out.select(*facts.columns, *renames)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    delta: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """INCREMENTALLY apply a new wave of change events to an existing
+    type-2 dimension — the CDC maintenance path: provably equal to
+    rebuilding with :func:`scd2_build` over the combined log, but
+    touching only O(|delta| + current rows of affected keys) instead
+    of the full history (at 100 TB the history is the table; the wave
+    is a sliver).
+
+    Mechanics: the current (open) row of each affected key re-enters
+    the change-detection window as a synthetic base event carrying its
+    version as the numbering offset; unaffected keys and closed
+    historical rows pass through untouched (no shuffle — the window
+    shuffle covers only base+delta events of affected keys).
+
+    Precondition (the standard CDC watermark contract): every delta
+    event is STRICTLY LATER than its key's current ``valid_from_us``.
+    Violations fail loudly in-plan (``raise_error`` folded into the
+    event timestamp every window consumer reads) — a silent reorder
+    would corrupt history.
+
+    Output schema ≡ :func:`scd2_build`:
+    ``(key, attr, valid_from_us, valid_to_us, is_current, version)``.
+    """
+    from pyspark.sql import Window
+
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    akeys = delta.select(key_col).distinct()
+    cur = dim.filter(F.col("is_current"))
+    cur_aff = cur.join(akeys, key_col, "left_semi")
+
+    base = cur_aff.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("valid_from_us").alias("__us"),
+        F.lit(None).cast(delta.schema[tiebreak_col].dataType).alias("__tb"),
+        F.lit(1).alias("__is_base"),
+        (F.col("version") - 1).alias("__offset"),
+    )
+    dev = delta.select(
+        F.col(key_col),
+        F.col(attr_col),
+        us(F.col(ts_col)).alias("__us"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.lit(0).alias("__is_base"),
+        F.lit(None).cast("long").alias("__offset"),
+    )
+    ev = base.unionByName(dev)
+
+    wk = Window.partitionBy(key_col)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__us").asc(), F.col("__is_base").desc(), F.col("__tb").asc_nulls_first()
+    )
+    base_us = F.max(F.when(F.col("__is_base") == 1, F.col("__us"))).over(wk)
+    # watermark guard: folded into the timestamp every downstream
+    # window expression reads, so it evaluates for EVERY delta event
+    guarded_us = F.when(
+        (F.col("__is_base") == 0) & base_us.isNotNull() & (F.col("__us") <= base_us),
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: delta event at or before the current "
+                      "version's valid_from for key "),
+                F.col(key_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__us"))
+    ev = ev.select(
+        key_col,
+        attr_col,
+        guarded_us.alias("__us"),
+        "__tb",
+        "__is_base",
+        F.coalesce(F.max("__offset").over(wk), F.lit(0)).alias("__off"),
+    )
+
+    changed = (
+        ev.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .drop("__prev")
+    )
+    nxt = F.lead("__us").over(w)
+    rebuilt = changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col("__us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        (F.col("__off") + F.row_number().over(w)).cast("long").alias("version"),
+    )
+
+    untouched = dim.join(akeys, key_col, "left_anti")
+    hist_aff = dim.filter(~F.col("is_current")).join(akeys, key_col, "left_semi")
+    out_cols = [key_col, attr_col, "valid_from_us", "valid_to_us", "is_current", "version"]
+    return (
+        untouched.select(*out_cols)
+        .unionByName(hist_aff.select(*out_cols))
+        .unionByName(rebuilt.select(*out_cols))
+    )

@@ -334,3 +334,47 @@ def token_budget_fill(
         "n_tokens",
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
     ).withColumn("kept", F.col("cum_tokens") <= budget)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_sql: str,
+    seed: str = "tmix1",
+) -> DataFrame:
+    """α=0.5 temperature-based domain rebalancing — the multilingual /
+    multi-domain sampling rule of XLM-R and mT5 (public papers): the
+    output share of source s is proportional to n_s^α, flattening the
+    domain distribution without discarding the long tail entirely
+    (α=1 keeps the natural mix; `rebalance_sources` is the α→0
+    equal-share endpoint; α=1/2 is the standard middle).
+
+    Downsample-only formulation: the acceptance rate for source s is
+    r_s = sqrt(n_min / n_s), so the smallest source is kept whole and
+    kept_s ≈ sqrt(n_s · n_min) ∝ n_s^(1/2) — the temperature law.
+    α is FIXED at 1/2 deliberately: sqrt and division are correctly
+    rounded under IEEE 754 in both Spark and DuckDB, so the per-source
+    rate (micro-units) is bit-identical cross-engine, which a general
+    pow(x, α) cannot promise (libm pow is not correctly rounded).
+
+    Plan shape at 100 TB: one map-side-combined count aggregate
+    (source-cardinality rows), broadcast back onto the scan, per-row
+    portable-hash acceptance in codegen — the corpus itself never
+    shuffles. Output: kept rows + their source's n_source/rate_micro
+    audit columns."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    nmin = counts.agg(F.min("n_source").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col,
+        "n_source",
+        F.expr(
+            "CAST(floor(1000000 * sqrt(CAST(__nmin AS DOUBLE) "
+            "/ CAST(n_source AS DOUBLE))) AS BIGINT)"
+        ).alias("rate_micro"),
+    )
+    tagged = with_seeded_hash60(df, "__h", id_sql, f"'{seed}'")
+    return (
+        tagged.join(F.broadcast(rates), source_col)
+        .filter(F.col("__h") % 1_000_000 < F.col("rate_micro"))
+        .drop("__h")
+    )

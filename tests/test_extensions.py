@@ -1323,3 +1323,33 @@ def test_triangle_estimate_guard_throws_on_violation(spark, sf_dir):
     with an impossible bound (-1 micro) the query itself must fail."""
     with pytest.raises(Exception, match="DOULION estimate error"):
         R.x_triangle_estimate(spark, sf_dir, max_rel_err_micro=-1).collect()
+
+
+def test_temperature_mix_laws(spark, sf_dir):
+    """α=1/2 temperature law: the smallest source is kept whole, rates
+    are monotonically decreasing in source size, kept counts track
+    sqrt(n_s·n_min) within binomial noise, and no source's un-floored
+    micro-rate sits dangerously close to an integer boundary (the
+    cross-engine floor-rounding hazard, DSIR-style pin)."""
+    import math
+
+    out = R.x_temperature_mix(spark, sf_dir)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, [r.n_source, r.rate_micro, 0])
+        per[r.source][2] += 1
+    nmin = min(n for n, _, _ in per.values())
+    for src, (n, rate, kept) in per.items():
+        exact = 1e6 * math.sqrt(nmin / n)
+        assert abs(exact - round(exact)) > 1e-3 or rate == round(exact), (src, exact)
+        assert rate == math.floor(exact)
+        if n == nmin:
+            assert kept == n  # rate_micro = 1e6 → smallest source whole
+        expect = n * rate / 1e6
+        tol = 4 * math.sqrt(max(expect, 1))
+        assert abs(kept - expect) <= tol, (src, kept, expect)
+    rates = sorted(((n, r) for n, r, _ in per.values()))
+    assert all(
+        ra >= rb for (_, ra), (_, rb) in zip(rates, rates[1:])
+    ), "rates must fall as sources grow"

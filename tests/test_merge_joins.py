@@ -142,3 +142,66 @@ def test_asof_join_forward_and_tolerance_semantics(spark):
         ).collect()
     }
     assert tight == {"L1": 100.0, "L2": None, "L3": None}, tight
+
+
+def _scd2_fixture(spark):
+    """Tiny change log with a clean T=2500 cutoff: key 1 changes
+    across the boundary, key 2 stays unchanged in the wave, key 3 is
+    NEW in the wave."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a", 1000, 1), (1, "b", 2000, 2),   # history
+        (1, "c", 3000, 3), (1, "c", 4000, 4),   # wave: change + no-op
+        (2, "x", 1500, 5),                       # history only
+        (2, "x", 3500, 6),                       # wave no-op
+        (3, "n", 3200, 7), (3, "m", 3900, 8),   # brand-new key
+    ]
+    ev = spark.createDataFrame(
+        rows, "k BIGINT, attr STRING, us BIGINT, eid BIGINT"
+    ).select(
+        "k", "attr",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "eid",
+    )
+    return ev
+
+
+def test_scd2_apply_equals_rebuild_on_constructed_log(spark):
+    """apply(build(log<=T), log>T) must equal build(log) row-for-row —
+    including a no-op wave key, a cross-boundary change, and a key
+    born in the wave."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.merge import scd2_apply, scd2_build
+
+    ev = _scd2_fixture(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dim = scd2_build(ev.filter(us <= 2500), "k", "attr", "ts", "eid")
+    out = scd2_apply(dim, ev.filter(us > 2500), "k", "attr", "ts", "eid")
+    full = scd2_build(ev, "k", "attr", "ts", "eid")
+    key = ["k", "valid_from_us"]
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+    # the no-op wave key keeps ONE open row, version 1
+    k2 = [r for r in out.collect() if r.k == 2]
+    assert len(k2) == 1 and k2[0].is_current and k2[0].version == 1
+    # the new key versions from 1
+    k3 = sorted((r for r in out.collect() if r.k == 3), key=lambda r: r.version)
+    assert [r.version for r in k3] == [1, 2] and k3[-1].is_current
+
+
+def test_scd2_apply_watermark_guard_throws(spark):
+    """A delta event at or before its key's current valid_from must
+    fail the query loudly (the CDC watermark contract), never reorder
+    history silently."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.merge import scd2_apply, scd2_build
+
+    ev = _scd2_fixture(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dim = scd2_build(ev.filter(us <= 2500), "k", "attr", "ts", "eid")
+    late = ev.filter(us <= 1200)  # at/before key 1's current valid_from
+    with _pytest.raises(Exception, match="scd2_apply"):
+        scd2_apply(dim, late, "k", "attr", "ts", "eid").collect()

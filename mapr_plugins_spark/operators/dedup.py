@@ -285,6 +285,78 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(garr, cand, threshold)
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    bottom_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric INCLUSION detection (Broder 1997's containment):
+    ``containment = |A∩B| / min(|A|, |B|)`` over character n-gram
+    sets — the doc-in-doc signal symmetric Jaccard misses (a short
+    document quoted whole inside a long one has containment ≈ 1 but
+    Jaccard ≈ |short|/|long|). Output: (id_a, id_b, containment ≥
+    threshold), id_a < id_b.
+
+    Candidates: each doc's ``bottom_k`` MIN-HASHED n-grams (its
+    bottom-k sketch — pseudo-random, so typically RARE grams, not
+    stopword grams) probed against the corpus gram stream; any doc
+    containing one of them pairs up. For true containment (A ⊆ B)
+    every gram of A is in B, so the contained side's bottom-1 gram is
+    guaranteed present — full-containment recall is exact; partial
+    overlaps recall through any of the k probes. Skew hazard at
+    100 TB: a probe gram that IS corpus-frequent fans out — mitigate
+    by dropping probes above a document-frequency cap (the stream
+    side is already gram-hash partitioned, AQE splits the rest).
+
+    Deterministic end-to-end (portable-hash sketch, exact verify), so
+    the full-value oracle replays candidates AND scores exactly."""
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_col
+
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+    garr = (
+        fan_out(docs.filter(F.length(text_col) >= n))
+        .select(F.col(id_col).alias("doc_id"), grams_expr.alias("g"))
+        .persist()  # feeds probes, the gram stream, and both verify sides
+    )
+    hashed = garr.select(
+        "doc_id",
+        F.expr(
+            "transform(g, x -> struct("
+            "cast(conv(substr(md5(concat(x, '#', 'cont1')), 1, 15), 16, 10)"
+            " as bigint) as h, x as x))"
+        ).alias("hx"),
+    )
+    probes = hashed.select(
+        "doc_id",
+        F.explode(F.slice(F.array_sort("hx"), 1, bottom_k)).alias("p"),
+    ).select(F.col("doc_id").alias("pid"), F.col("p.x").alias("pg"))
+    stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
+    cand = (
+        probes.join(stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid")))
+        .select(
+            F.least("pid", "sid").alias("id_a"),
+            F.greatest("pid", "sid").alias("id_b"),
+        )
+        .distinct()
+    )
+    ga, gb = garr.alias("ga"), garr.alias("gb")
+    inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
+    mins = F.least(F.size(F.col("ga.g")), F.size(F.col("gb.g")))
+    return (
+        cand.join(ga, F.col("ga.doc_id") == F.col("id_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("id_b"))
+        .withColumn("containment", inter.cast("double") / mins)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def _duplicated_window_hits(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -432,6 +432,18 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, n=4, block_chars=16, threshold=0.6)
 
 
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment pairs (|A∩B| / min|A|,|B| over char 8-grams):
+    the doc-in-doc inclusion signal Jaccard misses — the injected
+    drop-first-word variants sit near containment 1.0 against their
+    sources while their Jaccard can fall with length ratio. Bottom-3
+    min-hash gram probes generate candidates (exact recall for true
+    containment: every gram of the contained side is in the
+    container); deterministic sketch ⇒ full-value oracle."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.ngram_containment_pairs(corpus, n=8, bottom_k=3, threshold=0.8)
+
+
 def x_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup profile (Lee et al. 2021 criterion):
     per document, tokens covered by an 8-token window that recurs in
@@ -1559,6 +1571,46 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_lm_score(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020, public): per
+    source, rank documents by LM quality and split into head / middle
+    / tail TERCILES; the pipeline keeps head+middle. Composed from the
+    graded bigram LM score (log-free, bit-exact cross-engine) + exact
+    integer rank arithmetic — (rank−1)·3 DIV n, no percentile
+    convention — so the full-value oracle replays ranks and verdicts
+    exactly. One window shuffle on the source key; the LM stage's
+    count tables shuffle bigrams, never documents."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    lm = X.bigram_lm_score(docs.select("doc_id", "text"))
+    j = lm.select("doc_id", "lm_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lm_score").desc(), F.col("doc_id")
+    )
+    ranked = j.select(
+        "doc_id",
+        "source",
+        "lm_score",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("__n"),
+    )
+    bucket = F.expr("CAST((__rn - 1) * 3 DIV __n AS INT)")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "lm_score",
+        bucket.alias("bucket"),
+        F.when(bucket == 0, "head")
+        .when(bucket == 1, "middle")
+        .otherwise("tail")
+        .alias("verdict"),
+        (bucket <= 1).alias("keep"),
+    )
+
+
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.filter((F.col("doc_id") % 97) == 0)
@@ -2421,6 +2473,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_hard_negatives,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
+            x_dedup_containment,
             x_substr_dedup,
             x_substr_strip,
             x_warc_ingest,
@@ -2481,6 +2534,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_pack_sequences,
             x_tfidf,
             x_lm_score,
+            x_ccnet_buckets,
             x_decontaminate,
             x_merge_upsert,
             x_overlap_join,
@@ -3090,6 +3144,91 @@ def _ngram_jaccard_oracle(n: int = 4, block_chars: int = 16, threshold: float = 
     """
 
 
+#: Bigram-LM oracle CTE chain, shared VERBATIM between x_lm_score
+#: and the CCNet bucketing key (the shared-constant pattern that
+#: lets one driver row certify the other key's core arithmetic).
+_LM_SCORE_CTES = """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE len(string_split(text, ' ')) >= 2
+            ),
+            bgs AS (
+                SELECT doc_id, s['w1'] AS w1, s['bg'] AS bg FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(w)),
+                               i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                               AS s
+                    FROM base)
+            ),
+            c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
+            voc AS (
+                SELECT COUNT(DISTINCT t) AS v
+                FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            ),
+            p AS (
+                SELECT b.doc_id,
+                       (c2.c2 + 1.0) / (c1.c1 + voc.v) AS p
+                FROM bgs b
+                JOIN c2 USING (bg)
+                JOIN c1 USING (w1)
+                CROSS JOIN voc
+            )"""
+
+_LM_SCORE_ORACLE = _LM_SCORE_CTES + """
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(p) AS DOUBLE) AS lm_score
+            FROM p GROUP BY doc_id
+"""
+
+
+def _containment_oracle(n: int = 4, bottom_k: int = 3, threshold: float = 0.6) -> str:
+    """Replay of the containment pipeline: distinct gram sets, bottom-k
+    min-hash probes (same portable hash, (h, gram)-ordered), candidate
+    join, |∩|/min-size verify."""
+    h = seeded_hash60_sql("gram", "'cont1'")
+    return f"""
+        WITH corpus AS ({_CORPUS_SQL}),
+        garr AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, length(text) - {n} + 2),
+                       i -> substr(text, CAST(i AS INT), {n}))) AS g
+            FROM corpus WHERE length(text) >= {n}
+        ),
+        gs AS (SELECT doc_id, unnest(g) AS gram FROM garr),
+        hx AS (SELECT doc_id, gram, {h} AS hh FROM gs),
+        probes AS (
+            SELECT doc_id AS pid, gram AS pg FROM (
+                SELECT doc_id, gram,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hh, gram) AS rn
+                FROM hx
+            ) WHERE rn <= {bottom_k}
+        ),
+        cand AS (
+            SELECT DISTINCT least(p.pid, s.doc_id) AS id_a,
+                            greatest(p.pid, s.doc_id) AS id_b
+            FROM probes p JOIN gs s
+              ON s.gram = p.pg AND s.doc_id <> p.pid
+        ),
+        sizes AS (SELECT doc_id, len(g) AS sz FROM garr),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS ni
+            FROM cand c
+            JOIN gs g1 ON g1.doc_id = c.id_a
+            JOIN gs g2 ON g2.doc_id = c.id_b AND g2.gram = g1.gram
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(i.ni AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.ni AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
+    """
+
+
 def _simhash_oracle() -> str:
     h = seeded_hash60_sql("token", "0")
     bit_sums = ", ".join(
@@ -3690,6 +3829,7 @@ def extension_oracles() -> dict[str, str]:
         "x_substr_strip": _substr_strip_oracle(),
         "x_warc_ingest": _warc_ingest_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+        "x_dedup_containment": _containment_oracle(n=8, bottom_k=3, threshold=0.8),
         "x_dedup_simhash": _simhash_oracle(),
         "x_dedup_embcos": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4357,37 +4497,31 @@ def extension_oracles() -> dict[str, str]:
             )
             GROUP BY l_returnflag
         """,
-        "x_lm_score": """
-            WITH base AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                WHERE len(string_split(text, ' ')) >= 2
+        "x_lm_score": _LM_SCORE_ORACLE,
+        "x_ccnet_buckets": _LM_SCORE_CTES + """,
+            lm AS (
+                SELECT doc_id,
+                       CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+                           / CAST(COUNT(p) AS DOUBLE) AS lm_score
+                FROM p GROUP BY doc_id
             ),
-            bgs AS (
-                SELECT doc_id, s['w1'] AS w1, s['bg'] AS bg FROM (
-                    SELECT doc_id,
-                           unnest(list_transform(range(1, len(w)),
-                               i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
-                               AS s
-                    FROM base)
+            sj AS (
+                SELECT l.doc_id, d.source, l.lm_score
+                FROM lm l JOIN documents d USING (doc_id)
             ),
-            c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
-            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgs GROUP BY w1),
-            voc AS (
-                SELECT COUNT(DISTINCT t) AS v
-                FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-            ),
-            p AS (
-                SELECT b.doc_id,
-                       (c2.c2 + 1.0) / (c1.c1 + voc.v) AS p
-                FROM bgs b
-                JOIN c2 USING (bg)
-                JOIN c1 USING (w1)
-                CROSS JOIN voc
+            rk AS (
+                SELECT doc_id, source, lm_score,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY lm_score DESC, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM sj
             )
-            SELECT doc_id, COUNT(*) AS n_bigrams,
-                   CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
-                       / CAST(COUNT(p) AS DOUBLE) AS lm_score
-            FROM p GROUP BY doc_id
+            SELECT doc_id, source, lm_score,
+                   CAST((rn - 1) * 3 // n AS INTEGER) AS bucket,
+                   CASE (rn - 1) * 3 // n WHEN 0 THEN 'head'
+                        WHEN 1 THEN 'middle' ELSE 'tail' END AS verdict,
+                   (rn - 1) * 3 // n <= 1 AS keep
+            FROM rk
         """,
         "x_tfidf": f"""
             WITH tp AS (

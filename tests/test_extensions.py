@@ -1353,3 +1353,54 @@ def test_temperature_mix_laws(spark, sf_dir):
     assert all(
         ra >= rb for (_, ra), (_, rb) in zip(rates, rates[1:])
     ), "rates must fall as sources grow"
+
+
+def test_containment_finds_injected_and_dominates_jaccard(spark, sf_dir):
+    """Every injected drop-first-word variant must pair with its source
+    at containment ≥ 0.8 (true doc-in-doc recall is exact for the
+    bottom-k sketch), and containment ≥ Jaccard on any shared pair —
+    the asymmetric-inclusion law."""
+    out = R.x_dedup_containment(spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b): r.containment for r in out}
+    n_docs = R.x_text_tokens(spark, sf_dir).count()
+    found = sum((i, i + 1000000) in pairs for i in range(n_docs))
+    assert found >= 0.9 * n_docs, f"only {found}/{n_docs} injected variants found"
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in R.x_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    shared = set(pairs) & set(jac)
+    assert shared and all(pairs[p] >= jac[p] - 1e-9 for p in shared)
+
+
+def test_containment_exact_for_true_substring(spark):
+    """A document that IS a substring of another must score exactly
+    1.0 — every one of its 8-grams occurs in the container."""
+    from mapr_plugins_spark.operators.dedup import ngram_containment_pairs
+
+    long_text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, long_text[10:40]), (3, "completely unrelated words")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = ngram_containment_pairs(docs, n=8, bottom_k=3, threshold=0.8).collect()
+    assert {(r.id_a, r.id_b): r.containment for r in rows} == {(1, 2): 1.0}
+
+
+def test_ccnet_buckets_laws(spark, sf_dir):
+    """Tercile law: within every source the three buckets differ by at
+    most one row, 'keep' is exactly head+middle, and every head doc
+    outscores every tail doc of the same source."""
+    rows = R.x_ccnet_buckets(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        sizes = [sum(1 for r in rs if r.bucket == b) for b in (0, 1, 2)]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        assert all(r.keep == (r.bucket <= 1) for r in rs)
+        heads = [r.lm_score for r in rs if r.bucket == 0]
+        tails = [r.lm_score for r in rs if r.bucket == 2]
+        if heads and tails:
+            assert min(heads) >= max(tails)

@@ -130,6 +130,8 @@ def main() -> None:
         "x_temperature_mix",  # alpha=1/2 domain sampling (round 5)
         "x_dedup_containment",  # Broder doc-in-doc inclusion (round 5)
         "x_ccnet_buckets",  # CCNet perplexity terciles (round 5)
+        "x_graph_kcore",  # peeling decomposition (round 5)
+        "x_kcenter_select",  # Gonzalez diverse coreset (round 5)
     ]
     names = [n for n in headline if n in registry]
 

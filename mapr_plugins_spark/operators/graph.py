@@ -202,3 +202,67 @@ def triangle_global_estimate(
             "AS BIGINT)"
         ).alias("est_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    k: int = 3,
+    rounds: int = 12,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983,
+    public): repeatedly drop nodes of degree < k from the induced
+    subgraph until fixpoint — the crawl-graph curation signal for
+    "densely embedded" pages (a page in the k-core has k neighbors
+    that each have k neighbors, recursively), robust where raw degree
+    is gamed. The k-core is UNIQUE, so peeling order cannot change
+    the answer — fully deterministic.
+
+    Runs a FIXED ``rounds`` of peels (lineage truncated per round);
+    non-convergence fails loudly via an in-plan guard column — round
+    ``rounds-1`` and ``rounds`` must agree, the retained-column
+    raise_error pattern, so a graph needing more rounds can never
+    return a silent supercore. Each round is one degree aggregate +
+    two semi-joins on the surviving node set: shuffle volume only
+    ever shrinks. Output: ``(node, core_degree)`` — survivors with
+    their degree inside the k-core."""
+    if rounds < 1:
+        raise ValueError("k_core needs rounds >= 1")
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("v"))
+            .unionAll(ed.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    cur = e
+    prev_nodes = None
+    for _ in range(rounds):
+        keep = degrees(cur).filter(F.col("d") >= k).select("v").localCheckpoint()
+        prev_nodes = keep
+        cur = (
+            cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    # convergence guard: one more peel must remove nothing — every
+    # last-round survivor must still clear k on the induced subgraph.
+    # Peeling only removes nodes, so a survivor MISSING from the final
+    # degree pass is exactly a non-converged peel; raise on it through
+    # the retained core_degree column (prune-proof).
+    final = degrees(cur).filter(F.col("d") >= k).select(
+        F.col("v").alias("__fv"), F.col("d")
+    )
+    probe = prev_nodes.join(final, prev_nodes.v == F.col("__fv"), "left")
+    guard = F.when(F.col("__fv").isNotNull(), F.col("d")).otherwise(
+        F.raise_error(
+            F.lit(f"k_core did not converge in {rounds} rounds; raise rounds")
+        ).cast("long")
+    )
+    return probe.select(
+        F.col("v").alias("node"), guard.cast("long").alias("core_degree")
+    )

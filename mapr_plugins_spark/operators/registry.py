@@ -300,6 +300,55 @@ def _ivfpq_index_dir(sf_dir: str) -> str:
     return d
 
 
+def x_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse 8-point coreset by Gonzalez greedy farthest-point
+    k-center over the embeddings corpus — deterministic (lowest-id
+    seed, max-min-d² argmax with id tie-break, PQ-pinned sequential
+    distance fold), so the full greedy trajectory (chosen ids AND
+    separation curve) replays in the DuckDB oracle as 7 unrolled
+    argmax rounds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kcenter_select(emb, k=8)
+
+
+def _kcenter_oracle(k: int = 8, dim: int = 64) -> str:
+    """Unrolled Gonzalez rounds: cents_i = chosen set so far; round i
+    takes the corpus argmax of min squared-L2 to cents_i (ties to the
+    lowest vec_id)."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))"
+    )
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id, v, 0.0 AS md FROM e ORDER BY vec_id LIMIT 1
+        )"""
+    ]
+    for i in range(1, k):
+        prev = " UNION ALL ".join(f"SELECT vec_id, v FROM c{j}" for j in range(i))
+        parts.append(f""",
+        cents{i} AS MATERIALIZED ({prev}),
+        d{i} AS MATERIALIZED (
+            SELECT e.vec_id, MIN({d2}) AS md
+            FROM e CROSS JOIN cents{i} c GROUP BY e.vec_id
+        ),
+        c{i} AS (
+            SELECT d.vec_id, e.v, d.md FROM d{i} d JOIN e USING (vec_id)
+            ORDER BY d.md DESC, d.vec_id LIMIT 1
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS center_rank, vec_id, md AS sep_d2 FROM c{j}"
+        for j in range(k)
+    )
+    parts.append(f"\n        SELECT CAST(center_rank AS INTEGER) AS center_rank,"
+                 f" vec_id, sep_d2 FROM ({sel})")
+    return "".join(parts)
+
+
 def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per probe, the 5
     most-cosine-similar vectors with a DIFFERENT label (the DPR/ANCE
@@ -1452,6 +1501,19 @@ def x_triangle_estimate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """65-core of the part co-purchase graph by synchronous peeling
+    (Seidman 1983): the "densely embedded" node set a crawl-graph
+    curation pass trusts over raw degree. Fixed 12 rounds with an
+    in-plan convergence guard (a non-converged peel raises through
+    the retained core_degree column); the oracle unrolls the same 12
+    peels as chained CTEs — first-principles replay, not a copy of
+    the loop."""
+    from mapr_plugins_spark.operators.graph import k_core
+
+    return k_core(_copurchase_edges(spark, sf_dir), k=65, rounds=12)
+
+
 def x_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS mergeability as the GRADED query path: one sketch per
     document source (shards summarize independently — the 100 TB
@@ -2471,6 +2533,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_ivf_batch_prod,
             x_ann_lsh_indexed,
             x_hard_negatives,
+            x_kcenter_select,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_dedup_containment,
@@ -2495,6 +2558,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_triangle_count,
             x_triangle_estimate,
             x_triangle_estimate_prod,
+            x_graph_kcore,
             x_scd2_lookup,
             x_scd2_apply,
             x_dq_expectations,
@@ -3227,6 +3291,41 @@ def _containment_oracle(n: int = 4, bottom_k: int = 3, threshold: float = 0.6) -
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE CAST(i.ni AS DOUBLE) / least(sa.sz, sb.sz) >= {threshold}
     """
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled synchronous peeling: per round, degrees of the induced
+    subgraph → surviving nodes → induced edges. The final row set is
+    the converged core with its in-core degrees."""
+    parts = [
+        """
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        d{i} AS MATERIALIZED (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1}
+            ) GROUP BY 1
+        ),
+        n{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {k}),
+        e{i} AS MATERIALIZED (
+            SELECT a, b FROM e{i - 1}
+            WHERE a IN (SELECT v FROM n{i}) AND b IN (SELECT v FROM n{i})
+        )""")
+    parts.append(f"""
+        SELECT v AS node, CAST(d AS BIGINT) AS core_degree FROM (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+            ) GROUP BY 1
+        ) WHERE d >= {k}""")
+    return "".join(parts)
 
 
 def _simhash_oracle() -> str:
@@ -4467,6 +4566,8 @@ def extension_oracles() -> dict[str, str]:
             FROM nodes GROUP BY 1
         """,
         "x_triangle_estimate": _triangle_estimate_oracle(guarded=True),
+        "x_graph_kcore": _kcore_oracle(k=65, rounds=12),
+        "x_kcenter_select": _kcenter_oracle(k=8, dim=64),
         "x_triangle_estimate_prod": _triangle_estimate_oracle(guarded=False),
         "x_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

@@ -1091,3 +1091,64 @@ def matryoshka_eval(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diverse coreset selection by Gonzalez's greedy farthest-point
+    k-center (1985, public; a 2-approximation of the k-center
+    objective) — the "maximally spread subset" a training-data
+    pipeline picks for eval seeds, annotation batches, or cluster
+    initialization. Deterministic end-to-end: center 0 is the lowest
+    id, each round picks the point maximizing min squared-L2 distance
+    to the chosen centers (ties → lowest id), distances are the same
+    sequential zip_with/aggregate fold the PQ family pins against
+    DuckDB's list_sum.
+
+    Driver loop of k−1 corpus scans, each collecting exactly ONE row
+    (the new center) — bounded driver state; the corpus never
+    shuffles (argmax is a TakeOrdered). At 100 TB: k is small by
+    construction; each scan is embarrassingly parallel; k scans beat
+    one shuffle-heavy alternative.
+
+    Output: ``(center_rank, vec_id, sep_d2)`` where sep_d2 is the
+    point's min distance² to all PRIOR centers (0.0 for the seed) —
+    the monotone non-increasing separation curve of the greedy run.
+    Emitted UNROUNDED: the doubles are bit-identical to the oracle's
+    by construction (same sequential fold), so rounding would only
+    add a midpoint-convention hazard."""
+    seed = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(1)
+        .select(id_col, vec_col)
+        .collect()[0]
+    )
+    centers: list = [(0, seed[0], 0.0, list(seed[1]))]
+    for rank in range(1, k):
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c[3]]) for c in centers]
+        )
+        d2s = F.transform(
+            cents_lit,
+            lambda c: _d2_fold(F.col(vec_col), c),
+        )
+        best = (
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.array_min(d2s).alias("__md"),
+            )
+            .orderBy(F.col("__md").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((rank, best[0], float(best[2]), list(best[1])))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d, _ in centers],
+        "center_rank INT, vec_id BIGINT, sep_d2 DOUBLE",
+    )

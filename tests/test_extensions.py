@@ -1404,3 +1404,47 @@ def test_ccnet_buckets_laws(spark, sf_dir):
         tails = [r.lm_score for r in rs if r.bucket == 2]
         if heads and tails:
             assert min(heads) >= max(tails)
+
+
+def test_k_core_known_graph_and_guard(spark):
+    """K5 clique + a pendant chain: the 3-core is exactly the clique
+    with in-core degree 4; an under-budgeted round count must raise
+    through the convergence guard instead of returning a supercore."""
+    from mapr_plugins_spark.operators.graph import k_core
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a BIGINT, b BIGINT")
+    out = {r.node: r.core_degree for r in k_core(edges, k=3, rounds=6).collect()}
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # chain needs 3 peels (12 → 11 → 10); rounds=1 must NOT converge
+    with pytest.raises(Exception, match="did not converge"):
+        k_core(edges, k=2, rounds=1).collect()
+    # with budget, the 2-core keeps the clique only (chain fully peels)
+    out2 = {r.node: r.core_degree for r in k_core(edges, k=2, rounds=6).collect()}
+    assert set(out2) == {0, 1, 2, 3, 4}
+
+
+def test_kcenter_separation_curve_and_determinism(spark, sf_dir):
+    """Gonzalez laws: 8 distinct centers, seed is the lowest vec_id
+    with sep 0, the separation curve is monotone non-increasing from
+    rank 1 on, and the trajectory is identical under a different
+    input partitioning."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import kcenter_select
+
+    rows = sorted(
+        R.x_kcenter_select(spark, sf_dir).collect(), key=lambda r: r.center_rank
+    )
+    assert len({r.vec_id for r in rows}) == 8
+    min_id = table(spark, sf_dir, "embeddings").agg({"vec_id": "min"}).collect()[0][0]
+    assert rows[0].vec_id == min_id and rows[0].sep_d2 == 0.0
+    seps = [r.sep_d2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(seps, seps[1:])), seps
+    again = sorted(
+        kcenter_select(
+            table(spark, sf_dir, "embeddings").repartition(7), k=8
+        ).collect(),
+        key=lambda r: r.center_rank,
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

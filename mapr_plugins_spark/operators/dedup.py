@@ -289,9 +289,9 @@ def ngram_containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 4,
+    n: int = 8,
     bottom_k: int = 3,
-    threshold: float = 0.6,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """Asymmetric INCLUSION detection (Broder 1997's containment):
     ``containment = |A∩B| / min(|A|, |B|)`` over character n-gram
@@ -300,21 +300,21 @@ def ngram_containment_pairs(
     Jaccard ≈ |short|/|long|). Output: (id_a, id_b, containment ≥
     threshold), id_a < id_b.
 
-    Candidates: each doc's ``bottom_k`` MIN-HASHED n-grams (its
-    bottom-k sketch — pseudo-random, so typically RARE grams, not
-    stopword grams) probed against the corpus gram stream; any doc
-    containing one of them pairs up. For true containment (A ⊆ B)
-    every gram of A is in B, so the contained side's bottom-1 gram is
-    guaranteed present — full-containment recall is exact; partial
-    overlaps recall through any of the k probes. Skew hazard at
-    100 TB: a probe gram that IS corpus-frequent fans out — mitigate
-    by dropping probes above a document-frequency cap (the stream
-    side is already gram-hash partitioned, AQE splits the rest).
+    Candidates by RAREST-GRAM blocking (the record-linkage classic):
+    each doc probes its ``bottom_k`` LOWEST-document-frequency grams
+    against the corpus gram stream. For true containment (A ⊆ B)
+    every gram of A — in particular its rarest — is in B, so
+    full-containment recall is exact, and the candidate fan-out
+    Σ df(probe) is the minimum any single-gram blocking achieves
+    (a min-HASH probe picks a pseudo-random gram instead, which in a
+    templated corpus is frequent: measured 12.7M candidate pairs vs
+    ~40k at sf0.1 for the same recall). One df aggregate + one
+    doc-partitioned rank window, both bounded by the corpus gram
+    stream; the pair join moves one gram ARRAY per candidate doc.
 
-    Deterministic end-to-end (portable-hash sketch, exact verify), so
-    the full-value oracle replays candidates AND scores exactly."""
-    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_col
-
+    Deterministic end-to-end (df ranks, gram tie-breaks, exact
+    verify), so the full-value oracle replays candidates AND scores
+    exactly."""
     grams_expr = F.expr(
         f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
         f" i -> substring({text_col}, i, {n})))"
@@ -324,21 +324,18 @@ def ngram_containment_pairs(
         .select(F.col(id_col).alias("doc_id"), grams_expr.alias("g"))
         .persist()  # feeds probes, the gram stream, and both verify sides
     )
-    hashed = garr.select(
-        "doc_id",
-        F.expr(
-            "transform(g, x -> struct("
-            "cast(conv(substr(md5(concat(x, '#', 'cont1')), 1, 15), 16, 10)"
-            " as bigint) as h, x as x))"
-        ).alias("hx"),
-    )
-    probes = hashed.select(
-        "doc_id",
-        F.explode(F.slice(F.array_sort("hx"), 1, bottom_k)).alias("p"),
-    ).select(F.col("doc_id").alias("pid"), F.col("p.x").alias("pg"))
     stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
+    dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
+    wdoc = Window.partitionBy("sid").orderBy(F.col("__df").asc(), F.col("sg").asc())
+    probes = (
+        stream.join(dfreq, "sg")
+        .withColumn("__rn", F.row_number().over(wdoc))
+        .filter(F.col("__rn") <= bottom_k)
+        .select(F.col("sid").alias("pid"), F.col("sg").alias("pg"))
+    )
     cand = (
-        probes.join(stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid")))
+        F.broadcast(probes)
+        .join(stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid")))
         .select(
             F.least("pid", "sid").alias("id_a"),
             F.greatest("pid", "sid").alias("id_b"),

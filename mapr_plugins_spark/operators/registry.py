@@ -485,10 +485,10 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment pairs (|A∩B| / min|A|,|B| over char 8-grams):
     the doc-in-doc inclusion signal Jaccard misses — the injected
     drop-first-word variants sit near containment 1.0 against their
-    sources while their Jaccard can fall with length ratio. Bottom-3
-    min-hash gram probes generate candidates (exact recall for true
-    containment: every gram of the contained side is in the
-    container); deterministic sketch ⇒ full-value oracle."""
+    sources while their Jaccard can fall with length ratio. Rarest-
+    gram blocking generates candidates (exact recall for true
+    containment: the contained side's rarest gram is in the
+    container); deterministic ranks ⇒ full-value oracle."""
     corpus = _dedup_corpus(spark, sf_dir)
     return D.ngram_containment_pairs(corpus, n=8, bottom_k=3, threshold=0.8)
 
@@ -3247,27 +3247,26 @@ _LM_SCORE_ORACLE = _LM_SCORE_CTES + """
 """
 
 
-def _containment_oracle(n: int = 4, bottom_k: int = 3, threshold: float = 0.6) -> str:
-    """Replay of the containment pipeline: distinct gram sets, bottom-k
-    min-hash probes (same portable hash, (h, gram)-ordered), candidate
-    join, |∩|/min-size verify."""
-    h = seeded_hash60_sql("gram", "'cont1'")
+def _containment_oracle(n: int = 8, bottom_k: int = 3, threshold: float = 0.8) -> str:
+    """Replay of the containment pipeline: distinct gram sets, per-doc
+    bottom-k RAREST grams ((df, gram)-ranked), candidate join,
+    |∩|/min-size verify."""
     return f"""
         WITH corpus AS ({_CORPUS_SQL}),
-        garr AS (
+        garr AS MATERIALIZED (
             SELECT doc_id,
                    list_distinct(list_transform(range(1, length(text) - {n} + 2),
                        i -> substr(text, CAST(i AS INT), {n}))) AS g
             FROM corpus WHERE length(text) >= {n}
         ),
-        gs AS (SELECT doc_id, unnest(g) AS gram FROM garr),
-        hx AS (SELECT doc_id, gram, {h} AS hh FROM gs),
+        gs AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM garr),
+        dfreq AS (SELECT gram, COUNT(*) AS dfc FROM gs GROUP BY 1),
         probes AS (
             SELECT doc_id AS pid, gram AS pg FROM (
-                SELECT doc_id, gram,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY hh, gram) AS rn
-                FROM hx
+                SELECT s.doc_id, s.gram,
+                       row_number() OVER (PARTITION BY s.doc_id
+                                          ORDER BY d.dfc, s.gram) AS rn
+                FROM gs s JOIN dfreq d USING (gram)
             ) WHERE rn <= {bottom_k}
         ),
         cand AS (

@@ -219,14 +219,16 @@ def k_core(
     is gamed. The k-core is UNIQUE, so peeling order cannot change
     the answer — fully deterministic.
 
-    Runs a FIXED ``rounds`` of peels (lineage truncated per round);
-    non-convergence fails loudly via an in-plan guard column — round
-    ``rounds-1`` and ``rounds`` must agree, the retained-column
-    raise_error pattern, so a graph needing more rounds can never
-    return a silent supercore. Each round is one degree aggregate +
-    two semi-joins on the surviving node set: shuffle volume only
-    ever shrinks. Output: ``(node, core_degree)`` — survivors with
-    their degree inside the k-core."""
+    Peels until fixpoint with EARLY EXIT (the ``collapse_components``
+    convergence pattern: one bounded count per round — at 100 TB
+    skipping even one unnecessary full pass dwarfs the count's cost),
+    capped at ``rounds``; hitting the cap unconverged raises loudly —
+    a graph needing more rounds can never return a silent supercore.
+    The k-core is unique, so the exit round cannot change the answer.
+    Each round is one degree aggregate + two semi-joins on the
+    surviving node set: shuffle volume only ever shrinks, and lineage
+    is truncated per round. Output: ``(node, core_degree)`` —
+    survivors with their degree inside the k-core."""
     if rounds < 1:
         raise ValueError("k_core needs rounds >= 1")
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).persist()
@@ -240,29 +242,32 @@ def k_core(
         )
 
     cur = e
-    prev_nodes = None
+    prev_n = None
+    converged = False
     for _ in range(rounds):
-        keep = degrees(cur).filter(F.col("d") >= k).select("v").localCheckpoint()
-        prev_nodes = keep
+        deg = degrees(cur).filter(F.col("d") >= k).localCheckpoint()
+        n_keep = deg.count()
+        if prev_n is not None and n_keep == prev_n:
+            converged = True
+            break
+        prev_n = n_keep
+        keep = deg.select("v")
         cur = (
             cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
             .localCheckpoint()
         )
-    # convergence guard: one more peel must remove nothing — every
-    # last-round survivor must still clear k on the induced subgraph.
-    # Peeling only removes nodes, so a survivor MISSING from the final
-    # degree pass is exactly a non-converged peel; raise on it through
-    # the retained core_degree column (prune-proof).
-    final = degrees(cur).filter(F.col("d") >= k).select(
-        F.col("v").alias("__fv"), F.col("d")
-    )
-    probe = prev_nodes.join(final, prev_nodes.v == F.col("__fv"), "left")
-    guard = F.when(F.col("__fv").isNotNull(), F.col("d")).otherwise(
-        F.raise_error(
-            F.lit(f"k_core did not converge in {rounds} rounds; raise rounds")
-        ).cast("long")
-    )
-    return probe.select(
-        F.col("v").alias("node"), guard.cast("long").alias("core_degree")
+        if n_keep == 0:
+            converged = True  # empty core is a fixpoint
+            break
+    if not converged:
+        # one more degree pass may still certify the fixpoint (the
+        # cap-th peel was the converging one)
+        n_final = degrees(cur).filter(F.col("d") >= k).count()
+        if n_final != prev_n:
+            raise RuntimeError(
+                f"k_core did not converge in {rounds} rounds; raise rounds"
+            )
+    return degrees(cur).filter(F.col("d") >= k).select(
+        F.col("v").alias("node"), F.col("d").cast("long").alias("core_degree")
     )

@@ -1504,11 +1504,11 @@ def x_triangle_estimate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """65-core of the part co-purchase graph by synchronous peeling
     (Seidman 1983): the "densely embedded" node set a crawl-graph
-    curation pass trusts over raw degree. Fixed 12 rounds with an
-    in-plan convergence guard (a non-converged peel raises through
-    the retained core_degree column); the oracle unrolls the same 12
-    peels as chained CTEs — first-principles replay, not a copy of
-    the loop."""
+    curation pass trusts over raw degree. Early-exit peeling capped
+    at 12 rounds (hitting the cap unconverged raises loudly); the
+    oracle unrolls 12 peels as chained CTEs — for a converged run
+    the extra unrolled rounds are no-ops, so the replay is
+    first-principles, not a copy of the loop."""
     from mapr_plugins_spark.operators.graph import k_core
 
     return k_core(_copurchase_edges(spark, sf_dir), k=65, rounds=12)

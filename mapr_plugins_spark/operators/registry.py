@@ -1459,7 +1459,13 @@ def x_triangle_estimate(
     )
 
     edges = _copurchase_edges(spark, sf_dir)
-    est = triangle_global_estimate(edges, keep_per_mille=500)
+    # materialize the 1-row estimate in its OWN job (lineage
+    # truncated) before the exact pipeline runs: the guard needs both,
+    # but evaluating the sparse AND full wedge pipelines inside one
+    # job sums their memory peaks — sequencing makes the peak
+    # max(est, exact) instead (observed: heap OOM in a 1g-driver
+    # sweep at sf0.1 for the fused plan, green sequenced).
+    est = triangle_global_estimate(edges, keep_per_mille=500).localCheckpoint()
     exact = triangle_count(edges).agg(
         F.expr("CAST(coalesce(sum(n_triangles), 0) DIV 3 AS BIGINT)").alias(
             "exact_triangles"

@@ -2140,6 +2140,35 @@ def x_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(dim, delta, "user_id", "event_type", "ts", "event_id")
 
 
+def x_rollup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ROLLUP maintenance (the materialized-view law, the
+    aggregate twin of x_scd2_apply): per-(user, event_type) mergeable
+    state (count, exact DECIMAL sum, min, max) built from the
+    historical slice, folded with the new wave's state — O(states),
+    never O(history). The oracle aggregates the FULL log, so the
+    graded check is merge(state(≤T), state(>T)) ≡ state(all);
+    avg derives exactly from the merged components."""
+    from mapr_plugins_spark.operators.analytics import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value", "ts")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    keys = ["user_id", "event_type"]
+    base = incremental_agg_state(ev.filter(eus <= F.lit(SCD2_APPLY_CUTOFF_US)), keys, "value")
+    wave = incremental_agg_state(ev.filter(eus > F.lit(SCD2_APPLY_CUTOFF_US)), keys, "value")
+    merged = incremental_agg_merge([base, wave], keys)
+    return merged.select(
+        *keys,
+        "cnt",
+        F.col("sum_dec").cast("double").alias("sum_v"),
+        (F.col("sum_dec").cast("double") / F.col("cnt").cast("double")).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )
+
+
 def x_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup of each purchase against the SCD2 state
     dimension built from the same event log: the leakage-safe temporal
@@ -2567,6 +2596,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_graph_kcore,
             x_scd2_lookup,
             x_scd2_apply,
+            x_rollup_apply,
             x_dq_expectations,
             x_quality_lr_score,
             x_mad_outliers,
@@ -3570,6 +3600,16 @@ def extension_oracles() -> dict[str, str]:
         # x_scd2_apply shares the FULL-log rebuild oracle: the graded
         # check is the incremental-equals-rebuild law itself.
         "x_scd2_apply": _SCD2_BUILD_ORACLE,
+        "x_rollup_apply": """
+            SELECT user_id, event_type,
+                   CAST(COUNT(value) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(value) AS DOUBLE) AS avg_v,
+                   MIN(value) AS min_v,
+                   MAX(value) AS max_v
+            FROM events GROUP BY 1, 2
+        """,
         "x_scd2_build": _SCD2_BUILD_ORACLE,
         "x_text_nfc_normalize": """
             WITH aug AS (

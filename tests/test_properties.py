@@ -232,3 +232,111 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
         for r in merged.itertuples()
     }
     assert got == want, (direction, lrows, rrows, got, want)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # key
+            st.sampled_from(["a", "b", "c"]),         # attr
+            st.integers(min_value=1000, max_value=9000),  # micros
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    cutoff=st.integers(min_value=500, max_value=9500),
+)
+@settings(**_SETTINGS)
+def test_scd2_apply_equals_rebuild_property(spark, events, cutoff):
+    """For ANY change log and ANY cutoff: applying the post-cutoff
+    wave to the dimension built from the pre-cutoff history equals
+    rebuilding from the full log (the incremental-maintenance law,
+    here over adversarial logs: duplicate timestamps within the wave,
+    no-op attrs, keys born after the cutoff, empty sides)."""
+    from mapr_plugins_spark.operators.merge import scd2_apply, scd2_build
+
+    rows = [
+        (k, a, us, i)  # unique eid tiebreak per event
+        for i, (k, a, us) in enumerate(sorted(set(events)))
+    ]
+    df = spark.createDataFrame(rows, "k BIGINT, attr STRING, us BIGINT, eid BIGINT").select(
+        "k", "attr",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "eid",
+    )
+    usc = F.unix_micros(F.col("ts").cast("timestamp"))
+    base, delta = df.filter(usc <= cutoff), df.filter(usc > cutoff)
+    if base.count() == 0:
+        return  # scd2_apply needs an existing dimension; build covers this
+    full = sorted(map(tuple, scd2_build(df, "k", "attr", "ts", "eid").collect()))
+    dim = scd2_build(base, "k", "attr", "ts", "eid")
+    applied = sorted(
+        map(tuple, scd2_apply(dim, delta, "k", "attr", "ts", "eid").collect())
+    )
+    assert applied == full
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_containment_substring_and_bounds_property(spark, texts):
+    """For ANY corpus: every reported containment lies in (0, 1]; any
+    doc that IS a substring of another scores exactly 1.0 with that
+    other (full-containment recall is structural, not statistical)."""
+    from mapr_plugins_spark.operators.dedup import ngram_containment_pairs
+
+    n = 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            docs, n=n, bottom_k=2, threshold=0.5
+        ).collect()
+    }
+    for c in got.values():
+        assert 0.0 < c <= 1.0
+    for i, ti in rows:
+        for j, tj in rows:
+            if i < j and len(ti) >= n and len(tj) >= n and ti != tj:
+                if ti in tj or tj in ti:
+                    assert got.get((i, j)) == 1.0, (i, j, ti, tj, got.get((i, j)))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.sampled_from(["x", "y"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            st.integers(min_value=0, max_value=2),  # wave assignment
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(**_SETTINGS)
+def test_incremental_agg_merge_equals_full_property(spark, rows):
+    """For ANY dataset and ANY 3-way wave split: folding the per-wave
+    mergeable states equals the state of the full data — including
+    empty waves and single-row groups."""
+    from mapr_plugins_spark.operators.analytics import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+
+    data = [(k, t, float(v), w) for k, t, v, w in rows]
+    df = spark.createDataFrame(data, "k BIGINT, t STRING, value DOUBLE, w INT")
+    keys = ["k", "t"]
+    waves = [
+        incremental_agg_state(df.filter(F.col("w") == i), keys, "value")
+        for i in range(3)
+    ]
+    merged = sorted(map(tuple, incremental_agg_merge(waves, keys).collect()))
+    full = sorted(map(tuple, incremental_agg_state(df, keys, "value").collect()))
+    assert merged == full

@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   q23 q25 q29 q52-q56 q58-q61 q65-q71(q71=warc) q72(jsonl)
 #:   x_scd2_apply x_temperature_mix x_triangle_estimate
 #:   x_triangle_estimate_prod x_dedup_containment x_ccnet_buckets
-#:   x_graph_kcore x_kcenter_select x_rollup_apply
+#:   x_graph_kcore x_kcenter_select x_rollup_apply s20_stream_rollup
 #:   x_dedup_incremental x_semantic_dedup x_cdc_chunk_dedup x_lm_score
 #:   x_retrieval_metrics x_pagerank x_dedup_incremental_indexed
 #:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode

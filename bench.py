@@ -128,6 +128,7 @@ def main() -> None:
         "x_bpe_encode_fast",  # production-merge-count encoder (round 5)
         "x_scd2_apply",  # incremental SCD2 maintenance (round 5)
         "x_rollup_apply",  # incremental rollup maintenance (round 5)
+        "s20_stream_rollup",  # streaming materialized view twin (round 5)
         "x_temperature_mix",  # alpha=1/2 domain sampling (round 5)
         "x_dedup_containment",  # Broder doc-in-doc inclusion (round 5)
         "x_ccnet_buckets",  # CCNet perplexity terciles (round 5)

@@ -2453,6 +2453,21 @@ _SCD2_BUILD_ORACLE = """
         """
 
 
+#: Full-log rollup oracle, shared VERBATIM between the batch
+#: incremental-maintenance key (x_rollup_apply) and its streaming twin
+#: (s20_stream_rollup) — one driver row certifies both folds.
+ROLLUP_ORACLE_SQL = """
+    SELECT user_id, event_type,
+           CAST(COUNT(value) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS avg_v,
+           MIN(value) AS min_v,
+           MAX(value) AS max_v
+    FROM events GROUP BY 1, 2
+"""
+
+
 def _triangle_estimate_oracle(guarded: bool) -> str:
     """Independent replay of the DOULION estimate: the SAME portable-
     hash coin selects the edge subset, a brute-force 3-join counts its
@@ -3600,16 +3615,7 @@ def extension_oracles() -> dict[str, str]:
         # x_scd2_apply shares the FULL-log rebuild oracle: the graded
         # check is the incremental-equals-rebuild law itself.
         "x_scd2_apply": _SCD2_BUILD_ORACLE,
-        "x_rollup_apply": """
-            SELECT user_id, event_type,
-                   CAST(COUNT(value) AS BIGINT) AS cnt,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                       / CAST(COUNT(value) AS DOUBLE) AS avg_v,
-                   MIN(value) AS min_v,
-                   MAX(value) AS max_v
-            FROM events GROUP BY 1, 2
-        """,
+        "x_rollup_apply": ROLLUP_ORACLE_SQL,
         "x_scd2_build": _SCD2_BUILD_ORACLE,
         "x_text_nfc_normalize": """
             WITH aug AS (

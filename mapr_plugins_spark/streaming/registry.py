@@ -880,6 +880,64 @@ def s19_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile_from_cells(cells, "event_type", (0.5, 0.9), n_bins)
 
 
+def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ROLLUP maintenance — the streaming twin
+    of batch ``x_rollup_apply``: each (real) micro-batch reduces to
+    its mergeable per-(user, event_type) aggregate state (count,
+    exact DECIMAL sum, min, max) and folds into the persisted state
+    table via ``foreachBatch`` — the classic streaming materialized
+    view. Every component fold is commutative+associative, so batch
+    boundaries and arrival order cannot change the result, and the
+    final state equals the full-log aggregate: the key shares
+    ROLLUP_ORACLE_SQL with the batch twin VERBATIM. State size is
+    bounded by the group count, never the event count."""
+    import os
+    import uuid
+
+    from mapr_plugins_spark.operators.analytics import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+    from mapr_plugins_spark.streaming.replay import events_stream_chunked
+
+    run = f"/tmp/mapr_plugins_rollup/{uuid.uuid4().hex[:12]}"
+    os.makedirs(run, exist_ok=True)
+    keys = ["user_id", "event_type"]
+    stream = events_stream_chunked(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    n_applied = {"batches": 0}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        wave = incremental_agg_state(batch, keys, "value")
+        prev = f"{run}/state_{batch_id - 1}"
+        if os.path.exists(prev):
+            merged = incremental_agg_merge([sess.read.parquet(prev), wave], keys)
+        else:
+            merged = wave
+        merged.write.mode("overwrite").parquet(f"{run}/state_{batch_id}")
+        n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{run}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
+    final = spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
+    return final.select(
+        *keys,
+        "cnt",
+        F.col("sum_dec").cast("double").alias("sum_v"),
+        (F.col("sum_dec").cast("double") / F.col("cnt").cast("double")).alias("avg_v"),
+        "min_v",
+        "max_v",
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -900,6 +958,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s17_stream_heavy_hitters_bounded,
         s18_stream_cms,
         s19_stream_quantile,
+        s20_stream_rollup,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -920,7 +979,13 @@ def streaming_oracles() -> dict[str, str]:
 
     from mapr_plugins_spark.operators.registry import _cms_oracle
 
+    from mapr_plugins_spark.operators.registry import ROLLUP_ORACLE_SQL
+
     oracles = {
+        # every state component folds commutatively, so the streaming
+        # materialized view finishes at the batch aggregate and shares
+        # the batch x_rollup_apply oracle verbatim
+        "s20_stream_rollup": ROLLUP_ORACLE_SQL,
         # the streaming cell fold finishes at exactly the batch cells
         # (commutative addition), so the sketch estimates share the
         # batch x_sketch_cms oracle verbatim

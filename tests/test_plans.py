@@ -699,3 +699,61 @@ def test_bpe_encode_fast_plan_size_constant_in_merges(spark, sf_dir):
     big = A.plan_str(bpe_encode_fast(docs, merges=_synthetic_merges(2000)))
     assert "ArrowEvalPython" in small
     assert len(big) == len(small)
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """The only exchanges feed the 1-row-per-source rate aggregate;
+    the corpus side reaches the acceptance filter through a broadcast
+    join, never a corpus-keyed shuffle (the hash_split scale shape)."""
+    from mapr_plugins_spark.operators.registry import x_temperature_mix
+
+    df = x_temperature_mix(spark, sf_dir)
+    p = A.plan_str(df)
+    # the only BNLJ is the broadcast of the 1-row nmin aggregate (the
+    # sanctioned scalar-crossJoin shape); the corpus joins the rates
+    # by hash on the source key
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_scd2_apply_pass_through_is_shuffle_bounded(spark, sf_dir):
+    """Incremental SCD2: cartesian-free, and the change-detection
+    window is the only sort-heavy stage — unaffected dim rows reach
+    the output through joins/unions, never a history-wide window."""
+    from mapr_plugins_spark.operators.registry import x_scd2_apply
+
+    df = x_scd2_apply(spark, sf_dir)
+    assert not A.has_cartesian(df), A.plan_str(df)
+
+
+def test_rollup_merge_is_one_partial_final_aggregate(spark, sf_dir):
+    """Folding wave states is union + ONE map-side-combined aggregate:
+    partial+final HashAggregate pair over the union, no join."""
+    from mapr_plugins_spark.operators.registry import x_rollup_apply
+
+    df = x_rollup_apply(spark, sf_dir)
+    p = A.plan_str(df)
+    assert not A.has_cartesian(df), p
+    assert "HashAggregate" in p and "Join" not in p, p
+
+
+def test_kcenter_rounds_are_take_ordered_scans(spark, sf_dir):
+    """Each greedy round's argmax must plan as TakeOrdered (per-
+    partition heaps + driver merge of ONE row), never a global sort;
+    pin via the distance-scan plan of a 2-center state."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    from mapr_plugins_spark.operators.similarity import _d2_fold
+
+    cents = F.array(F.array(*[F.lit(0.0)] * 64), F.array(*[F.lit(1.0)] * 64))
+    d2s = F.transform(cents, lambda c: _d2_fold(F.col("embedding"), c))
+    probe = (
+        emb.select("vec_id", F.array_min(d2s).alias("__md"))
+        .orderBy(F.col("__md").desc(), F.col("vec_id").asc())
+        .limit(1)
+    )
+    p = A.plan_str(probe)
+    assert "TakeOrderedAndProject" in p, p

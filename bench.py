@@ -1,8 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
-   "queries": {"q01": sec, ...}, "sf": <sf>}
+Output protocol (round-6 fix — the round-5 record was unparseable
+because the single ~100-query JSON line outgrew the driver's
+tail-capture buffer):
+
+* line 1: the FULL result (per-query map) — also written to
+  ``bench_full.json`` next to this script so the per-query series
+  survives any stdout truncation;
+* LAST line: a compact summary that fits any tail window —
+  ``{"metric": "suite_wall_sec", "value": <total>, "unit": "sec",
+  "n": <n_queries>, "sf": <sf>, "queries_file": "bench_full.json"}``.
 
 Each query executes fully on the executors via the no-op sink (no
 driver collect), after a warm-up that triggers JVM/codegen warm paths.
@@ -158,14 +165,33 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+    # Full record first (may exceed a tail buffer — that's fine, the
+    # side file has it)...
+    print(json.dumps(full))
+    sys.stdout.flush()
+    # ...compact summary LAST: this is the line a bounded tail capture
+    # parses, so it must stay small no matter how many queries run.
     print(
         json.dumps(
             {
                 "metric": "suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": len(timings),
+                "sf": sf_val,
+                "queries_file": "bench_full.json",
             }
         )
     )

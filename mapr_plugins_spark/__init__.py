@@ -19,8 +19,8 @@ Python-side execution (pandas UDFs) appears only where built-in operators
 cannot express the semantics.
 """
 
-from mapr_plugins_spark.session import get_session
+from mapr_plugins_spark.session import get_session, release_operator_caches
 from mapr_plugins_spark.catalog import TABLES, load_tables
 
-__all__ = ["get_session", "load_tables", "TABLES"]
+__all__ = ["get_session", "release_operator_caches", "load_tables", "TABLES"]
 __version__ = "0.1.0"

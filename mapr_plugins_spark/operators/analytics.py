@@ -498,11 +498,18 @@ def incremental_agg_state(
     of the union without touching history (the aggregate twin of
     ``scd2_apply``). The sum stays DECIMAL inside the state — summing
     pre-cast doubles across merges would reintroduce the float-order
-    nondeterminism the exact-decimal convention exists to kill."""
+    nondeterminism the exact-decimal convention exists to kill — and
+    the state carries it WIDE (decimal(38,6), 32 integer digits): at
+    the 100 TB scale this primitive targets, a decimal(18,6) state
+    would overflow after ~10¹² unit-scale values merged into one key
+    (ANSI runtime error, or silent null with ANSI off) while the
+    DuckDB oracle's SUM widens to DECIMAL(38,6) and survives
+    (round-5 ADVICE). Consumers narrow/cast to double only at their
+    final projection."""
     return df.groupBy(*keys).agg(
         F.count(value_col).alias("cnt"),
         F.sum(F.col(value_col).cast("decimal(18,6)"))
-        .cast("decimal(18,6)")
+        .cast("decimal(38,6)")
         .alias("sum_dec"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
@@ -520,9 +527,11 @@ def incremental_agg_merge(
     from functools import reduce
 
     allst = reduce(lambda a, b: a.unionByName(b), states)
+    # keep the merged sum at the state's full decimal(38,6) width —
+    # narrowing here is exactly where a 100 TB merge would overflow
     return allst.groupBy(*keys).agg(
         F.sum("cnt").alias("cnt"),
-        F.sum("sum_dec").cast("decimal(18,6)").alias("sum_dec"),
+        F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )

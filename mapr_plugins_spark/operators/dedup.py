@@ -292,6 +292,7 @@ def ngram_containment_pairs(
     n: int = 8,
     bottom_k: int = 3,
     threshold: float = 0.8,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric INCLUSION detection (Broder 1997's containment):
     ``containment = |A∩B| / min(|A|, |B|)`` over character n-gram
@@ -314,7 +315,13 @@ def ngram_containment_pairs(
 
     Deterministic end-to-end (df ranks, gram tie-breaks, exact
     verify), so the full-value oracle replays candidates AND scores
-    exactly."""
+    exactly.
+
+    Cache contract: the returned (lazy) plan reads one persisted
+    frame (the per-doc gram arrays, consumed 4×). Pass
+    ``persisted_out`` to receive the handle and unpersist after your
+    consuming action, or ``spark.catalog.clearCache()`` between
+    queries in a long-lived session (round-5 ADVICE)."""
     grams_expr = F.expr(
         f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
         f" i -> substring({text_col}, i, {n})))"
@@ -324,6 +331,8 @@ def ngram_containment_pairs(
         .select(F.col(id_col).alias("doc_id"), grams_expr.alias("g"))
         .persist()  # feeds probes, the gram stream, and both verify sides
     )
+    if persisted_out is not None:
+        persisted_out.append(garr)
     stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
     dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
     wdoc = Window.partitionBy("sid").orderBy(F.col("__df").asc(), F.col("sg").asc())
@@ -333,8 +342,15 @@ def ngram_containment_pairs(
         .filter(F.col("__rn") <= bottom_k)
         .select(F.col("sid").alias("pid"), F.col("sg").alias("pg"))
     )
+    # NO broadcast hint on the probe side: probes is bottom_k rows PER
+    # DOCUMENT, i.e. corpus-proportional — at 10⁹ docs a forced
+    # broadcast is a guaranteed executor OOM (round-5 verdict finding
+    # #2). A plain equi-join on the gram key lets both sides
+    # shuffle-partition by gram (and AQE pick broadcast itself when the
+    # probe side really is small); the df aggregate already computed
+    # makes skewed grams visible for salting if ever needed.
     cand = (
-        F.broadcast(probes)
+        probes
         .join(stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid")))
         .select(
             F.least("pid", "sid").alias("id_a"),
@@ -636,11 +652,18 @@ def dedup_by_pairs(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Drop near-duplicates: keep one canonical doc (minimum id) per
-    connected component, plus every doc not in any pair."""
+    connected component, plus every doc not in any pair.
+
+    The anti-join carries NO broadcast hint: the loser set is bounded
+    by the pair space, but on a heavily duplicated web crawl (30–60%
+    dup rates are normal) it is corpus-proportional, and a forced
+    broadcast would OOM the executors at 100 TB (round-5 verdict).
+    Unhinted, the anti-join shuffles on the id key — or AQE broadcasts
+    it by itself when the loser set really is small."""
     comp = collapse_components(pairs)
     losers = comp.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
     return docs.join(
-        F.broadcast(losers.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
 
 
@@ -657,8 +680,9 @@ def curate(
     all stages the scale-audited operators above.
 
     Note: ``losers`` (docs dropped by near-dup collapse) is bounded by
-    the candidate-pair space, which LSH keeps tiny relative to the
-    corpus — hence broadcastable in :func:`dedup_by_pairs`.
+    the candidate-pair space; :func:`dedup_by_pairs` leaves the join
+    strategy to the planner (no broadcast hint), so a high-dup-rate
+    crawl cannot OOM the anti-join.
     """
     from mapr_plugins_spark.operators.text import quality_features, with_language_id
 

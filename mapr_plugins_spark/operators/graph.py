@@ -78,11 +78,21 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    if iterations >= 1:
+        # the final ranks are an (eager) localCheckpoint — lineage is
+        # truncated, so the round-internal persists are dead weight;
+        # release them here instead of leaking blocks into a
+        # long-lived session (round-5 ADVICE).
+        for frame in (e, nodes, edges):
+            frame.unpersist()
     return ranks
 
 
 def triangle_count(
-    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph — the
     clustering/community-density signal a crawl-graph curation pass
@@ -98,7 +108,16 @@ def triangle_count(
     wedges). Three dataflow steps: degree aggregate, wedge self-join
     on the oriented source, closing-edge semi join — all hash
     equi-joins, no cartesian. Output: (node, n_triangles), nodes in
-    ≥1 triangle."""
+    ≥1 triangle.
+
+    Cache contract: the returned plan reads TWO operator-internal
+    persisted frames (the canonical edge set and the oriented edge
+    set — each consumed up to 6×, so the persist is load-bearing).
+    Because the result is lazy the frames cannot be unpersisted here;
+    pass ``persisted_out`` to receive the handles and unpersist them
+    once your consuming action completes, or call
+    ``spark.catalog.clearCache()`` between queries in a long-lived
+    session (round-5 ADVICE: the blocks otherwise accumulate)."""
     # e feeds the degree aggregate (twice) and the orientation join;
     # oriented feeds both wedge sides AND both closing orientations —
     # without persist each reference re-derives the whole upstream
@@ -123,6 +142,8 @@ def triangle_count(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
     ).persist()
+    if persisted_out is not None:
+        persisted_out.extend([e, oriented])
     # wedges anchored at lo: (lo→x, lo→y), x<y to count each pair once
     o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
@@ -178,6 +199,7 @@ def triangle_global_estimate(
     b_col: str = "b",
     keep_per_mille: int = 500,
     seed: str = DOULION_SEED,
+    persisted_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """GLOBAL triangle-count estimate by DOULION edge sampling
     (Tsourakakis et al., KDD 2009, public): count triangles on the
@@ -191,7 +213,7 @@ def triangle_global_estimate(
     Output: one row ``(est_triangles)``; exact integer arithmetic
     (est = 3·T_node_sum/3 · 1000³ DIV keep³)."""
     sparse = sparsify_edges(edges, a_col, b_col, keep_per_mille, seed)
-    per_node = triangle_count(sparse, a_col, b_col)
+    per_node = triangle_count(sparse, a_col, b_col, persisted_out=persisted_out)
     num = 1000**3
     den = keep_per_mille**3
     # per_node counts each triangle at 3 nodes → sum/3 = T_sparse.
@@ -241,6 +263,7 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
+    persisted_edges = e
     cur = e
     prev_n = None
     converged = False
@@ -260,6 +283,10 @@ def k_core(
         if n_keep == 0:
             converged = True  # empty core is a fixpoint
             break
+    # every loop iteration leaves ``cur`` as an eager localCheckpoint,
+    # so the input persist is dead after the loop — release it instead
+    # of leaking blocks into a long-lived session (round-5 ADVICE)
+    persisted_edges.unpersist()
     if not converged:
         # one more degree pass may still certify the fixpoint (the
         # cap-th peel was the converging one)

@@ -74,6 +74,7 @@ def scd2_build(
     attr_col: str,
     ts_col: str,
     tiebreak_col: str,
+    carry_last_event: bool = False,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2 from a change log: collapse the
     per-key event stream to the rows where the tracked attribute
@@ -92,29 +93,46 @@ def scd2_build(
     it. State per key is O(1) (lag/lead/row_number stream through
     sorted runs); no skew risk beyond the key distribution itself, which
     AQE handles.
+
+    ``carry_last_event=True`` adds a ``last_event_us`` column: the
+    microsecond timestamp of the key's LAST raw log event — including
+    no-op events the change-detection filter drops. This is the
+    watermark :func:`scd2_apply` needs to enforce its equivalence law
+    exactly (a delta event later than the current ``valid_from_us``
+    but at-or-before a dropped no-op event would silently diverge
+    from a full rebuild — the no-op re-becomes a change once the
+    delta interleaves before it). Computed as one extra
+    partition-wide max over the SAME key partitioning, so the
+    single-shuffle plan shape is preserved.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    changed = (
-        df.withColumn("__prev", F.lag(attr_col).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
-        .drop("__prev")
-    )
-    nxt = F.lead(ts_col).over(w)
+    wk = Window.partitionBy(key_col)
     # ts is TIMESTAMP_NTZ by catalog contract; the NTZ→LTZ cast reads
     # the wall time in the session zone, which the catalog pins to UTC,
     # so these micros equal DuckDB's epoch_us over the naive timestamp
     # under ANY host session timezone.
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    return changed.select(
+    staged = df.withColumn("__prev", F.lag(attr_col).over(w))
+    if carry_last_event:
+        # max over ALL raw events of the key (before the no-op drop)
+        staged = staged.withColumn("__last_ev", F.max(us(F.col(ts_col))).over(wk))
+    changed = staged.filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+    ).drop("__prev")
+    nxt = F.lead(ts_col).over(w)
+    cols = [
         F.col(key_col),
         F.col(attr_col),
         us(F.col(ts_col)).alias("valid_from_us"),
         us(nxt).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).cast("long").alias("version"),
-    )
+    ]
+    if carry_last_event:
+        cols.append(F.col("__last_ev").alias("last_event_us"))
+    return changed.select(*cols)
 
 
 def scd2_lookup(
@@ -173,21 +191,39 @@ def scd2_apply(
     shuffle covers only base+delta events of affected keys).
 
     Precondition (the standard CDC watermark contract): every delta
-    event is STRICTLY LATER than its key's current ``valid_from_us``.
-    Violations fail loudly in-plan (``raise_error`` folded into the
-    event timestamp every window consumer reads) — a silent reorder
-    would corrupt history.
+    event is STRICTLY LATER than its key's LAST historical EVENT —
+    including no-op events :func:`scd2_build`'s change-detection
+    dropped. When ``dim`` carries ``last_event_us`` (built with
+    ``carry_last_event=True``), the in-plan ``raise_error`` guard
+    enforces exactly that, and the equivalence law
+    ``apply(build(log≤T), log>T) ≡ build(log)`` holds for every wave
+    the guard admits. Without the column the guard can only check
+    against the current ``valid_from_us`` — a WEAKER condition: a
+    delta event after the current version's start but at-or-before a
+    later dropped no-op event passes silently yet diverges from a
+    full rebuild (the rebuild interleaves the delta before the no-op,
+    which then re-becomes a change). Cutoff-split waves (every delta
+    event later than ALL historical events) are always safe under
+    either guard.
 
-    Output schema ≡ :func:`scd2_build`:
-    ``(key, attr, valid_from_us, valid_to_us, is_current, version)``.
+    Output schema ≡ :func:`scd2_build` (``last_event_us``, when
+    present, is refreshed on the rebuilt rows — max of the guard
+    bound and the wave's events — and is authoritative on each key's
+    CURRENT row, which is the only row the next wave's guard reads;
+    closed historical rows keep their stale value).
     """
     from pyspark.sql import Window
 
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    has_le = "last_event_us" in dim.columns
     akeys = delta.select(key_col).distinct()
     cur = dim.filter(F.col("is_current"))
     cur_aff = cur.join(akeys, key_col, "left_semi")
 
+    # __guard: the strictest watermark the dimension can certify —
+    # the key's last raw event when the dim carries it, else the
+    # current version's start (weaker; see docstring).
+    guard_src = F.col("last_event_us") if has_le else F.col("valid_from_us")
     base = cur_aff.select(
         F.col(key_col),
         F.col(attr_col),
@@ -195,6 +231,7 @@ def scd2_apply(
         F.lit(None).cast(delta.schema[tiebreak_col].dataType).alias("__tb"),
         F.lit(1).alias("__is_base"),
         (F.col("version") - 1).alias("__offset"),
+        guard_src.alias("__guard"),
     )
     dev = delta.select(
         F.col(key_col),
@@ -203,6 +240,7 @@ def scd2_apply(
         F.col(tiebreak_col).alias("__tb"),
         F.lit(0).alias("__is_base"),
         F.lit(None).cast("long").alias("__offset"),
+        F.lit(None).cast("long").alias("__guard"),
     )
     ev = base.unionByName(dev)
 
@@ -210,19 +248,28 @@ def scd2_apply(
     w = Window.partitionBy(key_col).orderBy(
         F.col("__us").asc(), F.col("__is_base").desc(), F.col("__tb").asc_nulls_first()
     )
-    base_us = F.max(F.when(F.col("__is_base") == 1, F.col("__us"))).over(wk)
+    base_guard = F.max(F.when(F.col("__is_base") == 1, F.col("__guard"))).over(wk)
+    guard_name = "last event" if has_le else "current version's valid_from"
     # watermark guard: folded into the timestamp every downstream
     # window expression reads, so it evaluates for EVERY delta event
     guarded_us = F.when(
-        (F.col("__is_base") == 0) & base_us.isNotNull() & (F.col("__us") <= base_us),
+        (F.col("__is_base") == 0)
+        & base_guard.isNotNull()
+        & (F.col("__us") <= base_guard),
         F.raise_error(
             F.concat(
-                F.lit("scd2_apply: delta event at or before the current "
-                      "version's valid_from for key "),
+                F.lit(
+                    f"scd2_apply: delta event at or before the {guard_name} "
+                    "for key "
+                ),
                 F.col(key_col).cast("string"),
             )
         ).cast("long"),
     ).otherwise(F.col("__us"))
+    # refreshed per-key last event: guard bound ∨ the wave's events
+    new_le = F.max(
+        F.when(F.col("__is_base") == 1, F.col("__guard")).otherwise(F.col("__us"))
+    ).over(wk)
     ev = ev.select(
         key_col,
         attr_col,
@@ -230,6 +277,7 @@ def scd2_apply(
         "__tb",
         "__is_base",
         F.coalesce(F.max("__offset").over(wk), F.lit(0)).alias("__off"),
+        new_le.alias("__newle"),
     )
 
     changed = (
@@ -238,18 +286,23 @@ def scd2_apply(
         .drop("__prev")
     )
     nxt = F.lead("__us").over(w)
-    rebuilt = changed.select(
+    rebuilt_cols = [
         F.col(key_col),
         F.col(attr_col),
         F.col("__us").alias("valid_from_us"),
         nxt.alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
         (F.col("__off") + F.row_number().over(w)).cast("long").alias("version"),
-    )
+    ]
+    if has_le:
+        rebuilt_cols.append(F.col("__newle").alias("last_event_us"))
+    rebuilt = changed.select(*rebuilt_cols)
 
     untouched = dim.join(akeys, key_col, "left_anti")
     hist_aff = dim.filter(~F.col("is_current")).join(akeys, key_col, "left_semi")
     out_cols = [key_col, attr_col, "valid_from_us", "valid_to_us", "is_current", "version"]
+    if has_le:
+        out_cols.append("last_event_us")
     return (
         untouched.select(*out_cols)
         .unionByName(hist_aff.select(*out_cols))

@@ -1465,7 +1465,15 @@ def x_triangle_estimate(
     # job sums their memory peaks — sequencing makes the peak
     # max(est, exact) instead (observed: heap OOM in a 1g-driver
     # sweep at sf0.1 for the fused plan, green sequenced).
-    est = triangle_global_estimate(edges, keep_per_mille=500).localCheckpoint()
+    sparse_frames: list[DataFrame] = []
+    est = triangle_global_estimate(
+        edges, keep_per_mille=500, persisted_out=sparse_frames
+    ).localCheckpoint()
+    # the 1-row estimate is materialized above — the sparse pipeline's
+    # internal persists are dead; release them (round-5 ADVICE: leaked
+    # blocks accumulate across queries in a long-lived session)
+    for frame in sparse_frames:
+        frame.unpersist()
     exact = triangle_count(edges).agg(
         F.expr("CAST(coalesce(sum(n_triangles), 0) DIV 3 AS BIGINT)").alias(
             "exact_triangles"
@@ -2129,15 +2137,23 @@ def x_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     CDC wave (`scd2_apply` — touches only the wave + affected keys'
     current rows). The oracle is the full-log rebuild (x_scd2_build's
     oracle verbatim): the graded check IS the law
-    apply(build(log≤T), log>T) ≡ build(log)."""
+    apply(build(log≤T), log>T) ≡ build(log). The dim is built with
+    carry_last_event=True so the apply guard enforces the EXACT
+    precondition (delta strictly later than the key's last raw event,
+    no-op events included); the watermark column is dropped at the end
+    to keep the graded schema identical to the rebuild oracle's."""
     from mapr_plugins_spark.operators.merge import scd2_apply, scd2_build
 
     ev = _t(spark, sf_dir, "events")
     eus = F.unix_micros(F.col("ts").cast("timestamp"))
     base = ev.filter(eus <= F.lit(SCD2_APPLY_CUTOFF_US))
     delta = ev.filter(eus > F.lit(SCD2_APPLY_CUTOFF_US))
-    dim = scd2_build(base, "user_id", "event_type", "ts", "event_id")
-    return scd2_apply(dim, delta, "user_id", "event_type", "ts", "event_id")
+    dim = scd2_build(
+        base, "user_id", "event_type", "ts", "event_id", carry_last_event=True
+    )
+    return scd2_apply(
+        dim, delta, "user_id", "event_type", "ts", "event_id"
+    ).drop("last_event_us")
 
 
 def x_rollup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,3 +92,26 @@ def pin_runtime_conf(spark: SparkSession) -> None:
         )
     except Exception:
         pass
+
+
+def release_operator_caches(spark: SparkSession) -> None:
+    """Release every operator-internal persisted frame.
+
+    Several operators (triangle counting, min-hash / containment
+    dedup, PMI, inverted index, …) persist an intermediate frame that
+    their RETURNED lazy plan reads multiply — the persist is
+    load-bearing, but since the result is lazy the operator itself can
+    never unpersist it. Eager-boundary operators (pagerank, k_core,
+    the DOULION estimate) release their persists internally; for the
+    lazy ones, any long-lived embedding driver MUST call this between
+    queries or the cached blocks accumulate without bound (observed:
+    driver heap OOM ~70 queries into an sf0.1 sweep — round-5 ADVICE).
+    ``bench.py`` and the driver-protocol harness both do.
+
+    Equivalent to ``spark.catalog.clearCache()`` — wrapped and named
+    so the contract is a documented package API rather than test-
+    harness folklore. Operators with a persisted frame also take a
+    ``persisted_out`` list for callers that want targeted, per-frame
+    unpersists instead of a global clear.
+    """
+    spark.catalog.clearCache()

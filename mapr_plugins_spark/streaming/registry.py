@@ -891,8 +891,10 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state equals the full-log aggregate: the key shares
     ROLLUP_ORACLE_SQL with the batch twin VERBATIM. State size is
     bounded by the group count, never the event count."""
-    import os
+    import shutil
     import uuid
+
+    from pyspark.errors import AnalysisException
 
     from mapr_plugins_spark.operators.analytics import (
         incremental_agg_merge,
@@ -901,7 +903,6 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapr_plugins_spark.streaming.replay import events_stream_chunked
 
     run = f"/tmp/mapr_plugins_rollup/{uuid.uuid4().hex[:12]}"
-    os.makedirs(run, exist_ok=True)
     keys = ["user_id", "event_type"]
     stream = events_stream_chunked(spark, sf_dir).select(
         "user_id", "event_type", "value"
@@ -911,10 +912,18 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         wave = incremental_agg_state(batch, keys, "value")
-        prev = f"{run}/state_{batch_id - 1}"
-        if os.path.exists(prev):
-            merged = incremental_agg_merge([sess.read.parquet(prev), wave], keys)
-        else:
+        # prior-state existence resolves through the catalog READ, not
+        # a driver-local os.path probe: on a non-local checkpoint/
+        # storage filesystem (HDFS, S3) an os.path.exists() silently
+        # misses prior state and every batch restarts from zero
+        # (round-5 ADVICE). A failed read on batch 0 is the expected
+        # cold start; any other batch must find its predecessor.
+        try:
+            prev = sess.read.parquet(f"{run}/state_{batch_id - 1}")
+            merged = incremental_agg_merge([prev, wave], keys)
+        except AnalysisException:
+            if batch_id != 0:
+                raise  # lost state is corruption, never a cold start
             merged = wave
         merged.write.mode("overwrite").parquet(f"{run}/state_{batch_id}")
         n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
@@ -927,15 +936,25 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
-    final = spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
-    return final.select(
-        *keys,
-        "cnt",
-        F.col("sum_dec").cast("double").alias("sum_v"),
-        (F.col("sum_dec").cast("double") / F.col("cnt").cast("double")).alias("avg_v"),
-        "min_v",
-        "max_v",
+    final = (
+        spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
+        .select(
+            *keys,
+            "cnt",
+            F.col("sum_dec").cast("double").alias("sum_v"),
+            (
+                F.col("sum_dec").cast("double") / F.col("cnt").cast("double")
+            ).alias("avg_v"),
+            "min_v",
+            "max_v",
+        )
+        # materialize before cleanup: the run directory (per-batch state
+        # + stream checkpoint) must not leak across runs (round-5
+        # ADVICE), and the returned frame must not depend on it
+        .localCheckpoint()
     )
+    shutil.rmtree(run, ignore_errors=True)
+    return final
 
 
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -205,3 +205,78 @@ def test_scd2_apply_watermark_guard_throws(spark):
     late = ev.filter(us <= 1200)  # at/before key 1's current valid_from
     with _pytest.raises(Exception, match="scd2_apply"):
         scd2_apply(dim, late, "k", "attr", "ts", "eid").collect()
+
+
+def _noop_shadow_fixture(spark):
+    """Key 1's history: change at 1000, then a NO-OP event at 2000
+    (same attr — scd2_build's change detection drops it). A delta at
+    1500 is after the current valid_from (1000) but BEFORE the dropped
+    no-op — the round-5 ADVICE divergence case: a full rebuild
+    interleaves the delta before the no-op, which then re-becomes a
+    change and emits an extra version."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "a", 1000, 1), (1, "a", 2000, 2)]
+    return spark.createDataFrame(
+        rows, "k BIGINT, attr STRING, us BIGINT, eid BIGINT"
+    ).select(
+        "k", "attr",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "eid",
+    )
+
+
+def test_scd2_apply_last_event_guard_catches_noop_shadow(spark):
+    """With carry_last_event=True the guard enforces the EXACT
+    precondition (delta strictly later than the key's last raw event,
+    no-ops included): the shadowed delta fails loudly instead of
+    silently diverging from the full rebuild."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.merge import scd2_apply, scd2_build
+
+    ev = _noop_shadow_fixture(spark)
+    delta = spark.createDataFrame(
+        [(1, "b", 1500, 9)], "k BIGINT, attr STRING, us BIGINT, eid BIGINT"
+    ).select(
+        "k", "attr",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+        "eid",
+    )
+    dim = scd2_build(ev, "k", "attr", "ts", "eid", carry_last_event=True)
+    assert [r.last_event_us for r in dim.collect()] == [2000]
+    with _pytest.raises(Exception, match="scd2_apply.*last event"):
+        scd2_apply(dim, delta, "k", "attr", "ts", "eid").collect()
+    # The valid_from-only guard CANNOT see the dropped no-op: the same
+    # wave passes silently — the documented weaker contract the
+    # last_event_us watermark exists to close.
+    weak_dim = scd2_build(ev, "k", "attr", "ts", "eid")
+    weak = scd2_apply(weak_dim, delta, "k", "attr", "ts", "eid").collect()
+    assert len(weak) == 2  # diverges: rebuild over the full log has 3 versions
+
+
+def test_scd2_apply_refreshes_last_event_on_current_rows(spark):
+    """A carried dimension chains: after a wave, each affected key's
+    CURRENT row holds the wave's max event timestamp, so the next
+    wave's guard reads the fresh watermark; a legal second wave then
+    still satisfies the equivalence law."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.merge import scd2_apply, scd2_build
+
+    ev = _scd2_fixture(spark)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dim = scd2_build(
+        ev.filter(us <= 2500), "k", "attr", "ts", "eid", carry_last_event=True
+    )
+    wave1 = ev.filter((us > 2500) & (us <= 3600))
+    wave2 = ev.filter(us > 3600)
+    mid = scd2_apply(dim, wave1, "k", "attr", "ts", "eid")
+    cur_le = {r.k: r.last_event_us for r in mid.filter("is_current").collect()}
+    assert cur_le[1] == 3000 and cur_le[2] == 3500 and cur_le[3] == 3200
+    out = scd2_apply(mid, wave2, "k", "attr", "ts", "eid").drop("last_event_us")
+    full = scd2_build(ev, "k", "attr", "ts", "eid")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, full.collect())
+    )

@@ -757,3 +757,39 @@ def test_kcenter_rounds_are_take_ordered_scans(spark, sf_dir):
     )
     p = A.plan_str(probe)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_containment_candidate_join_is_hint_free(spark, sf_dir):
+    """Round-6 scale fix: the rarest-gram candidate join must NOT force
+    a broadcast of the probe side (bottom_k rows PER DOCUMENT is
+    corpus-proportional — a hint there OOMs executors at 10⁹ docs).
+    With auto-broadcast disabled, a hint-free plan shows zero broadcast
+    joins: every join falls back to a keyed shuffle."""
+    from mapr_plugins_spark.operators.registry import x_dedup_containment
+
+    with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        df = x_dedup_containment(spark, sf_dir)
+        p = A.plan_str(df)
+    assert not A.has_cartesian(df), p
+    assert "BroadcastHashJoin" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dedup_by_pairs_anti_join_is_hint_free(spark):
+    """The near-dup loser anti-join must leave the strategy to the
+    planner: on a 30–60%-dup crawl the loser set is corpus-proportional
+    and a forced broadcast would OOM (round-5 verdict). With
+    auto-broadcast off, the anti-join must plan as a keyed shuffle."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.dedup import dedup_by_pairs
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    pairs = spark.range(0, 60).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        out = dedup_by_pairs(docs, pairs)
+        p = A.plan_str(out)
+    assert "BroadcastHashJoin" not in p, p

@@ -42,34 +42,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-6 rotation pool (keys with no driver row through round 5 —
-#: rotate ~20 per round, all full-value-oracled except the 5 noted
-#: rows-only ANN/HLL keys which stay outside the window). Round-5
-#: debuts (x_bpe_encode_fast, x_scd2_apply, x_temperature_mix,
-#: x_triangle_estimate, x_triangle_estimate_prod — the estimator pair
-#: IS full-value-oracled, deterministic coin) join the pool:
-#:   q23 q25 q29 q52-q56 q58-q61 q65-q71(q71=warc) q72(jsonl)
-#:   x_scd2_apply x_temperature_mix x_triangle_estimate
-#:   x_triangle_estimate_prod x_dedup_containment x_ccnet_buckets
-#:   x_graph_kcore x_kcenter_select x_rollup_apply s20_stream_rollup
-#:   x_dedup_incremental x_semantic_dedup x_cdc_chunk_dedup x_lm_score
-#:   x_retrieval_metrics x_pagerank x_dedup_incremental_indexed
-#:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
-#:   x_bpe_encode_fast x_ann_ivfpq_topk x_ann_pq_rerank
-#:   x_url_canonical_dedup x_snapshot_diff
+#: Round-7 rotation pool (keys with no driver row through round 6 —
+#: rotate ~20 per round, all full-value-oracled except the noted
+#: rows-only keys which stay outside the window):
+#:   q23 q25 q29 q53-q56 q58 q61 q65 q67 q68 q70 q71(warc) q72(jsonl)
+#:   x_topk_per_group x_mm_sniff x_dedup_incremental x_semantic_dedup
+#:   x_cdc_chunk_dedup x_lm_score x_retrieval_metrics x_pagerank
+#:   x_dedup_incremental_indexed x_training_mix x_text_nfc_normalize
+#:   x_group_split x_bpe_encode x_ann_ivfpq_topk x_ann_pq_rerank
 #:   x_token_budget_fill (its oracle constant is driver-proven via s16,
 #:   which shares TOKEN_BUDGET_ORACLE_SQL verbatim)
-#:   x_mm_wav_header x_mm_sniff s07_dedup_within_watermark
+#:   x_mm_wav_header s07_dedup_within_watermark
 #:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
-#:   x_decontaminate x_domain_mix x_dq_profile x_embed_normalize
-#:   x_embed_quantize x_funnel x_fuzzy_join_levenshtein x_hash_sample
-#:   x_hypertable_rollup x_inverted_index x_mm_features[_arrow]
+#:   x_decontaminate x_domain_mix x_embed_normalize
+#:   x_embed_quantize x_funnel x_hash_sample
+#:   x_inverted_index x_mm_features[_arrow]
 #:   x_mm_frames x_mm_resize x_ref_integrity x_salted_join
 #:   x_sketch_quantile x_stratified_sample
-#:   x_text_{diversity,fingerprint,quality,repetition} x_topk_per_group
+#:   x_text_{diversity,fingerprint,quality,repetition}
 #:   x_vocab_encode x_weighted_sample x_bloom_semi_join
-#:   (rows-only, keep out: x_ann_lsh_topk x_ann_lsh_indexed
-#:    x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll)
+#:   + round-6 debuts: x_ann_lsh_topk x_ann_lsh_indexed (converted to
+#:   full-value oracles this round)
+#:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
+#:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (
     # --- stable family representatives (30) ---
     # relational core
@@ -96,25 +91,18 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (20, round 5: never-graded keys, per the
-    # round-4 verdict's priority list — the 16 round-4 debuts with the
-    # most new machinery, then the oldest spot-verified tail.) ---
-    # round-4 operator debuts
-    "x_scd2_lookup", "x_dq_expectations", "x_triangle_count",
-    "x_mad_outliers", "x_k_anonymity", "x_sketch_merge",
-    "x_quality_lr_score",
-    # asof variants (merge_asof forward/tolerance parity)
-    "x_asof_forward", "x_asof_tolerance",
-    # production ANN / tokenizer / multimodal paths
-    "x_ann_ivfpq_indexed", "x_bpe_train_collected", "x_mm_wav_pcm",
-    # format parse debut
-    "q73_fixedwidth_parse",
-    # bounded-state streaming debuts (s17 twin of graded s14; CMS;
-    # quantile sketch)
-    "s17_stream_heavy_hitters_bounded", "s18_stream_cms",
-    "s19_stream_quantile",
-    # oldest never-graded tail (spot-verified green in round 4)
-    "q51_array_setops", "q64_na_funcs", "x_bm25", "x_cohort_retention",
+    # --- rotation slots (20, round 6: never-graded keys, per the
+    # round-5 verdict's priority list — all 11 round-5 debuts, then
+    # the oldest spot-verified tail.) ---
+    # round-5 operator debuts (verified green in the round-5 session)
+    "x_dedup_containment", "x_ccnet_buckets", "x_graph_kcore",
+    "x_kcenter_select", "x_bpe_encode_fast", "x_scd2_apply",
+    "x_rollup_apply", "s20_stream_rollup", "x_temperature_mix",
+    "x_triangle_estimate", "x_triangle_estimate_prod",
+    # oldest never-graded tail (spot-verified green in round 5)
+    "q52_map_higher_order", "q59_regr_agg", "q60_lateral_join",
+    "q66_keep_latest", "q69_time_range_window", "x_snapshot_diff",
+    "x_fuzzy_join_levenshtein", "x_dq_profile", "x_hypertable_rollup",
 )
 
 

@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapr_plugins_spark.functions.vectors import cosine_similarity, dot_product
+from mapr_plugins_spark.functions.vectors import cosine_similarity
 
 
 def _hyperplane(j: int, dim: int) -> list[float]:
@@ -58,16 +58,58 @@ def brute_force_topk(
     return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k).select(*cols)
 
 
+#: fixed-point scale for the signature dot products: embedding
+#: components in micro-units (BIGINT) make the sign test an exact
+#: integer comparison.
+SIG_MICRO = 1_000_000
+
+
 def signature_col(vec_col: str, n_bits: int, dim: int):
-    """LSH signature as an integer column: bit j = sign(v·hp_j)."""
+    """LSH signature as an integer column: bit j = (v·hp_j > 0), with
+    the dot product in EXACT INTEGER micro-units —
+    ``Σ_d floor(v_d·10⁶)·hp_jd`` over ±1 hyperplanes. float→micro is
+    one IEEE multiply + floor (bit-identical in any engine) and the
+    integer sum is order-independent, so the signature — hence the
+    LSH candidate set — is replayable by an independent SQL oracle:
+    the property that upgraded x_ann_lsh_* from rows-only to
+    full-value grading (round-5 verdict item #7). A float fold would
+    leave the sign of near-zero dots at the mercy of summation order."""
     sig = F.lit(0).cast("long")
     for j in range(n_bits):
-        hp = F.array(*[F.lit(x) for x in _hyperplane(j, dim)])
-        bit = F.when(dot_product(F.col(vec_col), hp) > 0, F.lit(1 << j).cast("long")).otherwise(
+        hp = F.array(*[F.lit(int(x)).cast("long") for x in _hyperplane(j, dim)])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                hp,
+                lambda v, h: F.floor(v.cast("double") * F.lit(SIG_MICRO)).cast(
+                    "long"
+                )
+                * h,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        sig = sig + bit
     return sig
+
+
+def lsh_signature_sql(vec_sql: str, n_bits: int = 6, dim: int = 64) -> str:
+    """The DuckDB twin of :func:`signature_col` — same md5-derived ±1
+    hyperplanes, same exact integer micro-unit sign test, rendered as
+    a SQL expression over a 1-based list column. Both engines compute
+    the identical BIGINT signature by construction."""
+    bits = []
+    for j in range(n_bits):
+        hp = _hyperplane(j, dim)
+        terms = " + ".join(
+            f"CAST(floor(CAST({vec_sql}[{d + 1}] AS DOUBLE)*{SIG_MICRO}) AS BIGINT)"
+            f"*({int(hp[d])})"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def lsh_topk(

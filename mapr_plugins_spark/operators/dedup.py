@@ -285,6 +285,61 @@ def ngram_jaccard_pairs(
     return _jaccard_verify(garr, cand, threshold)
 
 
+def containment_gram_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document distinct character ``n``-gram arrays —
+    ``(doc_id, g: array<string>)`` — the shared input of the
+    containment blocking and verify stages."""
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+    return fan_out(docs.filter(F.length(text_col) >= n)).select(
+        F.col(id_col).alias("doc_id"), grams_expr.alias("g")
+    )
+
+
+def rarest_gram_candidates(garr: DataFrame, bottom_k: int = 3) -> DataFrame:
+    """Candidate pairs by rarest-gram blocking over the gram-array
+    frame: each doc probes its ``bottom_k`` lowest-document-frequency
+    grams against the corpus gram stream. Exposed separately so the
+    blocking QUALITY (candidate fan-out vs corpus size) is testable
+    on its own — the round-5 verdict asked for the near-linear-
+    candidates claim on heavy-tailed gram distributions to be
+    measured, not modeled. Output: distinct ``(id_a, id_b)``,
+    id_a < id_b."""
+    stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
+    dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
+    wdoc = Window.partitionBy("sid").orderBy(F.col("__df").asc(), F.col("sg").asc())
+    probes = (
+        stream.join(dfreq, "sg")
+        .withColumn("__rn", F.row_number().over(wdoc))
+        .filter(F.col("__rn") <= bottom_k)
+        .select(F.col("sid").alias("pid"), F.col("sg").alias("pg"))
+    )
+    # NO broadcast hint on the probe side: probes is bottom_k rows PER
+    # DOCUMENT, i.e. corpus-proportional — at 10⁹ docs a forced
+    # broadcast is a guaranteed executor OOM (round-5 verdict finding
+    # #2). A plain equi-join on the gram key lets both sides
+    # shuffle-partition by gram (and AQE pick broadcast itself when the
+    # probe side really is small); the df aggregate already computed
+    # makes skewed grams visible for salting if ever needed.
+    return (
+        probes.join(
+            stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid"))
+        )
+        .select(
+            F.least("pid", "sid").alias("id_a"),
+            F.greatest("pid", "sid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -322,42 +377,11 @@ def ngram_containment_pairs(
     ``persisted_out`` to receive the handle and unpersist after your
     consuming action, or ``spark.catalog.clearCache()`` between
     queries in a long-lived session (round-5 ADVICE)."""
-    grams_expr = F.expr(
-        f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
-        f" i -> substring({text_col}, i, {n})))"
-    )
-    garr = (
-        fan_out(docs.filter(F.length(text_col) >= n))
-        .select(F.col(id_col).alias("doc_id"), grams_expr.alias("g"))
-        .persist()  # feeds probes, the gram stream, and both verify sides
-    )
+    garr = containment_gram_arrays(docs, id_col, text_col, n).persist()
+    # ^ feeds probes, the gram stream, and both verify sides
     if persisted_out is not None:
         persisted_out.append(garr)
-    stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
-    dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
-    wdoc = Window.partitionBy("sid").orderBy(F.col("__df").asc(), F.col("sg").asc())
-    probes = (
-        stream.join(dfreq, "sg")
-        .withColumn("__rn", F.row_number().over(wdoc))
-        .filter(F.col("__rn") <= bottom_k)
-        .select(F.col("sid").alias("pid"), F.col("sg").alias("pg"))
-    )
-    # NO broadcast hint on the probe side: probes is bottom_k rows PER
-    # DOCUMENT, i.e. corpus-proportional — at 10⁹ docs a forced
-    # broadcast is a guaranteed executor OOM (round-5 verdict finding
-    # #2). A plain equi-join on the gram key lets both sides
-    # shuffle-partition by gram (and AQE pick broadcast itself when the
-    # probe side really is small); the df aggregate already computed
-    # makes skewed grams visible for salting if ever needed.
-    cand = (
-        probes
-        .join(stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid")))
-        .select(
-            F.least("pid", "sid").alias("id_a"),
-            F.greatest("pid", "sid").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = rarest_gram_candidates(garr, bottom_k)
     ga, gb = garr.alias("ga"), garr.alias("gb")
     inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
     mins = F.least(F.size(F.col("ga.g")), F.size(F.col("gb.g")))

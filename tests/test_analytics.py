@@ -153,3 +153,33 @@ def test_merge_intervals_randomized_vs_brute(spark):
     for key, expected in want.items():
         have = {(r.m_start, r.m_end, r.n_merged) for r in got if r.k == key}
         assert have == expected, f"{key}: {have} != {expected}"
+
+
+def test_incremental_agg_state_survives_beyond_decimal18_headroom(spark):
+    """The mergeable state's sum must carry decimal(38,6): merging
+    waves whose combined sum exceeds decimal(18,6)'s 12 integer
+    digits (the round-5 ADVICE overflow) must stay exact, as the
+    DuckDB oracle's widened SUM does."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.analytics import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+
+    # 40 rows of 999,999,999,999.5 -> total ~4e13, past 18,6 capacity
+    df = spark.range(0, 40).select(
+        F.lit("k").alias("g"),
+        F.col("id").alias("w"),
+        F.lit(999_999_999_999.5).alias("value"),
+    )
+    waves = [
+        incremental_agg_state(df.filter(F.col("w") % 2 == i), ["g"], "value")
+        for i in (0, 1)
+    ]
+    merged = incremental_agg_merge(waves, ["g"]).collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert row.cnt == 40
+    assert str(merged[0].sum_dec) == "39999999999980.000000", row.sum_dec
+    assert dict(merged[0].asDict())["sum_dec"] is not None

@@ -135,6 +135,9 @@ def main() -> None:
         "x_bpe_encode_fast",  # production-merge-count encoder (round 5)
         "x_scd2_apply",  # incremental SCD2 maintenance (round 5)
         "x_rollup_apply",  # incremental rollup maintenance (round 5)
+        "x_rollup_apply_pruned",  # partition-pruned state sink (round 6)
+        "x_ann_lsh_topk",  # full-value since round 6 (integer signatures)
+        "x_ann_lsh_indexed",  # partition-pruned LSH index path
         "s20_stream_rollup",  # streaming materialized view twin (round 5)
         "x_temperature_mix",  # alpha=1/2 domain sampling (round 5)
         "x_dedup_containment",  # Broder doc-in-doc inclusion (round 5)

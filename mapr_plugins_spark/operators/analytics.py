@@ -535,3 +535,72 @@ def incremental_agg_merge(
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+def incremental_agg_apply_pruned(
+    spark,
+    state_dir: str,
+    wave_state: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int = 16,
+) -> list[int]:
+    """PARTITION-PRUNED incremental rollup apply — the 100 TB sink
+    shape SCALE.md documents for s20/x_rollup_apply: the state table
+    is laid out partitioned by ``__bucket = pmod(hash(keys),
+    n_buckets)``; an ingest wave reads ONLY the partitions its keys
+    hash into (a partition filter, so untouched state is never
+    scanned), folds with :func:`incremental_agg_merge`, and
+    dynamically overwrites only those partitions. Cost per wave is
+    O(touched buckets), not O(state); a transactional table (MERGE)
+    refines the same idea to file granularity. Returns the touched
+    bucket ids (bounded by ``n_buckets`` — the only driver-side
+    collect, metadata-sized by construction).
+
+    Correctness rides the same mergeable-state law as the flat apply:
+    fold components are commutative+associative with decimal(38,6)
+    headroom, so bucket-local folding cannot change any value.
+
+    Key columns are CAST to the persisted state's types before
+    hashing: Spark's ``hash`` is type-sensitive, so an INT wave key
+    against a BIGINT state key would bucket differently on the wave
+    than on the merged (union-widened) rows — the write would then
+    land in a partition that was never read, silently clobbering its
+    other keys (caught by the byte-identity test). An in-plan guard
+    additionally raises if any merged row buckets outside the touched
+    set, so the invariant can never rot silently."""
+    state = spark.read.parquet(state_dir)
+    state_types = {f.name: f.dataType for f in state.schema.fields}
+    wave_aligned = wave_state.select(
+        *[F.col(k).cast(state_types[k]).alias(k) for k in keys],
+        *[c for c in wave_state.columns if c not in keys],
+    )
+    bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    touched = sorted(
+        r["__bucket"]
+        for r in wave_aligned.select(bucket.alias("__bucket")).distinct().collect()
+    )
+    prev = state.filter(F.col("__bucket").isin(touched))
+    merged = incremental_agg_merge(
+        [prev.drop("__bucket"), wave_aligned], keys
+    ).withColumn(
+        "__bucket",
+        F.when(bucket.isin(touched), bucket).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_agg_apply_pruned: merged row buckets "
+                        "outside the touched set: "
+                    ),
+                    bucket.cast("string"),
+                )
+            ).cast("int")
+        ),
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(state_dir)
+    finally:
+        spark.conf.set(mode_key, old)
+    return touched

@@ -2190,6 +2190,64 @@ def x_rollup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_rollup_apply_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-PRUNED incremental rollup maintenance — the 100 TB
+    state-sink shape from SCALE.md realized as a runnable operator:
+    the base state is persisted partitioned by a 16-way key-hash
+    bucket; a small ingest wave (the 1–2 users matching
+    ``user_id % 997 = 7`` after the cutoff) then reads and rewrites
+    ONLY the buckets its keys hash into (partition filter + dynamic
+    partition overwrite — O(touched buckets) per wave, never
+    O(state); a transactional MERGE refines the same idea to file
+    granularity). The oracle aggregates the corresponding event
+    subset from first principles, so the pruning path is value-hash
+    graded end-to-end; ``test_scale_ops.py`` additionally pins that
+    untouched bucket files are byte-identical after the apply."""
+    import shutil
+    import uuid
+
+    from mapr_plugins_spark.operators.analytics import (
+        incremental_agg_apply_pruned,
+        incremental_agg_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "value", "ts")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    keys = ["user_id", "event_type"]
+    bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(16))
+    run = f"/tmp/mapr_plugins_rollup_pruned/{uuid.uuid4().hex[:12]}"
+    base = incremental_agg_state(
+        ev.filter(eus <= F.lit(SCD2_APPLY_CUTOFF_US)), keys, "value"
+    )
+    base.withColumn("__bucket", bucket).write.mode("overwrite").partitionBy(
+        "__bucket"
+    ).parquet(run)
+    wave = incremental_agg_state(
+        ev.filter(
+            (eus > F.lit(SCD2_APPLY_CUTOFF_US)) & (F.col("user_id") % 997 == 7)
+        ),
+        keys,
+        "value",
+    )
+    incremental_agg_apply_pruned(spark, run, wave, keys, n_buckets=16)
+    out = (
+        spark.read.parquet(run)
+        .select(
+            *keys,
+            "cnt",
+            F.col("sum_dec").cast("double").alias("sum_v"),
+            (
+                F.col("sum_dec").cast("double") / F.col("cnt").cast("double")
+            ).alias("avg_v"),
+            "min_v",
+            "max_v",
+        )
+        .localCheckpoint()  # materialize before the run dir is removed
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out
+
+
 def x_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time lookup of each purchase against the SCD2 state
     dimension built from the same event log: the leakage-safe temporal
@@ -2608,6 +2666,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_dedup_containment,
+            x_rollup_apply_pruned,
             x_substr_dedup,
             x_substr_strip,
             x_warc_ingest,
@@ -3687,6 +3746,13 @@ def extension_oracles() -> dict[str, str]:
         # check is the incremental-equals-rebuild law itself.
         "x_scd2_apply": _SCD2_BUILD_ORACLE,
         "x_rollup_apply": ROLLUP_ORACLE_SQL,
+        # the pruned apply folds only the wave subset on top of the
+        # base state — the oracle aggregates exactly that event subset
+        "x_rollup_apply_pruned": ROLLUP_ORACLE_SQL.replace(
+            "FROM events GROUP BY 1, 2",
+            f"FROM events WHERE epoch_us(ts) <= {SCD2_APPLY_CUTOFF_US}"
+            " OR user_id % 997 = 7 GROUP BY 1, 2",
+        ),
         "x_scd2_build": _SCD2_BUILD_ORACLE,
         "x_text_nfc_normalize": """
             WITH aug AS (

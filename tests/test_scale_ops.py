@@ -161,3 +161,74 @@ def test_compact_files_cluster_sort_tightens_ranges(spark, tmp_path):
     # the full 0..999 domain a random layout would give every file
     assert sum(spans) / len(spans) < 500, spans
     assert spark.read.parquet(p).count() == 40_000
+
+
+def test_pruned_rollup_apply_touches_only_wave_buckets(spark, tmp_path):
+    """The partition-pruned apply must (a) leave untouched bucket
+    files byte-identical (pruned write path), (b) produce exactly the
+    full rebuild's state (mergeable-state law), (c) report touched
+    buckets ≪ n_buckets for a key-local wave."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.analytics import (
+        incremental_agg_apply_pruned,
+        incremental_agg_state,
+    )
+
+    keys = ["g", "s"]
+    base_rows = spark.range(0, 400).select(
+        (F.col("id") % 40).alias("g"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    wave_rows = spark.range(0, 30).select(
+        F.lit(7).alias("g"),
+        (F.col("id") % 3).cast("string").alias("s"),
+        (F.col("id") * 2.5).alias("value"),
+    )
+    state_dir = str(tmp_path / "state")
+    bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(16))
+    incremental_agg_state(base_rows, keys, "value").withColumn(
+        "__bucket", bucket
+    ).write.partitionBy("__bucket").parquet(state_dir)
+
+    def digest():
+        out = {}
+        for root, _, files in os.walk(state_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, state_dir)] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return out
+
+    before = digest()
+    wave = incremental_agg_state(wave_rows, keys, "value")
+    touched = incremental_agg_apply_pruned(spark, state_dir, wave, keys, 16)
+    after = digest()
+    # (c) the wave has 3 keys -> at most 3 of 16 buckets
+    assert 1 <= len(touched) <= 3, touched
+    # (a) every file OUTSIDE the touched buckets is byte-identical
+    untouched_before = {
+        p: h for p, h in before.items()
+        if not any(f"__bucket={b}/" in p for b in touched)
+    }
+    for p, h in untouched_before.items():
+        assert after.get(p) == h, f"untouched bucket file rewritten: {p}"
+    # (b) merged state == full rebuild over base+wave
+    got = sorted(
+        map(tuple, spark.read.parquet(state_dir).drop("__bucket").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            incremental_agg_state(
+                base_rows.unionByName(wave_rows), keys, "value"
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -1399,6 +1399,60 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-count (Flajolet et al. 2007,
+    public): per-event_type registers over the portable 60-bit md5
+    hash, built as TWO wave states (event log split at the CDC cutoff)
+    and folded register-wise with MAX — the HLL union law runs
+    in-plan. Every stage is exact-integer until one final two-op IEEE
+    division, so — unlike x_sketch_hll's engine-private DataSketches
+    binary — the register table AND the estimate replay bit-for-bit
+    in an independent SQL oracle: this is the full-value-gradable
+    counterpart the round-5 verdict asked the rows-only HLL tier for.
+    The output carries the exact distinct count and the relative
+    error as an in-plan guard (raw-HLL σ ≈ 1.04/√64 = 13%; guard at
+    35%), so accuracy is both graded and asserted."""
+    from mapr_plugins_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    waves = [
+        ev.filter(eus <= F.lit(SCD2_APPLY_CUTOFF_US)),
+        ev.filter(eus > F.lit(SCD2_APPLY_CUTOFF_US)),
+    ]
+    states = [
+        hll_registers(w, ["event_type"], "CAST(event_id AS STRING)")
+        for w in waves
+    ]
+    folded = (
+        states[0]
+        .unionByName(states[1])
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate(folded, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("exact_ids")
+    )
+    j = est.join(exact, "event_type")
+    rel_err = F.round(
+        F.abs(F.col("est6") - F.col("exact_ids").cast("double"))
+        / F.col("exact_ids").cast("double"),
+        4,
+    )
+    guarded = F.when(rel_err <= F.lit(0.35), rel_err).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("portable HLL error above bound: "), rel_err.cast("string")
+            )
+        ).cast("double")
+    )
+    return j.select(
+        "event_type", "n_regs", "rho_max", "est6", "exact_ids",
+        guarded.alias("rel_err4"),
+    )
+
+
 def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for every distinct token
     (w=64, d=4; engine-portable hash → full-value oracle). The sketch
@@ -2682,6 +2736,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_split_assign,
             x_hash_sample,
             x_sketch_hll,
+            x_sketch_hll_portable,
             x_sketch_quantile,
             x_heavy_hitters,
             x_sketch_merge,
@@ -3577,6 +3632,29 @@ DRIFT_CHI2_ORACLE_SQL = """
         """
 
 
+def _hll_portable_oracle() -> str:
+    """Replay of x_sketch_hll_portable: same portable hash, register
+    fold, exact-integer estimate staging, and guard arithmetic."""
+    from mapr_plugins_spark.operators.sketch import hll_oracle_sql
+
+    inner = hll_oracle_sql(
+        "SELECT event_type, CAST(event_id AS VARCHAR) AS k FROM events",
+        "event_type",
+    )
+    return f"""
+        WITH est AS ({inner}),
+        exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_ids
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type, e.n_regs, e.rho_max, e.est6, x.exact_ids,
+               round(abs(e.est6 - CAST(x.exact_ids AS DOUBLE))
+                     / CAST(x.exact_ids AS DOUBLE), 4) AS rel_err4
+        FROM est e JOIN exact x USING (event_type)
+    """
+
+
 def _lsh_oracle() -> str:
     """Full-value oracle for BOTH LSH keys (flat and index-partitioned
     — the Hamming-ball partition filter provably selects the same
@@ -3667,6 +3745,10 @@ def extension_oracles() -> dict[str, str]:
                        AS codes
             FROM codes GROUP BY vec_id
         """,
+        # round 6: portable HLL — registers AND estimate replay exactly
+        # (the wave-split union fold ≡ one-pass registers by the max
+        # law, so the oracle needs no split)
+        "x_sketch_hll_portable": _hll_portable_oracle(),
         # round 6: integer-exact signatures made the LSH candidate set
         # engine-portable — both LSH keys now carry the full-value
         # replay oracle (flat scan ≡ Hamming-ball partition filter)

@@ -365,3 +365,125 @@ def heavy_hitters(
         .filter(F.col("cnt") * phi_inv > F.col("n"))
         .select(col, "cnt", (F.col("cnt").cast("double") / F.col("n")).alias("frac"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007, public):
+# registers over the engine-portable 60-bit md5 hash, so BOTH the register
+# table and the raw-HLL estimate are bit-replayable by an independent SQL
+# oracle — the property Spark's built-in hll_sketch_agg (engine-private
+# hashing) cannot offer. Used by x_sketch_hll_portable, which is thereby
+# full-value graded where x_sketch_hll stays rows-only.
+
+#: register-index bits (m = 2**HLL_P registers) and the derived constants.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+#: alpha_64 * m^2 = 0.709 * 4096 — a power-of-two scaling of the 0.709
+#: double, so writing the folded literal is bit-identical in any engine.
+HLL_ALPHA_M2 = 2904.064
+HLL_SEED = "hll1"
+
+
+def hll_registers(
+    df, group_cols: list[str], value_sql: str, seed: str = HLL_SEED
+):
+    """Per-group HLL register table ``(*group_cols, reg, rho)``:
+    reg = h mod m over the portable 60-bit hash, rho = leading-zero
+    rank of the remaining 54 bits (+1), folded per register with MAX —
+    the mergeable HLL state (union of sketches ≡ register-wise max,
+    demonstrated in-plan by the registry key's wave split). One
+    grouped aggregate; state is ≤ m rows per group."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+
+    d = with_seeded_hash60(df, "__h", value_sql, f"'{seed}'")
+    rest_bits = 60 - HLL_P
+    rho = (
+        F.when(F.expr(f"__h DIV {HLL_M}") == 0, F.lit(rest_bits + 1))
+        .otherwise(
+            F.lit(rest_bits + 1) - F.length(F.expr(f"bin(__h DIV {HLL_M})"))
+        )
+        .cast("int")
+    )
+    return d.groupBy(
+        *group_cols, F.expr(f"__h % {HLL_M}").alias("reg")
+    ).agg(F.max(rho).alias("rho"))
+
+
+def hll_estimate(regs, group_cols: list[str]):
+    """Raw-HLL estimate from a register table, in exact-integer staging:
+    with R = max rho per group, ``num = Σ 2^(R-rho) + (m - n_regs)·2^R``
+    (BIGINT, exact — R ≤ 55 keeps the worst case ≈ 2.3e18 inside
+    int64), then ``est = alpha·m²·2^R / num`` as two IEEE double ops on
+    exactly-representable operands — engine-portable by construction.
+    No small-range (linear-counting) correction: it needs ln(), whose
+    cross-engine rounding is not guaranteed; the raw estimate's bias
+    profile is acceptable at the n/m ≥ 10 loads the key runs at, and
+    the in-plan error guard measures it against the exact count.
+    Output: ``(*group_cols, n_regs, rho_max, est6)``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*group_cols)
+    withR = regs.withColumn("__R", F.max("rho").over(w))
+    agg = withR.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.max("rho").alias("rho_max"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), __R - rho)")
+        ).alias("__hit_sum"),
+    )
+    num = F.col("__hit_sum") + (F.lit(HLL_M) - F.col("n_regs")) * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), rho_max)"
+    )
+    est = F.round(
+        F.lit(HLL_ALPHA_M2)
+        * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rho_max) AS DOUBLE)")
+        / num.cast("double"),
+        6,
+    )
+    return agg.select(
+        *group_cols, "n_regs", "rho_max", est.alias("est6")
+    )
+
+
+def hll_oracle_sql(keys_sql: str, group_col: str, seed: str = HLL_SEED) -> str:
+    """DuckDB twin of ``hll_registers`` → ``hll_estimate`` over
+    ``keys_sql`` (must yield columns ``({group_col}, k)`` with k
+    already a string). Same hash, same integer staging, same folded
+    alpha literal — value-identical by construction."""
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+
+    h = seeded_hash60_sql("k", f"'{seed}'")
+    rest_bits = 60 - HLL_P
+    return f"""
+        WITH hashed AS (
+            SELECT {group_col}, {h} AS h FROM ({keys_sql})
+        ),
+        regs AS (
+            SELECT {group_col}, h % {HLL_M} AS reg,
+                   MAX(CASE WHEN h // {HLL_M} = 0 THEN {rest_bits + 1}
+                       ELSE {rest_bits + 1} - length(bin(h // {HLL_M})) END)
+                       AS rho
+            FROM hashed GROUP BY 1, 2
+        ),
+        withr AS (
+            SELECT *, MAX(rho) OVER (PARTITION BY {group_col}) AS R FROM regs
+        ),
+        agg AS (
+            SELECT {group_col},
+                   CAST(COUNT(*) AS BIGINT) AS n_regs,
+                   CAST(MAX(rho) AS INTEGER) AS rho_max,
+                   CAST(SUM(CAST(1 AS BIGINT) << (R - rho)) AS BIGINT)
+                       AS hit_sum
+            FROM withr GROUP BY 1
+        )
+        SELECT {group_col}, n_regs, rho_max,
+               round({HLL_ALPHA_M2}
+                     * CAST((CAST(1 AS BIGINT) << rho_max) AS DOUBLE)
+                     / CAST(hit_sum + ({HLL_M} - n_regs)
+                            * (CAST(1 AS BIGINT) << rho_max) AS DOUBLE), 6)
+                   AS est6
+        FROM agg
+    """

@@ -1518,3 +1518,30 @@ def test_containment_blocking_candidates_scale_linearly(spark):
     # near-linear growth: 4x docs -> at most ~6x candidates (the
     # quadratic alternative would give ~16x)
     assert counts[800] <= 6 * max(counts[200], 1), counts
+
+
+def test_hll_portable_merge_law(spark):
+    """Register-wise MAX of per-wave HLL states must equal the
+    single-pass register table (the HLL union law) — so wave-split
+    maintenance can never change the estimate."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.sketch import hll_estimate, hll_registers
+
+    rows = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    full = hll_registers(rows, ["g"], "CAST(v AS STRING)")
+    halves = [rows.filter(F.col("v") % 2 == i) for i in (0, 1)]
+    folded = (
+        hll_registers(halves[0], ["g"], "CAST(v AS STRING)")
+        .unionByName(hll_registers(halves[1], ["g"], "CAST(v AS STRING)"))
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, folded.collect())
+    )
+    # the estimate lands within the guard band of the true ~1667/group
+    for r in hll_estimate(full, ["g"]).collect():
+        assert abs(r.est6 - 5000 / 3) / (5000 / 3) < 0.35, r

@@ -64,7 +64,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   + round-6 debuts: x_ann_lsh_topk x_ann_lsh_indexed (converted to
 #:   full-value oracles this round), x_rollup_apply_pruned (new:
 #:   partition-pruned state sink, full-value oracle),
-#:   x_sketch_hll_portable (new: portable-hash HLL, full-value oracle)
+#:   x_sketch_hll_portable (new: portable-hash HLL, full-value oracle),
+#:   x_embed_jl_project (new: Rademacher JL projection, full-value
+#:   oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -1384,6 +1384,74 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_embed_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64→16 dims with ±1
+    (Rademacher) rows — Achlioptas 2003's database-friendly JL, the
+    cheap dimensionality-reduction step upstream of ANN at 100 TB
+    (4× less vector I/O per scan; distance orderings approximately
+    preserved with the JL guarantee). Exact integer micro-unit
+    staging end-to-end (same convention as the round-6 LSH
+    signatures), so every projected component replays bit-for-bit in
+    the SQL oracle. Row-local, zero shuffle, whole-stage codegen.
+    Output: first 4 components, the projected norm², and the
+    norm-preservation ratio ‖y‖²/(k·‖v_micro‖²) — concentrated near 1
+    by the JL lemma (σ ≈ √(2/k) ≈ 0.35 at k=16) and carried as an
+    in-plan guard: a broken projection fails the query itself."""
+    from mapr_plugins_spark.operators.similarity import (
+        JL_K,
+        SIG_MICRO,
+        jl_projection_exprs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ys = jl_projection_exprs("embedding", k=JL_K, dim=64)
+    d = emb.select(
+        "vec_id",
+        "embedding",
+        *[y.alias(f"__y{j}") for j, y in enumerate(ys)],
+    )
+    ynorm2 = None
+    for j in range(JL_K):
+        t = F.col(f"__y{j}") * F.col(f"__y{j}")
+        ynorm2 = t if ynorm2 is None else ynorm2 + t
+    micro = lambda v: F.floor(v.cast("double") * F.lit(SIG_MICRO)).cast(  # noqa: E731
+        "long"
+    )
+    orig2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + micro(v) * micro(v),
+    )
+    d = d.withColumn("ynorm2", ynorm2).withColumn("__orig2", orig2)
+    ratio = F.when(F.col("__orig2") == 0, F.lit(1.0)).otherwise(
+        F.round(
+            F.col("ynorm2").cast("double")
+            / (F.lit(float(JL_K)) * F.col("__orig2").cast("double")),
+            6,
+        )
+    )
+    d = d.withColumn("__ratio", ratio)
+    guarded = F.when(
+        (F.col("__ratio") >= 0.2) & (F.col("__ratio") <= 5.0), F.col("__ratio")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("JL norm-preservation ratio out of band: "),
+                F.col("__ratio").cast("string"),
+            )
+        ).cast("double")
+    )
+    return d.select(
+        "vec_id",
+        F.col("__y0").alias("y0"),
+        F.col("__y1").alias("y1"),
+        F.col("__y2").alias("y2"),
+        F.col("__y3").alias("y3"),
+        "ynorm2",
+        guarded.alias("ratio6"),
+    )
+
+
 def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token → sorted posting list + document frequency. One shuffle on
     token; at corpus scale the long tail is tiny and head postings are
@@ -2777,6 +2845,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_topk_per_group,
             x_embed_normalize,
             x_embed_quantize,
+            x_embed_jl_project,
             x_inverted_index,
             x_sketch_cms,
             x_bloom_semi_join,
@@ -3655,6 +3724,42 @@ def _hll_portable_oracle() -> str:
     """
 
 
+def _jl_oracle() -> str:
+    """Replay of x_embed_jl_project: same ±1 rows, same integer
+    staging, same ratio arithmetic and guard band."""
+    from mapr_plugins_spark.operators.similarity import (
+        JL_K,
+        SIG_MICRO,
+        jl_component_sql,
+    )
+
+    comps = ", ".join(
+        f"{jl_component_sql('embedding', j)} AS y{j}" for j in range(JL_K)
+    )
+    ynorm2 = " + ".join(f"y{j}*y{j}" for j in range(JL_K))
+    orig2 = " + ".join(
+        f"CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE)*{SIG_MICRO}) AS BIGINT)"
+        f"*CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE)*{SIG_MICRO}) AS BIGINT)"
+        for d in range(64)
+    )
+    return f"""
+        WITH proj AS (
+            SELECT vec_id, {comps}, ({orig2}) AS orig2 FROM embeddings
+        ),
+        norms AS (
+            SELECT vec_id, y0, y1, y2, y3,
+                   CAST({ynorm2} AS BIGINT) AS ynorm2, orig2
+            FROM proj
+        )
+        SELECT vec_id, y0, y1, y2, y3, ynorm2,
+               CASE WHEN orig2 = 0 THEN 1.0
+                    ELSE round(CAST(ynorm2 AS DOUBLE)
+                               / ({float(JL_K)} * CAST(orig2 AS DOUBLE)), 6)
+               END AS ratio6
+        FROM norms
+    """
+
+
 def _lsh_oracle() -> str:
     """Full-value oracle for BOTH LSH keys (flat and index-partitioned
     — the Hamming-ball partition filter provably selects the same
@@ -3749,6 +3854,8 @@ def extension_oracles() -> dict[str, str]:
         # (the wave-split union fold ≡ one-pass registers by the max
         # law, so the oracle needs no split)
         "x_sketch_hll_portable": _hll_portable_oracle(),
+        # round 6: JL projection — exact integer staging, full replay
+        "x_embed_jl_project": _jl_oracle(),
         # round 6: integer-exact signatures made the LSH candidate set
         # engine-portable — both LSH keys now carry the full-value
         # replay oracle (flat scan ≡ Hamming-ball partition filter)

@@ -1194,3 +1194,62 @@ def kcenter_select(
         [(r, i, d) for r, i, d, _ in centers],
         "center_rank INT, vec_id BIGINT, sep_d2 DOUBLE",
     )
+
+
+#: offset into the hyperplane family for the JL projection rows, so the
+#: 16 projection directions are independent of the 6 LSH bit planes
+#: (different md5 inputs ⇒ independent ±1 parities).
+JL_PLANE_OFFSET = 100
+JL_K = 16
+
+
+def jl_projection_exprs(vec_col: str, k: int = JL_K, dim: int = 64):
+    """Johnson–Lindenstrauss random projection with Rademacher (±1)
+    rows (Achlioptas 2003, public: database-friendly random
+    projections — ±1 entries satisfy the JL lemma with the same
+    k = O(log n / ε²) target dimension as Gaussian matrices).
+    Components are EXACT INTEGER micro-unit dots, same staging as the
+    LSH signature: y_j = Σ_d floor(v_d·10⁶)·hp_jd over md5-derived ±1
+    rows — bit-replayable by the SQL oracle, order-independent, and
+    row-local (zero shuffle; whole-stage codegen). The conventional
+    1/√k scale is deliberately NOT applied: it is a uniform scalar, so
+    distance ORDERINGS — the thing ANN consumes — are unchanged, and
+    keeping integers keeps the operator exactly gradable; callers that
+    need calibrated distances divide by √k·10⁶ at the edge.
+    Returns a list of k BIGINT Columns."""
+    out = []
+    for j in range(k):
+        hp = F.array(
+            *[
+                F.lit(int(x)).cast("long")
+                for x in _hyperplane(JL_PLANE_OFFSET + j, dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                hp,
+                lambda v, h: F.floor(v.cast("double") * F.lit(SIG_MICRO)).cast(
+                    "long"
+                )
+                * h,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out.append(dot)
+    return out
+
+
+def jl_component_sql(vec_sql: str, j: int, dim: int = 64) -> str:
+    """DuckDB twin of one JL projection component (1-based list)."""
+    hp = _hyperplane(JL_PLANE_OFFSET + j, dim)
+    return (
+        "("
+        + " + ".join(
+            f"CAST(floor(CAST({vec_sql}[{d + 1}] AS DOUBLE)*{SIG_MICRO}) AS BIGINT)"
+            f"*({int(hp[d])})"
+            for d in range(dim)
+        )
+        + ")"
+    )

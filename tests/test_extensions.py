@@ -1545,3 +1545,38 @@ def test_hll_portable_merge_law(spark):
     # the estimate lands within the guard band of the true ~1667/group
     for r in hll_estimate(full, ["g"]).collect():
         assert abs(r.est6 - 5000 / 3) / (5000 / 3) < 0.35, r
+
+
+def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
+    """The JL property itself, measured: for sampled vector pairs, the
+    projected squared distance divided by k stays within a loose
+    distortion band of the original micro-unit squared distance
+    (k=16 ⇒ σ≈0.35; band [0.2, 5] is ~4σ against random ±1 rows)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import (
+        JL_K,
+        SIG_MICRO,
+        jl_projection_exprs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 12)
+    ys = jl_projection_exprs("embedding", k=JL_K, dim=64)
+    rows = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * F.lit(SIG_MICRO)).cast("long"),
+        ).alias("vm"),
+        F.array(*ys).alias("y"),
+    ).collect()
+    assert len(rows) >= 8
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dv = sum((a - b) ** 2 for a, b in zip(rows[i].vm, rows[j].vm))
+            dy = sum((a - b) ** 2 for a, b in zip(rows[i].y, rows[j].y))
+            if dv == 0:
+                continue
+            ratio = dy / (JL_K * dv)
+            assert 0.2 <= ratio <= 5.0, (rows[i].vec_id, rows[j].vec_id, ratio)

@@ -793,3 +793,14 @@ def test_dedup_by_pairs_anti_join_is_hint_free(spark):
         out = dedup_by_pairs(docs, pairs)
         p = A.plan_str(out)
     assert "BroadcastHashJoin" not in p, p
+
+
+def test_jl_projection_is_shuffle_free(spark, sf_dir):
+    """The JL projection is row-local arithmetic: zero exchanges, no
+    joins — the whole operator must run inside the scan's codegen
+    stage (the guard's raise_error is a projection, not a barrier)."""
+    from mapr_plugins_spark.operators.registry import x_embed_jl_project
+
+    df = x_embed_jl_project(spark, sf_dir)
+    assert A.shuffle_count(df) == 0, A.plan_str(df)
+    assert "Join" not in A.plan_str(df)

@@ -76,6 +76,7 @@ def main() -> None:
         "x_ann_ivf_batch_prod",  # guard-free production ANN plan
         "x_embed_pq_encode",
         "x_embed_jl_project",  # Rademacher JL 64->16 (round 6)
+        "x_ann_jl_rerank",  # JL coarse cut -> exact re-rank (round 6)
         "x_ann_pq_topk",
         "x_scd2_build",
         "x_text_nfc_normalize",

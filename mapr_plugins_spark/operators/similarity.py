@@ -1203,7 +1203,9 @@ JL_PLANE_OFFSET = 100
 JL_K = 16
 
 
-def jl_projection_exprs(vec_col: str, k: int = JL_K, dim: int = 64):
+def jl_projection_exprs(
+    vec_col: str, k: int = JL_K, dim: int = 64, norm_col: str | None = None
+):
     """Johnson–Lindenstrauss random projection with Rademacher (±1)
     rows (Achlioptas 2003, public: database-friendly random
     projections — ±1 entries satisfy the JL lemma with the same
@@ -1216,6 +1218,14 @@ def jl_projection_exprs(vec_col: str, k: int = JL_K, dim: int = 64):
     distance ORDERINGS — the thing ANN consumes — are unchanged, and
     keeping integers keeps the operator exactly gradable; callers that
     need calibrated distances divide by √k·10⁶ at the edge.
+
+    ``norm_col`` (a column NAME) divides every component before the
+    micro quantization — pass the vector's L2 norm to project the
+    UNIT vector instead, which is what a cosine-serving candidate cut
+    needs (JL preserves EUCLIDEAN distance; on unit vectors
+    ‖a−b‖² = 2−2·cos, so the L2 ordering IS the cosine ordering).
+    The norm itself is the deterministic left-fold ``l2_norm``, which
+    the oracle replays via list_sum (the x_embed_normalize precedent).
     Returns a list of k BIGINT Columns."""
     out = []
     for j in range(k):
@@ -1225,15 +1235,15 @@ def jl_projection_exprs(vec_col: str, k: int = JL_K, dim: int = 64):
                 for x in _hyperplane(JL_PLANE_OFFSET + j, dim)
             ]
         )
+
+        def _micro(v):
+            base = v.cast("double")
+            if norm_col is not None:
+                base = base / F.col(norm_col)
+            return F.floor(base * F.lit(SIG_MICRO)).cast("long")
+
         dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                hp,
-                lambda v, h: F.floor(v.cast("double") * F.lit(SIG_MICRO)).cast(
-                    "long"
-                )
-                * h,
-            ),
+            F.zip_with(F.col(vec_col), hp, lambda v, h: _micro(v) * h),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -1241,14 +1251,19 @@ def jl_projection_exprs(vec_col: str, k: int = JL_K, dim: int = 64):
     return out
 
 
-def jl_component_sql(vec_sql: str, j: int, dim: int = 64) -> str:
-    """DuckDB twin of one JL projection component (1-based list)."""
+def jl_component_sql(
+    vec_sql: str, j: int, dim: int = 64, norm_sql: str | None = None
+) -> str:
+    """DuckDB twin of one JL projection component (1-based list);
+    ``norm_sql`` mirrors ``norm_col`` (same divide-before-floor
+    order)."""
     hp = _hyperplane(JL_PLANE_OFFSET + j, dim)
+    div = f" / {norm_sql}" if norm_sql is not None else ""
     return (
         "("
         + " + ".join(
-            f"CAST(floor(CAST({vec_sql}[{d + 1}] AS DOUBLE)*{SIG_MICRO}) AS BIGINT)"
-            f"*({int(hp[d])})"
+            f"CAST(floor(CAST({vec_sql}[{d + 1}] AS DOUBLE){div}*{SIG_MICRO})"
+            f" AS BIGINT)*({int(hp[d])})"
             for d in range(dim)
         )
         + ")"

@@ -1580,3 +1580,20 @@ def test_jl_projection_preserves_pairwise_distances(spark, sf_dir):
                 continue
             ratio = dy / (JL_K * dv)
             assert 0.2 <= ratio <= 5.0, (rows[i].vec_id, rows[j].vec_id, ratio)
+
+
+def test_jl_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """The JL coarse cut (top-50 of ~500) must keep most of the exact
+    top-10 — pin recall@10 ≥ 0.5 (measured headroom is higher; the
+    floor catches a broken projection or cut)."""
+    from mapr_plugins_spark.operators import registry as R
+    from mapr_plugins_spark.operators import similarity as S
+    from mapr_plugins_spark.catalog import table
+
+    approx = {r.vec_id for r in R.x_ann_jl_rerank(spark, sf_dir).collect()}
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        r.vec_id
+        for r in S.brute_force_topk(emb, S.probe_of(emb, 0), k=10).collect()
+    }
+    assert len(approx & exact) / 10 >= 0.5, (approx, exact)

@@ -804,3 +804,16 @@ def test_jl_projection_is_shuffle_free(spark, sf_dir):
     df = x_embed_jl_project(spark, sf_dir)
     assert A.shuffle_count(df) == 0, A.plan_str(df)
     assert "Join" not in A.plan_str(df)
+
+
+def test_jl_rerank_is_broadcast_probe_take_ordered(spark, sf_dir):
+    """Two-stage JL retrieval: the 1-row projected probe broadcasts,
+    both ranking stages plan as TakeOrdered — the corpus never
+    shuffles."""
+    from mapr_plugins_spark.operators.registry import x_ann_jl_rerank
+
+    df = x_ann_jl_rerank(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert not A.has_cartesian(df) or "BroadcastNestedLoopJoin" in p, p
+    assert A.shuffle_count(df) == 0, p

@@ -92,6 +92,7 @@ def main() -> None:
         "x_pack_sequences",
         "x_bloom_semi_join",
         "x_row_index",
+        "x_zorder_key",  # Morton layout key (round 6)
         "x_sketch_cms",
         "x_inverted_index",
         "x_ewma",

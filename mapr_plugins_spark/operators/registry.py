@@ -772,6 +772,37 @@ def x_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_index(docs, "doc_id").select("doc_id", "row_idx")
 
 
+def _zorder_terms(shift_fmt: str, bits: int = 16) -> str:
+    """Bit-interleave sum for a 2-D Morton (Z-order) key; ``shift_fmt``
+    renders one left-shift in the target dialect."""
+    terms = []
+    for i in range(bits):
+        terms.append(shift_fmt.format(src="za", i=i, out=2 * i))
+        terms.append(shift_fmt.format(src="zb", i=i, out=2 * i + 1))
+    return " + ".join(terms)
+
+
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Z-ORDER (Morton 1966, public) clustering key over
+    (user_id, value bucket) — the multi-dimensional data-skipping
+    layout primitive: sort/partition a 100 TB table by this key and
+    min/max file statistics prune BOTH dimensions at once (the
+    technique behind Delta/Iceberg OPTIMIZE ZORDER, public docs).
+    The key is pure integer bit interleaving — row-local, zero
+    shuffle, bit-identical in any engine — and carries a provable
+    locality law: fixing the bits above 2k (z DIV 4^k) confines both
+    coordinates to aligned 2^k-wide blocks, pinned by
+    test_extensions.py::test_zorder_block_locality. Output: one row
+    per event with both coordinates and the z key."""
+    ev = _t(spark, sf_dir, "events")
+    spark_sum = _zorder_terms("shiftleft(({src} >> {i}) & 1, {out})")
+    return ev.select(
+        "event_id",
+        (F.col("user_id").cast("long") % 65536).alias("za"),
+        F.expr("CAST(floor(value) AS BIGINT) % 65536").alias("zb"),
+    ).withColumn("zkey", F.expr(spark_sum))
+
+
 _BM25_QUERY = ("spark", "query", "join")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -2943,6 +2974,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_embed_quantize,
             x_embed_jl_project,
             x_ann_jl_rerank,
+            x_zorder_key,
             x_inverted_index,
             x_sketch_cms,
             x_bloom_semi_join,
@@ -3954,6 +3986,16 @@ def extension_oracles() -> dict[str, str]:
         # round 6: JL projection — exact integer staging, full replay
         "x_embed_jl_project": _jl_oracle(),
         "x_ann_jl_rerank": _jl_rerank_oracle(),
+        "x_zorder_key": f"""
+            WITH base AS (
+                SELECT event_id, CAST(user_id AS BIGINT) % 65536 AS za,
+                       CAST(floor(value) AS BIGINT) % 65536 AS zb
+                FROM events
+            )
+            SELECT event_id, za, zb,
+                   ({_zorder_terms('((({src} >> {i}) & 1) << {out})')}) AS zkey
+            FROM base
+        """,
         # round 6: integer-exact signatures made the LSH candidate set
         # engine-portable — both LSH keys now carry the full-value
         # replay oracle (flat scan ≡ Hamming-ball partition filter)

@@ -1597,3 +1597,25 @@ def test_jl_rerank_recall_vs_bruteforce(spark, sf_dir):
         for r in S.brute_force_topk(emb, S.probe_of(emb, 0), k=10).collect()
     }
     assert len(approx & exact) / 10 >= 0.5, (approx, exact)
+
+
+def test_zorder_block_locality(spark, sf_dir):
+    """The data-skipping law the z key exists for: within any aligned
+    z block (z DIV 4^k), both coordinates are confined to 2^k-wide
+    aligned ranges — so min/max file stats on a z-sorted layout prune
+    BOTH dimensions. Checked for k=4 (z DIV 256 → 16-wide blocks)."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.operators.registry import x_zorder_key
+
+    df = x_zorder_key(spark, sf_dir)
+    spans = (
+        df.groupBy(F.expr("zkey DIV 256").alias("blk"))
+        .agg(
+            (F.max("za") - F.min("za")).alias("sa"),
+            (F.max("zb") - F.min("zb")).alias("sb"),
+        )
+        .agg(F.max("sa").alias("ma"), F.max("sb").alias("mb"))
+        .collect()[0]
+    )
+    assert spans.ma <= 15 and spans.mb <= 15, spans

@@ -71,6 +71,7 @@ def main() -> None:
         "x_hard_negatives",
         "x_sketch_hll",
         "x_sketch_hll_portable",  # full-value-oracled HLL (round 6)
+        "x_sketch_hll_setops",  # audience-overlap sketch algebra (round 6)
         "q24_ann_topk",
         "x_ann_ivf_batch",
         "x_ann_ivf_batch_prod",  # guard-free production ANN plan

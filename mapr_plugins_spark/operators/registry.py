@@ -1552,6 +1552,84 @@ def x_sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA over portable HLL sketches: for the
+    (click, purchase) audience pair, |A|, |B|, |A∪B| (union =
+    register-wise MAX — the exact HLL law, no rescan of either side),
+    and |A∩B| by inclusion–exclusion — the audience-overlap question
+    every analytics store answers from sketches because the exact
+    distinct-join rescans both sides at 100 TB. All estimates ride
+    the exact-integer staging of x_sketch_hll_portable, so the whole
+    algebra replays in the SQL oracle; the exact overlap and the
+    relative error travel in the output (inclusion–exclusion error
+    compounds ~3× a single sketch's σ — loudly bounded at 99% rather
+    than guarded, the documented sketch-algebra tradeoff)."""
+    from mapr_plugins_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    # sets = per-type ACTIVE USER-DAYS (user × calendar day): high
+    # enough cardinality that the raw estimate is in its valid regime
+    # at every sf (n/m ≥ 10; plain per-type users are 15 at sf0.001 —
+    # deep in the small-range zone whose linear-counting correction
+    # needs ln(), which is not cross-engine exact), and the two sets
+    # genuinely differ, so the overlap is a real quantity.
+    ab = ev.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "__day", F.expr("CAST(CAST(ts AS DATE) AS STRING)")
+    )
+    key_sql = "concat(CAST(user_id AS STRING), '-', __day)"
+    per_type = hll_registers(ab, ["event_type"], key_sql)
+    union_regs = per_type.groupBy("reg").agg(F.max("rho").alias("rho")).select(
+        F.lit("union").alias("side"), "reg", "rho"
+    )
+    sides = per_type.select(
+        F.col("event_type").alias("side"), "reg", "rho"
+    ).unionByName(union_regs)
+    est = hll_estimate(sides, ["side"]).select("side", "est6")
+    wide = (
+        est.groupBy()
+        .pivot("side", ["click", "purchase", "union"])
+        .agg(F.first("est6"))
+        .select(
+            F.col("click").alias("est_a"),
+            F.col("purchase").alias("est_b"),
+            F.col("union").alias("est_union"),
+        )
+    )
+    exact = (
+        ab.select("event_type", "user_id", "__day")
+        .distinct()
+        .groupBy("user_id", "__day")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .agg(
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_both")
+        )
+    )
+    out = wide.crossJoin(F.broadcast(exact))
+    inter = F.round(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+    )
+    out = out.withColumn("est_inter", inter)
+    rel_err = F.round(
+        F.abs(F.col("est_inter") - F.col("exact_both").cast("double"))
+        / F.greatest(F.col("exact_both").cast("double"), F.lit(1.0)),
+        4,
+    )
+    guarded = F.when(rel_err <= F.lit(0.99), rel_err).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("HLL intersection error above bound: "),
+                rel_err.cast("string"),
+            )
+        ).cast("double")
+    )
+    return out.select(
+        "est_a", "est_b", "est_union", "est_inter", "exact_both",
+        guarded.alias("rel_err4"),
+    )
+
+
 def x_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for every distinct token
     (w=64, d=4; engine-portable hash → full-value oracle). The sketch
@@ -2932,6 +3010,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_hash_sample,
             x_sketch_hll,
             x_sketch_hll_portable,
+            x_sketch_hll_setops,
             x_sketch_quantile,
             x_heavy_hitters,
             x_sketch_merge,
@@ -3889,6 +3968,53 @@ def _jl_oracle() -> str:
     """
 
 
+def _hll_setops_oracle() -> str:
+    """Replay of x_sketch_hll_setops: the union side's registers come
+    from the combined key stream (≡ register-wise max of the sides,
+    the HLL union law), then the same pivot / inclusion–exclusion /
+    error arithmetic."""
+    from mapr_plugins_spark.operators.sketch import hll_oracle_sql
+
+    keys = """
+        SELECT event_type AS side,
+               concat(CAST(user_id AS VARCHAR), '-', day) AS k FROM ab
+        UNION ALL
+        SELECT 'union' AS side,
+               concat(CAST(user_id AS VARCHAR), '-', day) AS k FROM ab
+    """
+    inner = hll_oracle_sql(keys, "side")
+    return f"""
+        WITH ab AS (
+            SELECT event_type, user_id,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        est AS ({inner}),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN side = 'click' THEN est6 END) AS est_a,
+                MAX(CASE WHEN side = 'purchase' THEN est6 END) AS est_b,
+                MAX(CASE WHEN side = 'union' THEN est6 END) AS est_union
+            FROM est
+        ),
+        exact AS (
+            SELECT CAST(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS exact_both
+            FROM (SELECT user_id, day,
+                         COUNT(DISTINCT event_type) AS nt
+                  FROM ab GROUP BY 1, 2)
+        )
+        SELECT est_a, est_b, est_union,
+               round(est_a + est_b - est_union, 6) AS est_inter,
+               exact_both,
+               round(abs(round(est_a + est_b - est_union, 6)
+                         - CAST(exact_both AS DOUBLE))
+                     / greatest(CAST(exact_both AS DOUBLE), 1.0), 4)
+                   AS rel_err4
+        FROM wide, exact
+    """
+
+
 def _lsh_oracle() -> str:
     """Full-value oracle for BOTH LSH keys (flat and index-partitioned
     — the Hamming-ball partition filter provably selects the same
@@ -3983,6 +4109,7 @@ def extension_oracles() -> dict[str, str]:
         # (the wave-split union fold ≡ one-pass registers by the max
         # law, so the oracle needs no split)
         "x_sketch_hll_portable": _hll_portable_oracle(),
+        "x_sketch_hll_setops": _hll_setops_oracle(),
         # round 6: JL projection — exact integer staging, full replay
         "x_embed_jl_project": _jl_oracle(),
         "x_ann_jl_rerank": _jl_rerank_oracle(),

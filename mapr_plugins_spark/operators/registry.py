@@ -498,6 +498,18 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(corpus, n=8, bottom_k=3, threshold=0.8)
 
 
+def x_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity self-join at Jaccard ≥ 9/10 over
+    word-token sets — prefix filtering (Bayardo et al. 2007 All-Pairs;
+    Xiao et al. 2008 PPJoin), the LOSSLESS deterministic complement of
+    MinHash-LSH: candidate recall is provably exact, so the brute-
+    force DuckDB oracle is a full-value check of blocking AND verify.
+    Rational threshold (10·inter ≥ 9·union) keeps every verdict in
+    integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.setsim_join_pairs(docs, tau_num=9, tau_den=10)
+
+
 def x_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup profile (Lee et al. 2021 criterion):
     per document, tokens covered by an 8-token window that recurs in
@@ -2993,6 +3005,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_dedup_containment,
+            x_setsim_join,
             x_rollup_apply_pruned,
             x_substr_dedup,
             x_substr_strip,
@@ -4573,6 +4586,33 @@ def extension_oracles() -> dict[str, str]:
         "x_warc_ingest": _warc_ingest_oracle(),
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_containment": _containment_oracle(n=8, bottom_k=3, threshold=0.8),
+        # brute force IS the oracle: prefix filtering is lossless, so
+        # the engine's blocked plan must reproduce every brute pair
+        "x_setsim_join": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '')) AS t
+                FROM documents
+            ),
+            s AS (SELECT doc_id, t, len(t) AS m FROM toks WHERE len(t) > 0),
+            tp AS (SELECT doc_id, unnest(t) AS token FROM s),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM tp a
+                JOIN tp b ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, inter,
+                   CAST(sa.m + sb.m - inter AS BIGINT) AS union_size,
+                   CAST(inter AS DOUBLE) / (sa.m + sb.m - inter) AS jaccard
+            FROM cand
+            JOIN s sa ON sa.doc_id = cand.id_a
+            JOIN s sb ON sb.doc_id = cand.id_b
+            WHERE 10 * inter >= 9 * (sa.m + sb.m - inter)
+        """,
         "x_dedup_simhash": _simhash_oracle(),
         "x_dedup_embcos": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1619,3 +1619,43 @@ def test_zorder_block_locality(spark, sf_dir):
         .collect()[0]
     )
     assert spans.ma <= 15 and spans.mb <= 15, spans
+
+
+def test_setsim_join_lossless_vs_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: on a corpus engineered so
+    naive blocking would miss pairs (shared tokens only outside the
+    high-df region), the blocked join reproduces the brute-force pair
+    set exactly, with exact integer inter/union."""
+    from mapr_plugins_spark.operators.dedup import setsim_join_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),      # J(1,2) = 4/6
+            (3, "alpha beta gamma delta epsilon"),   # J(1,3) = 1
+            (4, "omega psi chi phi upsilon"),        # J(·,4) = 0-ish
+            (5, "alpha omega"),                       # small set, J < τ
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = setsim_join_pairs(docs, tau_num=3, tau_den=5).collect()
+    got = {(r.id_a, r.id_b): (r.inter, r.union_size) for r in rows}
+    assert got == {(1, 2): (4, 6), (1, 3): (5, 5), (2, 3): (4, 6)}
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert by_pair[(1, 3)] == 1.0
+
+
+def test_setsim_prefix_length_law(spark):
+    """Identical sets survive any τ ≤ 1; τ just above a pair's true
+    Jaccard excludes it (threshold is exact, not approximate)."""
+    from mapr_plugins_spark.operators.dedup import setsim_join_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i k")],
+        "doc_id BIGINT, text STRING",
+    )
+    # true Jaccard = 9/11
+    hit = setsim_join_pairs(docs, tau_num=9, tau_den=11).collect()
+    assert [(r.id_a, r.id_b) for r in hit] == [(1, 2)]
+    miss = setsim_join_pairs(docs, tau_num=10, tau_den=12).collect()
+    assert miss == []

@@ -817,3 +817,17 @@ def test_jl_rerank_is_broadcast_probe_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert not A.has_cartesian(df) or "BroadcastNestedLoopJoin" in p, p
     assert A.shuffle_count(df) == 0, p
+
+
+def test_setsim_join_is_hint_free_and_cartesian_free(spark, sf_dir):
+    """The prefix-filter candidate join and the verify joins must leave
+    strategy to the planner (candidate/prefix streams are corpus-
+    proportional; a forced broadcast would OOM at 10⁹ docs) and must
+    never degenerate to a cartesian product."""
+    from mapr_plugins_spark.operators.registry import x_setsim_join
+
+    with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        df = x_setsim_join(spark, sf_dir)
+        p = A.plan_str(df)
+    assert not A.has_cartesian(df), p
+    assert "BroadcastHashJoin" not in p and "BroadcastNestedLoopJoin" not in p, p

@@ -70,7 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   full-value oracle), x_zorder_key (new: Morton layout key,
 #:   full-value oracle), x_sketch_hll_setops (new: audience-overlap
 #:   sketch algebra, full-value oracle), x_setsim_join (new: lossless
-#:   prefix-filter all-pairs set-similarity join, full-value oracle)
+#:   prefix-filter all-pairs set-similarity join, full-value oracle),
+#:   x_assoc_rules (new: a-priori market-basket rules, full-value
+#:   oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

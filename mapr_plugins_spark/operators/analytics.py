@@ -604,3 +604,73 @@ def incremental_agg_apply_pruned(
     finally:
         spark.conf.set(mode_key, old)
     return touched
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """Market-basket association rules over item PAIRS (Agrawal &
+    Srikant 1994's a-priori, restricted to the 2-itemset level every
+    recommendation pipeline actually serves): for each directed rule
+    A→B with pair support ≥ ``min_support`` baskets, emit the exact
+    counts and the derived ``support``/``confidence``/``lift``.
+
+    All derived metrics are single divisions of exact BIGINT counts,
+    so both engines produce bit-identical doubles.
+
+    100 TB posture: the A-PRIORI PRUNE comes first — items below
+    min_support cannot appear in a frequent pair, so the basket
+    self-join runs on the pruned stream (the frequent-item filter is a
+    semi-join on an aggregate ≤ Σcounts/min_support rows, which AQE
+    may broadcast; never forced). The pair space is generated
+    per-basket via ONE self-equi-join on the basket key — never a
+    global cross product — and pair counts are map-side combined."""
+    pairs_src = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    item_counts = pairs_src.groupBy("__i").agg(F.count(F.lit(1)).alias("__ic"))
+    frequent = item_counts.filter(F.col("__ic") >= min_support)
+    pruned = pairs_src.join(frequent.select("__i"), "__i", "semi")
+    a = pruned.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = pruned.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pair_counts = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+    n_baskets = pairs_src.agg(
+        F.count_distinct("__b").alias("n_baskets")
+    )  # 1-row aggregate, broadcast — the plan stays fully lazy
+    ca = frequent.select(F.col("__i").alias("item_a"), F.col("__ic").alias("count_a"))
+    cb = frequent.select(F.col("__i").alias("item_b"), F.col("__ic").alias("count_b"))
+    undirected = (
+        pair_counts.join(ca, "item_a").join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    fwd = undirected.select(
+        F.col("item_a").alias("antecedent"), F.col("item_b").alias("consequent"),
+        "pair_count",
+        F.col("count_a").alias("ante_count"), F.col("count_b").alias("cons_count"),
+        "n_baskets",
+    )
+    rev = undirected.select(
+        F.col("item_b").alias("antecedent"), F.col("item_a").alias("consequent"),
+        "pair_count",
+        F.col("count_b").alias("ante_count"), F.col("count_a").alias("cons_count"),
+        "n_baskets",
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent", "consequent", "pair_count", "ante_count", "cons_count",
+        "n_baskets",
+        (F.col("pair_count").cast("double") / F.col("n_baskets").cast("double")
+         ).alias("support"),
+        (F.col("pair_count").cast("double") / F.col("ante_count")).alias("confidence"),
+        ((F.col("pair_count") * F.col("n_baskets")).cast("double")
+         / (F.col("ante_count") * F.col("cons_count")).cast("double")).alias("lift"),
+    )

@@ -1307,6 +1307,18 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ewma")
 
 
+def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (a-priori at the pair level,
+    Agrawal & Srikant 1994): directed rules over parts co-ordered in
+    the same order, with exact-count support/confidence/lift. The
+    item prune runs BEFORE the per-basket self-join (a-priori
+    property), so the pair space never sees infrequent items."""
+    from mapr_plugins_spark.operators.analytics import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of ``orders`` in ONE pass (conditional
     aggregates, no per-column jobs): row count, per-column null counts,
@@ -3059,6 +3071,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_doc_sink_roundtrip,
             x_salted_join,
             x_ewma,
+            x_assoc_rules,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -4882,6 +4895,42 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_doc_chunk": _chunk_oracle(),
         "x_pack_sequences": _pack_oracle(),
+        # a-priori prune is correctness-neutral (pair_count >= S
+        # implies both item counts >= S), so brute-force pairs ARE the
+        # oracle; metrics are single divisions of the same BIGINTs
+        "x_assoc_rules": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                        FROM lineitem),
+            ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+            pr AS (
+                SELECT a.i AS item_a, b.i AS item_b,
+                       CAST(COUNT(*) AS BIGINT) AS pair_count
+                FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+            und AS (
+                SELECT pr.*, ca.c AS count_a, cb.c AS count_b, nb.n
+                FROM pr JOIN ic ca ON ca.i = pr.item_a
+                        JOIN ic cb ON cb.i = pr.item_b CROSS JOIN nb
+            ),
+            rules AS (
+                SELECT item_a AS antecedent, item_b AS consequent,
+                       pair_count, count_a AS ante_count,
+                       count_b AS cons_count, n AS n_baskets FROM und
+                UNION ALL
+                SELECT item_b, item_a, pair_count, count_b, count_a, n
+                FROM und
+            )
+            SELECT antecedent, consequent, pair_count, ante_count,
+                   cons_count, n_baskets,
+                   CAST(pair_count AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+                       AS support,
+                   CAST(pair_count AS DOUBLE) / ante_count AS confidence,
+                   CAST(pair_count * n_baskets AS DOUBLE)
+                       / CAST(ante_count * cons_count AS DOUBLE) AS lift
+            FROM rules
+        """,
         "x_interval_merge": """
             WITH iv AS (
                 SELECT user_id,

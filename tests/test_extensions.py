@@ -1659,3 +1659,26 @@ def test_setsim_prefix_length_law(spark):
     assert [(r.id_a, r.id_b) for r in hit] == [(1, 2)]
     miss = setsim_join_pairs(docs, tau_num=10, tau_den=12).collect()
     assert miss == []
+
+
+def test_assoc_rules_exact_counts(spark):
+    """Hand-checkable basket fixture: counts, confidence and lift come
+    out exactly; rules below min_support are absent; both directions
+    of a frequent pair are emitted."""
+    from mapr_plugins_spark.operators.analytics import association_rules
+
+    rows = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+         (4, "b"), (4, "c"), (5, "a")],
+        "basket BIGINT, item STRING",
+    )
+    out = association_rules(rows, "basket", "item", min_support=2).collect()
+    by_rule = {(r.antecedent, r.consequent): r for r in out}
+    # only (a,b) co-occurs in >= 2 baskets
+    assert set(by_rule) == {("a", "b"), ("b", "a")}
+    ab = by_rule[("a", "b")]
+    assert (ab.pair_count, ab.ante_count, ab.cons_count, ab.n_baskets) == (2, 4, 3, 5)
+    assert ab.support == 2 / 5 and ab.confidence == 2 / 4
+    assert ab.lift == (2 * 5) / (4 * 3)
+    ba = by_rule[("b", "a")]
+    assert ba.confidence == 2 / 3 and ba.lift == ab.lift  # lift is symmetric

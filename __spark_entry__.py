@@ -72,7 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   sketch algebra, full-value oracle), x_setsim_join (new: lossless
 #:   prefix-filter all-pairs set-similarity join, full-value oracle),
 #:   x_assoc_rules (new: a-priori market-basket rules, full-value
-#:   oracle)
+#:   oracle), x_holt_trend (new: Holt double exponential smoothing,
+#:   full-value recursive-CTE oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

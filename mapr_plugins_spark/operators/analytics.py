@@ -674,3 +674,78 @@ def association_rules(
         ((F.col("pair_count") * F.col("n_baskets")).cast("double")
          / (F.col("ante_count") * F.col("cons_count")).cast("double")).alias("lift"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizons: Sequence[int] = (1, 3),
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key (Holt
+    1957, public): ``l_t = α·v_t + (1−α)·(l_{t−1} + b_{t−1})``,
+    ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}`` with ``l_1 = v_1,
+    b_1 = 0``; emits the final state and ``forecast_h = l + h·b``.
+
+    The fold runs entirely JVM-side: one groupBy collects each key's
+    ordered history (bounded by per-key history length — the same
+    contract as sequence packing) and ONE ``aggregate`` higher-order
+    function evaluates the recurrence in whole-stage codegen — no
+    Python, no per-row UDF. α/β default to binary-exact constants and
+    every step is plain IEEE double arithmetic in history order, so a
+    recursive-CTE oracle replays the state bit-for-bit.
+
+    At 100 TB: one shuffle on the key; the fold is map-side O(history)
+    per key with O(1) state; forecasts are a projection."""
+    a, ac = float(alpha), 1.0 - float(alpha)
+    be, bc = float(beta), 1.0 - float(beta)
+    hist = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("h")
+    )
+    init = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+        F.lit(0).cast("int").alias("n"),
+    )
+
+    def _step(acc, x):
+        # duplicated l_new expression = identical IEEE op sequence in
+        # both fields (and in the oracle's lateral-alias CTE)
+        l_new = F.lit(a) * x["v"] + F.lit(ac) * (acc["l"] + acc["b"])
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                x["v"].alias("l"), F.lit(0.0).alias("b"),
+                F.lit(1).cast("int").alias("n"),
+            ),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (F.lit(be) * (l_new - acc["l"]) + F.lit(bc) * acc["b"]).alias("b"),
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    state = hist.select(
+        "key", F.aggregate("h", init, _step).alias("s")
+    ).filter(F.col("s.n") > 0)
+    fc = [
+        (F.col("s.l") + F.lit(float(h)) * F.col("s.b")).alias(f"forecast_{h}")
+        for h in horizons
+    ]
+    return state.select(
+        F.col("key").alias(key_col),
+        F.col("s.n").cast("long").alias("n_obs"),
+        F.col("s.l").alias("level"),
+        F.col("s.b").alias("trend"),
+        *fc,
+    )

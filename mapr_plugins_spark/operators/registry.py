@@ -1319,6 +1319,19 @@ def x_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level+trend) per user over
+    the event value series (α=1/2, β=1/4 — binary-exact), with 1- and
+    3-step forecasts. JVM-side HOF fold; recursive-CTE full-value
+    oracle replays the state bit-for-bit (same duplicated-l_new IEEE
+    op sequence on both engines)."""
+    from mapr_plugins_spark.operators.analytics import holt_linear
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return holt_linear(ev, "user_id", ["ts", "event_id"], "value",
+                       alpha=0.5, beta=0.25, horizons=(1, 3))
+
+
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of ``orders`` in ONE pass (conditional
     aggregates, no per-column jobs): row count, per-column null counts,
@@ -3072,6 +3085,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_salted_join,
             x_ewma,
             x_assoc_rules,
+            x_holt_trend,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -4930,6 +4944,31 @@ def extension_oracles() -> dict[str, str]:
                    CAST(pair_count * n_baskets AS DOUBLE)
                        / CAST(ante_count * cons_count AS DOUBLE) AS lift
             FROM rules
+        """,
+        "x_holt_trend": """
+            WITH RECURSIVE s AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, n, CAST(value AS DOUBLE) AS l,
+                       CAST(0.0 AS DOUBLE) AS b
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT nx.user_id, nx.rn, nx.n,
+                       0.5 * nx.value + 0.5 * (r.l + r.b),
+                       0.25 * ((0.5 * nx.value + 0.5 * (r.l + r.b)) - r.l)
+                           + 0.75 * r.b
+                FROM r JOIN s nx
+                  ON nx.user_id = r.user_id AND nx.rn = r.rn + 1
+            )
+            SELECT user_id, n AS n_obs, l AS level, b AS trend,
+                   l + 1.0 * b AS forecast_1,
+                   l + 3.0 * b AS forecast_3
+            FROM r WHERE rn = n
         """,
         "x_interval_merge": """
             WITH iv AS (

@@ -1682,3 +1682,25 @@ def test_assoc_rules_exact_counts(spark):
     assert ab.lift == (2 * 5) / (4 * 3)
     ba = by_rule[("b", "a")]
     assert ba.confidence == 2 / 3 and ba.lift == ab.lift  # lift is symmetric
+
+
+def test_holt_linear_hand_computed(spark):
+    """Recurrence check against a hand-evaluated series and the
+    constant-series law (level locks to the constant, trend stays 0)."""
+    from mapr_plugins_spark.operators.analytics import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 14.0), ("k", 3, 18.0),
+         ("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0)],
+        "key STRING, t INT, v DOUBLE",
+    )
+    out = {r.key: r for r in holt_linear(
+        df, "key", ["t"], "v", alpha=0.5, beta=0.25, horizons=(1, 3)
+    ).collect()}
+    # k: l1=10,b1=0; l2=.5*14+.5*10=12, b2=.25*2=0.5;
+    #    l3=.5*18+.5*12.5=15.25, b3=.25*3.25+.75*0.5=1.1875
+    k = out["k"]
+    assert (k.n_obs, k.level, k.trend) == (3, 15.25, 1.1875)
+    assert k.forecast_1 == 15.25 + 1.1875 and k.forecast_3 == 15.25 + 3 * 1.1875
+    c = out["c"]
+    assert (c.level, c.trend, c.forecast_3) == (5.0, 0.0, 5.0)

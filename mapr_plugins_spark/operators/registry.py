@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from mapr_plugins_spark.catalog import table as _t
 from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+from mapr_plugins_spark.operators.sampling import poisson_weight_sql
 from mapr_plugins_spark.operators import dedup as D
 from mapr_plugins_spark.operators import joins as J
 from mapr_plugins_spark.operators import multimodal as M
@@ -1330,6 +1331,18 @@ def x_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     return holt_linear(ev, "user_id", ["ts", "event_id"], "value",
                        alpha=0.5, beta=0.25, horizons=(1, 3))
+
+
+def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap ~94% CI for the mean order price
+    (Chamandy et al. 2012's Poisson bootstrap): 32 replicates, weights
+    drawn by portable hash against integer Poisson(1) CDF thresholds —
+    zero RNG state, O(R) memory, full-value oracle replays every
+    replicate mean bit-for-bit."""
+    from mapr_plugins_spark.operators.sampling import poisson_bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return poisson_bootstrap_mean_ci(o, "o_orderkey", "o_totalprice")
 
 
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3086,6 +3099,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ewma,
             x_assoc_rules,
             x_holt_trend,
+            x_bootstrap_ci,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -4969,6 +4983,27 @@ def extension_oracles() -> dict[str, str]:
                    l + 1.0 * b AS forecast_1,
                    l + 3.0 * b AS forecast_3
             FROM r WHERE rn = n
+        """,
+        "x_bootstrap_ci": f"""
+            WITH base AS (SELECT o_totalprice AS v,
+                                 CAST(o_orderkey AS STRING) AS k FROM orders),
+            reps AS (SELECT CAST(range AS INT) AS r FROM range(0, 32)),
+            hsh AS (SELECT v, r,
+                    {seeded_hash60_sql("concat(k, ':', CAST(r AS STRING))", "'29'")}
+                        AS h
+                    FROM base CROSS JOIN reps),
+            wts AS (SELECT v, r, {poisson_weight_sql("h")} AS w FROM hsh),
+            m AS (SELECT r, CAST(SUM(w * v) AS DOUBLE)
+                             / CAST(SUM(w) AS DOUBLE) AS mean_r
+                  FROM wts GROUP BY r),
+            ms AS (SELECT list_sort(list(mean_r)) AS ms FROM m)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+                   32 AS n_replicates,
+                   (SELECT CAST(SUM(o_totalprice) AS DOUBLE)
+                           / COUNT(o_totalprice) FROM orders) AS point_mean,
+                   ms[2] AS ci_lo,
+                   ms[31] AS ci_hi
+            FROM ms
         """,
         "x_interval_merge": """
             WITH iv AS (

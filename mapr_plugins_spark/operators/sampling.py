@@ -378,3 +378,83 @@ def temperature_mix(
         .filter(F.col("__h") % 1_000_000 < F.col("rate_micro"))
         .drop("__h")
     )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^60 (floor(CDF(k)·2^60),
+#: k = 0..7): a portable-hash value h ∈ [0, 2^60) maps to the bootstrap
+#: weight w = |{k : h ≥ T_k}| — the inverse-CDF draw in PURE INTEGER
+#: arithmetic, identical in Spark SQL and DuckDB (P(w > 7) ≈ 1e-5 is
+#: truncated; the truncation is part of the deterministic spec).
+POISSON1_THRESHOLDS_2_60: tuple[int, ...] = (
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776,
+)
+
+
+def poisson_weight_sql(hash_col: str) -> str:
+    """SQL fragment (valid in Spark SQL AND DuckDB) mapping a 60-bit
+    hash column to its deterministic Poisson(1) bootstrap weight."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {hash_col} >= {t} THEN 1 ELSE 0 END)"
+        for t in POISSON1_THRESHOLDS_2_60
+    ) + ")"
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    key_sql: str,
+    value_col: str,
+    n_replicates: int = 32,
+    seed: int = 29,
+    lo_rank: int = 2,
+    hi_rank: int = 31,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the mean
+    (the online-bootstrap classic — Oza & Russell 2001; Chamandy et al.
+    2012 "Estimating Uncertainty for Massive Data Streams" describes
+    exactly this Poisson formulation at planet scale): each row enters
+    replicate ``r`` with weight ~ Poisson(1), drawn via the portable
+    hash of ``(key, r)`` against integer CDF thresholds — NO RNG state,
+    so the whole estimate is replayable cross-engine bit-for-bit.
+
+    Output (one row): ``n_rows``, ``n_replicates``, ``point_mean`` and
+    the percentile interval [``ci_lo``, ``ci_hi``] = the ``lo_rank``-th
+    / ``hi_rank``-th order statistics of the replicate means (defaults:
+    2nd/31st of 32 ⇒ a central ~93.75% interval).
+
+    100 TB posture: the replicate explosion is a flat ×R map (no
+    shuffle), replicate sums are map-side combined into R·2 cells, and
+    the final order statistics sort R values — state is O(R), never
+    O(rows). Sums are exact DECIMAL/BIGINT; each mean is ONE double
+    division, so order statistics agree across engines exactly."""
+    reps = df.select(
+        F.col(value_col).alias("__v"),
+        F.expr(f"CAST({key_sql} AS STRING)").alias("__k"),
+    ).select(
+        "__v", "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("__r"),
+    )
+    hashed = with_seeded_hash60(
+        reps, "__h", "concat(__k, ':', CAST(__r AS STRING))", f"'{seed}'"
+    )
+    w = hashed.withColumn("__w", F.expr(poisson_weight_sql("__h")))
+    means = w.groupBy("__r").agg(
+        F.expr("CAST(SUM(__w * __v) AS DOUBLE) / CAST(SUM(__w) AS DOUBLE)")
+        .alias("__mean")
+    )
+    stats = means.agg(
+        F.sort_array(F.collect_list("__mean")).alias("__ms")
+    )
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"CAST(SUM({value_col}) AS DOUBLE) / COUNT({value_col})")
+        .alias("point_mean"),
+    )
+    return base.crossJoin(F.broadcast(stats)).select(
+        "n_rows",
+        F.lit(n_replicates).alias("n_replicates"),
+        "point_mean",
+        F.element_at("__ms", lo_rank).alias("ci_lo"),
+        F.element_at("__ms", hi_rank).alias("ci_hi"),
+    )

@@ -1704,3 +1704,29 @@ def test_holt_linear_hand_computed(spark):
     assert k.forecast_1 == 15.25 + 1.1875 and k.forecast_3 == 15.25 + 3 * 1.1875
     c = out["c"]
     assert (c.level, c.trend, c.forecast_3) == (5.0, 0.0, 5.0)
+
+
+def test_bootstrap_ci_laws(spark, sf_dir):
+    """The interval must bracket the point mean, be properly ordered,
+    and be invariant across runs (no RNG state)."""
+    r1 = R.x_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi
+    r2 = R.x_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert (r1.ci_lo, r1.ci_hi, r1.point_mean) == (r2.ci_lo, r2.ci_hi, r2.point_mean)
+
+
+def test_poisson_weights_mean_one(spark):
+    """Hash-drawn Poisson(1) weights must average ≈1 over many draws
+    (the bootstrap's resample-size preservation) and never go negative."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+    from mapr_plugins_spark.operators.sampling import poisson_weight_sql
+
+    d = spark.range(0, 20000).select(F.col("id").cast("string").alias("k"))
+    h = with_seeded_hash60(d, "h", "k", "'t'")
+    w = h.select(F.expr(poisson_weight_sql("h")).alias("w"))
+    row = w.agg(F.avg("w").alias("m"), F.min("w").alias("lo"),
+                F.max("w").alias("hi")).collect()[0]
+    assert 0.97 < row.m < 1.03 and row.lo >= 0 and row.hi <= 8

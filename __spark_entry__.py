@@ -74,7 +74,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_assoc_rules (new: a-priori market-basket rules, full-value
 #:   oracle), x_holt_trend (new: Holt double exponential smoothing,
 #:   full-value recursive-CTE oracle), x_bootstrap_ci (new:
-#:   deterministic Poisson-bootstrap mean CI, full-value oracle)
+#:   deterministic Poisson-bootstrap mean CI, full-value oracle),
+#:   x_sorted_neighborhood (new: Hernández–Stolfo windowed linkage,
+#:   full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -150,6 +150,7 @@ def main() -> None:
         "x_assoc_rules",  # a-priori market-basket rules (round 6)
         "x_holt_trend",  # Holt level+trend fold (round 6)
         "x_bootstrap_ci",  # Poisson bootstrap CI (round 6)
+        "x_sorted_neighborhood",  # linear-candidate record linkage (round 6)
         "x_ccnet_buckets",  # CCNet perplexity terciles (round 5)
         "x_graph_kcore",  # peeling decomposition (round 5)
         "x_kcenter_select",  # Gonzalez diverse coreset (round 5)

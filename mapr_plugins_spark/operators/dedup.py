@@ -25,6 +25,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1090,3 +1092,54 @@ def setsim_join_pairs(
         )
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood record linkage (linear candidate generation)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    block_cols: Sequence[str],
+    window: int = 4,
+    max_edit_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995,
+    public): within each block, records are SORTED on ``sort_col`` and
+    each record is compared only to its ``window − 1`` successors —
+    candidate volume O(n·w), LINEAR in block size, versus the O(block²)
+    pair space of plain blocking (x_fuzzy_join_levenshtein's shape).
+    Matches = candidate pairs with ``levenshtein(sort_a, sort_b) ≤
+    max_edit_distance``. Multi-pass usage (union over different
+    block/sort keys) is the published recall recovery; one pass is one
+    operator call.
+
+    At 100 TB: ONE hash partitioning on the block key feeds every lead
+    window (no global sort — the neighborhood is per block), the
+    window state is O(w), and the edit-distance predicate is a
+    codegen'd JVM expression evaluated on candidates only."""
+    w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(
+        F.col(sort_col), F.col(id_col)
+    )
+    base = df.select(id_col, sort_col, *block_cols)
+    out = None
+    for k in range(1, window):
+        nbr = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(sort_col).alias("v_a"),
+            F.lead(id_col, k).over(w).alias("id_b"),
+            F.lead(sort_col, k).over(w).alias("v_b"),
+        ).filter(F.col("id_b").isNotNull())
+        out = nbr if out is None else out.unionByName(nbr)
+    return (
+        out.withColumn("edit_dist", F.levenshtein("v_a", "v_b").cast("long"))
+        .filter(F.col("edit_dist") <= max_edit_distance)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "edit_dist",
+        )
+        .distinct()
+    )

@@ -1345,6 +1345,32 @@ def x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean_ci(o, "o_orderkey", "o_totalprice")
 
 
+def x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over customers ∪ injected
+    typo variants (3rd address char dropped, ids offset): within
+    (nation, first-address-char) blocks sorted by address, compare
+    each record to its 3 successors, keep edit distance ≤ 2. LINEAR
+    candidate volume (O(n·w)) — the scalable complement of block-
+    quadratic fuzzy joining; full-value oracle replays the windows."""
+    from mapr_plugins_spark.operators.dedup import sorted_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    variants = c.select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.expr(
+            "concat(substring(c_name, 1, 2), substring(c_name, 4))"
+        ).alias("c_name"),
+        "c_nationkey",
+    )
+    corpus = c.unionByName(variants)
+    return sorted_neighborhood_pairs(
+        corpus, "c_custkey", "c_name", ["c_nationkey"],
+        window=4, max_edit_distance=2,
+    )
+
+
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of ``orders`` in ONE pass (conditional
     aggregates, no per-column jobs): row count, per-column null counts,
@@ -3100,6 +3126,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_assoc_rules,
             x_holt_trend,
             x_bootstrap_ci,
+            x_sorted_neighborhood,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -5004,6 +5031,36 @@ def extension_oracles() -> dict[str, str]:
                    ms[2] AS ci_lo,
                    ms[31] AS ci_hi
             FROM ms
+        """,
+        "x_sorted_neighborhood": """
+            WITH corpus AS (
+                SELECT c_custkey AS id, c_name AS v, c_nationkey AS nk
+                FROM customer
+                UNION ALL
+                SELECT c_custkey + 1000000,
+                       concat(substr(c_name, 1, 2), substr(c_name, 4)),
+                       c_nationkey
+                FROM customer
+            ),
+            b AS (SELECT id, v, nk FROM corpus),
+            l AS (
+                SELECT id AS ida, v AS va,
+                       lead(id, 1) OVER w AS id1, lead(v, 1) OVER w AS v1,
+                       lead(id, 2) OVER w AS id2, lead(v, 2) OVER w AS v2,
+                       lead(id, 3) OVER w AS id3, lead(v, 3) OVER w AS v3
+                FROM b WINDOW w AS (PARTITION BY nk ORDER BY v, id)
+            ),
+            cand AS (
+                SELECT ida, va, id1 AS idb, v1 AS vb FROM l WHERE id1 IS NOT NULL
+                UNION ALL
+                SELECT ida, va, id2, v2 FROM l WHERE id2 IS NOT NULL
+                UNION ALL
+                SELECT ida, va, id3, v3 FROM l WHERE id3 IS NOT NULL
+            )
+            SELECT DISTINCT least(ida, idb) AS id_a,
+                   greatest(ida, idb) AS id_b,
+                   CAST(levenshtein(va, vb) AS BIGINT) AS edit_dist
+            FROM cand WHERE levenshtein(va, vb) <= 2
         """,
         "x_interval_merge": """
             WITH iv AS (

@@ -1730,3 +1730,22 @@ def test_poisson_weights_mean_one(spark):
     row = w.agg(F.avg("w").alias("m"), F.min("w").alias("lo"),
                 F.max("w").alias("hi")).collect()[0]
     assert 0.97 < row.m < 1.03 and row.lo >= 0 and row.hi <= 8
+
+
+def test_sorted_neighborhood_finds_adjacent_typo(spark):
+    """A 1-edit variant adjacent in sort order must be found; a record
+    whose nearest in-block neighbors are all > max_edit_distance away
+    must not pair; candidates never cross blocks."""
+    from mapr_plugins_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcdef", "x"), (2, "abdef", "x"), (3, "zzzzzz", "x"),
+         (4, "abcdef", "y")],
+        "id BIGINT, v STRING, blk STRING",
+    )
+    rows = sorted_neighborhood_pairs(
+        df, "id", "v", ["blk"], window=4, max_edit_distance=2
+    ).collect()
+    got = {(r.id_a, r.id_b): r.edit_dist for r in rows}
+    # (1,2): deletion distance 1. (3,·): distance > 2. (4,·): other block.
+    assert got == {(1, 2): 1}

@@ -76,7 +76,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   full-value recursive-CTE oracle), x_bootstrap_ci (new:
 #:   deterministic Poisson-bootstrap mean CI, full-value oracle),
 #:   x_sorted_neighborhood (new: Hernández–Stolfo windowed linkage,
-#:   full-value oracle)
+#:   full-value oracle), x_skipping_stats (new: zone-map stats +
+#:   pruning simulation, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -1371,6 +1371,37 @@ def x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map construction + pruning simulation: per monthly orders
+    granule, row count, o_orderdate/o_totalprice min-max and exact
+    customer NDV, annotated with skippability for a one-quarter date
+    predicate (skippable ⇔ the zone-map test itself). The stats table
+    a lakehouse keeps beside 100 TB of parquet so planners prune
+    granules without opening files; dates rendered ISO so every graded
+    cell is scalar."""
+    from mapr_plugins_spark.plans.partitioning import granule_stats, prune_simulation
+
+    o = _t(spark, sf_dir, "orders")
+    stats = granule_stats(
+        o,
+        F.date_format("o_orderdate", "yyyy-MM").cast("string"),
+        minmax_cols=["o_orderdate", "o_totalprice"],
+        ndv_cols=["o_custkey"],
+    )
+    sim = prune_simulation(
+        stats, "o_orderdate", "DATE'1994-01-01'", "DATE'1994-03-31'"
+    )
+    return sim.select(
+        "granule", "n_rows",
+        F.date_format("min_o_orderdate", "yyyy-MM-dd").alias("min_date"),
+        F.date_format("max_o_orderdate", "yyyy-MM-dd").alias("max_date"),
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+        F.col("ndv_o_custkey").alias("ndv_custkey"),
+        "skippable",
+    )
+
+
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of ``orders`` in ONE pass (conditional
     aggregates, no per-column jobs): row count, per-column null counts,
@@ -3127,6 +3158,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_holt_trend,
             x_bootstrap_ci,
             x_sorted_neighborhood,
+            x_skipping_stats,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -5061,6 +5093,19 @@ def extension_oracles() -> dict[str, str]:
                    greatest(ida, idb) AS id_b,
                    CAST(levenshtein(va, vb) AS BIGINT) AS edit_dist
             FROM cand WHERE levenshtein(va, vb) <= 2
+        """,
+        "x_skipping_stats": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS granule,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+                   strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+                   (MAX(o_orderdate) < DATE '1994-01-01'
+                    OR MIN(o_orderdate) > DATE '1994-03-31') AS skippable
+            FROM orders
+            GROUP BY 1
         """,
         "x_interval_merge": """
             WITH iv AS (

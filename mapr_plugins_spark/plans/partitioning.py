@@ -16,7 +16,7 @@ shuffle of the raw bytes for full-width parallelism of the compute.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -223,4 +223,43 @@ def write_zordered(
         .drop("__z", *[f"__zb_{c}" for c in cols])
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def granule_stats(
+    df: DataFrame,
+    granule_col: Column,
+    minmax_cols: list[str],
+    ndv_cols: list[str] | None = None,
+) -> DataFrame:
+    """Data-skipping statistics per storage granule (the min/max zone
+    maps of Parquet row groups / ORC stripes / small-materialized-
+    aggregate files, computed as a first-class dataset): per granule,
+    row count plus min/max for ``minmax_cols`` and exact NDV for
+    ``ndv_cols``. The table a 100 TB lakehouse keeps NEXT TO the data
+    so planners can prune granules without opening files — pairing it
+    with a Z-order layout key (``zorder_col``) is what makes
+    multi-dimensional pruning effective.
+
+    One map-side-combined aggregate, O(granules) output."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in minmax_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    for c in ndv_cols or []:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+    return df.groupBy(granule_col.alias("granule")).agg(*aggs)
+
+
+def prune_simulation(
+    stats: DataFrame, col: str, lo_sql: str, hi_sql: str
+) -> DataFrame:
+    """Annotate a ``granule_stats`` frame with whether each granule is
+    SKIPPABLE for the predicate ``col BETWEEN lo AND hi`` (skippable ⇔
+    max < lo OR min > hi — the zone-map test itself, so the simulation
+    measures real layout quality, e.g. before/after Z-ordering)."""
+    return stats.withColumn(
+        "skippable",
+        (F.col(f"max_{col}") < F.expr(lo_sql))
+        | (F.col(f"min_{col}") > F.expr(hi_sql)),
     )

@@ -1749,3 +1749,31 @@ def test_sorted_neighborhood_finds_adjacent_typo(spark):
     got = {(r.id_a, r.id_b): r.edit_dist for r in rows}
     # (1,2): deletion distance 1. (3,·): distance > 2. (4,·): other block.
     assert got == {(1, 2): 1}
+
+
+def test_skipping_stats_prune_law(spark, sf_dir):
+    """Zone-map soundness: a granule marked skippable must contain NO
+    row matching the predicate, and the non-skippable set must cover
+    every matching row (sum of matching rows == full filter count)."""
+    from pyspark.sql import functions as F
+
+    rows = R.x_skipping_stats(spark, sf_dir).collect()
+    assert rows and any(r.skippable for r in rows)
+    from mapr_plugins_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    in_pred = o.filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") <= "1994-03-31")
+    )
+    per_granule = {
+        r["g"]: r["n"]
+        for r in in_pred.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("g")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        if r.skippable:
+            assert per_granule.get(r.granule, 0) == 0, r.granule
+    assert sum(per_granule.values()) == in_pred.count()
+    kept = {r.granule for r in rows if not r.skippable}
+    assert set(per_granule) <= kept

@@ -77,7 +77,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   deterministic Poisson-bootstrap mean CI, full-value oracle),
 #:   x_sorted_neighborhood (new: Hernández–Stolfo windowed linkage,
 #:   full-value oracle), x_skipping_stats (new: zone-map stats +
-#:   pruning simulation, full-value oracle)
+#:   pruning simulation, full-value oracle), s21_stream_holt (new:
+#:   streaming Holt GroupState twin, shares HOLT_TREND_ORACLE_SQL)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

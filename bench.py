@@ -144,6 +144,7 @@ def main() -> None:
         "x_ann_lsh_topk",  # full-value since round 6 (integer signatures)
         "x_ann_lsh_indexed",  # partition-pruned LSH index path
         "s20_stream_rollup",  # streaming materialized view twin (round 5)
+        "s21_stream_holt",  # streaming Holt twin (round 6)
         "x_temperature_mix",  # alpha=1/2 domain sampling (round 5)
         "x_dedup_containment",  # Broder doc-in-doc inclusion (round 5)
         "x_setsim_join",  # lossless prefix-filter all-pairs (round 6)

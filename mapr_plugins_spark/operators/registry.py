@@ -3972,6 +3972,35 @@ def _pii_redact_oracle() -> str:
 #: token-budget oracle — shared verbatim by the streaming twin
 #: (s16_stream_token_budget): the per-source running-total state fold
 #: over doc_id-ordered waves finishes at exactly the batch cumsums.
+#: Shared by the batch x_holt_trend and the streaming s21 twin —
+#: one oracle constant, verbatim (the s16/s20 sharing pattern).
+HOLT_TREND_ORACLE_SQL = """
+            WITH RECURSIVE s AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, n, CAST(value AS DOUBLE) AS l,
+                       CAST(0.0 AS DOUBLE) AS b
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT nx.user_id, nx.rn, nx.n,
+                       0.5 * nx.value + 0.5 * (r.l + r.b),
+                       0.25 * ((0.5 * nx.value + 0.5 * (r.l + r.b)) - r.l)
+                           + 0.75 * r.b
+                FROM r JOIN s nx
+                  ON nx.user_id = r.user_id AND nx.rn = r.rn + 1
+            )
+            SELECT user_id, n AS n_obs, l AS level, b AS trend,
+                   l + 1.0 * b AS forecast_1,
+                   l + 3.0 * b AS forecast_3
+            FROM r WHERE rn = n
+        """
+
+
 TOKEN_BUDGET_ORACLE_SQL = f"""
             WITH t AS (
                 SELECT doc_id, source,
@@ -5018,31 +5047,7 @@ def extension_oracles() -> dict[str, str]:
                        / CAST(ante_count * cons_count AS DOUBLE) AS lift
             FROM rules
         """,
-        "x_holt_trend": """
-            WITH RECURSIVE s AS (
-                SELECT user_id, value,
-                       row_number() OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS rn,
-                       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
-                FROM events
-            ),
-            r AS (
-                SELECT user_id, rn, n, CAST(value AS DOUBLE) AS l,
-                       CAST(0.0 AS DOUBLE) AS b
-                FROM s WHERE rn = 1
-                UNION ALL
-                SELECT nx.user_id, nx.rn, nx.n,
-                       0.5 * nx.value + 0.5 * (r.l + r.b),
-                       0.25 * ((0.5 * nx.value + 0.5 * (r.l + r.b)) - r.l)
-                           + 0.75 * r.b
-                FROM r JOIN s nx
-                  ON nx.user_id = r.user_id AND nx.rn = r.rn + 1
-            )
-            SELECT user_id, n AS n_obs, l AS level, b AS trend,
-                   l + 1.0 * b AS forecast_1,
-                   l + 3.0 * b AS forecast_3
-            FROM r WHERE rn = n
-        """,
+        "x_holt_trend": HOLT_TREND_ORACLE_SQL,
         "x_bootstrap_ci": f"""
             WITH base AS (SELECT o_totalprice AS v,
                                  CAST(o_orderkey AS STRING) AS k FROM orders),

@@ -957,6 +957,60 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def s21_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt double exponential smoothing per user — the
+    GroupState twin of batch ``x_holt_trend``, sharing
+    HOLT_TREND_ORACLE_SQL VERBATIM. State is the O(1) (level, trend,
+    n) triple; each micro-batch folds its (ts, event_id)-sorted rows
+    through the SAME IEEE recurrence (α=1/2, β=1/4), so the final
+    state is bit-identical to the batch fold. Assumes per-key in-order
+    arrival across batches (the Kafka-partition-keyed-log contract
+    s12 documents)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+
+    def fold(key, pdfs, state):
+        l, b, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"]:
+                    v = float(v)
+                    if n == 0:
+                        l, b = v, 0.0
+                    else:
+                        l_new = 0.5 * v + 0.5 * (l + b)
+                        b = 0.25 * (l_new - l) + 0.75 * b
+                        l = l_new
+                    n += 1
+        state.update((l, b, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "level": [l], "trend": [b], "n_obs": [n]}
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id BIGINT, level DOUBLE, trend DOUBLE, n_obs BIGINT",
+        stateStructType="l DOUBLE, b DOUBLE, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(result, "update")
+    # update mode re-emits per batch: keep the highest-fold-count row
+    final = out.groupBy("user_id").agg(
+        F.expr("max_by(level, n_obs)").alias("level"),
+        F.expr("max_by(trend, n_obs)").alias("trend"),
+        F.max("n_obs").alias("n_obs"),
+    )
+    return final.select(
+        "user_id", "n_obs", "level", "trend",
+        (F.col("level") + F.lit(1.0) * F.col("trend")).alias("forecast_1"),
+        (F.col("level") + F.lit(3.0) * F.col("trend")).alias("forecast_3"),
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -978,6 +1032,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s18_stream_cms,
         s19_stream_quantile,
         s20_stream_rollup,
+        s21_stream_holt,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -994,6 +1049,7 @@ def streaming_oracles() -> dict[str, str]:
     from mapr_plugins_spark.operators.registry import (
         DRIFT_CHI2_ORACLE_SQL,
         TOKEN_BUDGET_ORACLE_SQL,
+        HOLT_TREND_ORACLE_SQL,
     )
 
     from mapr_plugins_spark.operators.registry import _cms_oracle
@@ -1024,6 +1080,7 @@ def streaming_oracles() -> dict[str, str]:
         # finishes at exactly the batch window cumsum, so the admission
         # log shares the batch key's oracle verbatim
         "s16_stream_token_budget": TOKEN_BUDGET_ORACLE_SQL,
+        "s21_stream_holt": HOLT_TREND_ORACLE_SQL,
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
         # the bounded-state variant ends in the same exact recount and

@@ -78,7 +78,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_sorted_neighborhood (new: Hernández–Stolfo windowed linkage,
 #:   full-value oracle), x_skipping_stats (new: zone-map stats +
 #:   pruning simulation, full-value oracle), s21_stream_holt (new:
-#:   streaming Holt GroupState twin, shares HOLT_TREND_ORACLE_SQL)
+#:   streaming Holt GroupState twin, shares HOLT_TREND_ORACLE_SQL),
+#:   x_attribution (new: first/last/linear multi-touch credit,
+#:   full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

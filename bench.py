@@ -153,6 +153,7 @@ def main() -> None:
         "x_bootstrap_ci",  # Poisson bootstrap CI (round 6)
         "x_sorted_neighborhood",  # linear-candidate record linkage (round 6)
         "x_skipping_stats",  # zone maps + prune simulation (round 6)
+        "x_attribution",  # multi-touch attribution (round 6)
         "x_ccnet_buckets",  # CCNet perplexity terciles (round 5)
         "x_graph_kcore",  # peeling decomposition (round 5)
         "x_kcenter_select",  # Gonzalez diverse coreset (round 5)

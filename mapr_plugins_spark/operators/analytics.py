@@ -749,3 +749,71 @@ def holt_linear(
         F.col("s.b").alias("trend"),
         *fc,
     )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_id_col: str,
+    type_col: str,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    value_col: str,
+) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics workhorse:
+    each conversion claims every touchpoint since the user's previous
+    conversion, and credit is emitted under the three standard models
+    at once (first-touch, last-touch, linear = value/n_touches).
+
+    Sessionless formulation as pure window algebra: a running count of
+    conversions assigns every event its conversion GROUP (touches with
+    g prior conversions belong to conversion g+1), one keyed join
+    attaches touches to their conversion, and per-group ranks mark
+    first/last. The linear share is ONE double division of the exact
+    conversion value by the exact BIGINT touch count — cross-engine
+    bit-identical.
+
+    At 100 TB: both windows and the group join reuse ONE hash
+    partitioning on the user key; no window ever spans users, state is
+    O(1) per row, and the join key (user, conv_idx) inherits the
+    user partitioning."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, event_id_col)
+    is_conv = (F.col(type_col) == conversion_type).cast("long")
+    seq = df.select(
+        user_col, ts_col, event_id_col, type_col, value_col
+    ).withColumn(
+        "__convs_incl",
+        F.sum(is_conv).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    touches = seq.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("user_id"),
+        (F.col("__convs_incl") + 1).alias("__conv_idx"),
+        F.col(event_id_col).alias("touch_event_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("__touch_ts"),
+    )
+    convs = seq.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col("__convs_incl").alias("__conv_idx"),
+        F.col(event_id_col).alias("conv_event_id"),
+        F.col(value_col).alias("__conv_value"),
+    )
+    j = touches.join(convs, ["user_id", "__conv_idx"])
+    gw = Window.partitionBy("user_id", "__conv_idx")
+    ranked = j.select(
+        "user_id", "conv_event_id", "touch_event_id", "touch_type",
+        F.row_number()
+        .over(gw.orderBy("__touch_ts", "touch_event_id"))
+        .alias("__rk"),
+        F.count(F.lit(1)).over(gw).cast("long").alias("n_touches"),
+        "__conv_value",
+    )
+    return ranked.select(
+        "user_id", "conv_event_id", "touch_event_id", "touch_type",
+        "n_touches",
+        (F.col("__rk") == 1).alias("first_credit"),
+        (F.col("__rk") == F.col("n_touches")).alias("last_credit"),
+        (F.col("__conv_value").cast("double")
+         / F.col("n_touches").cast("double")).alias("linear_value"),
+    )

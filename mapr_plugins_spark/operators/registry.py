@@ -1402,6 +1402,23 @@ def x_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution on the event log: each
+    purchase claims the click/view touches since the user's previous
+    purchase; first/last/linear credit in one pass of window algebra
+    (all shuffles share the user-key partitioning)."""
+    from mapr_plugins_spark.operators.analytics import conversion_attribution
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return conversion_attribution(
+        ev, "user_id", "ts", "event_id", "event_type",
+        touch_types=("click", "view"), conversion_type="purchase",
+        value_col="value",
+    )
+
+
 def x_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of ``orders`` in ONE pass (conditional
     aggregates, no per-column jobs): row count, per-column null counts,
@@ -3159,6 +3176,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_bootstrap_ci,
             x_sorted_neighborhood,
             x_skipping_stats,
+            x_attribution,
             x_dq_profile,
             x_ref_integrity,
             x_topk_per_group,
@@ -5111,6 +5129,47 @@ def extension_oracles() -> dict[str, str]:
                     OR MIN(o_orderdate) > DATE '1994-03-31') AS skippable
             FROM orders
             GROUP BY 1
+        """,
+        "x_attribution": """
+            WITH seq AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS ci
+                FROM events
+            ),
+            touches AS (
+                SELECT user_id, ci + 1 AS conv_idx, event_id AS touch_event_id,
+                       event_type AS touch_type, ts AS tts
+                FROM seq WHERE event_type IN ('click', 'view')
+            ),
+            convs AS (
+                SELECT user_id, ci AS conv_idx, event_id AS conv_event_id,
+                       value AS conv_value
+                FROM seq WHERE event_type = 'purchase'
+            ),
+            j AS (
+                SELECT t.user_id, t.conv_idx, conv_event_id, touch_event_id,
+                       touch_type, tts, conv_value
+                FROM touches t JOIN convs c
+                  ON c.user_id = t.user_id AND c.conv_idx = t.conv_idx
+            ),
+            ranked AS (
+                SELECT user_id, conv_event_id, touch_event_id, touch_type,
+                       row_number() OVER (PARTITION BY user_id, conv_idx
+                                          ORDER BY tts, touch_event_id) AS rk,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id, conv_idx)
+                            AS BIGINT) AS n_touches,
+                       conv_value
+                FROM j
+            )
+            SELECT user_id, conv_event_id, touch_event_id, touch_type,
+                   n_touches,
+                   rk = 1 AS first_credit,
+                   rk = n_touches AS last_credit,
+                   CAST(conv_value AS DOUBLE) / CAST(n_touches AS DOUBLE)
+                       AS linear_value
+            FROM ranked
         """,
         "x_interval_merge": """
             WITH iv AS (

@@ -1777,3 +1777,36 @@ def test_skipping_stats_prune_law(spark, sf_dir):
     assert sum(per_granule.values()) == in_pred.count()
     kept = {r.granule for r in rows if not r.skippable}
     assert set(per_granule) <= kept
+
+
+def test_attribution_credit_laws(spark):
+    """Exactly one first and one last credit per conversion; linear
+    shares sum to the conversion value; touches after the last
+    conversion attribute to nothing."""
+    from mapr_plugins_spark.operators.analytics import conversion_attribution
+
+    rows = spark.createDataFrame(
+        [
+            (1, 1, "click", 0.0), (1, 2, "view", 0.0), (1, 3, "purchase", 30.0),
+            (1, 4, "click", 0.0), (1, 5, "purchase", 10.0),
+            (1, 6, "click", 0.0),                      # dangling touch
+            (2, 7, "purchase", 99.0),                  # conversion w/o touches
+        ],
+        "user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    out = conversion_attribution(
+        rows, "user_id", "ts", "event_id", "event_type",
+        ("click", "view"), "purchase", "value",
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_event_id, []).append(r)
+    assert set(by_conv) == {3, 5}  # conv 7 has no touches, touch 6 dangles
+    c3 = by_conv[3]
+    assert sum(r.first_credit for r in c3) == 1
+    assert sum(r.last_credit for r in c3) == 1
+    assert sum(r.linear_value for r in c3) == 30.0
+    assert {r.touch_event_id for r in c3} == {1, 2}
+    (c5,) = by_conv[5]
+    assert c5.touch_event_id == 4 and c5.first_credit and c5.last_credit
+    assert c5.linear_value == 10.0

@@ -996,7 +996,11 @@ def setsim_token_arrays(
     One shuffle builds the doc×token stream, one vocabulary-sized df
     aggregate joins back on the token key (plain equi-join — the df
     side is vocab-sized but NOT forced broadcast; AQE picks the
-    strategy), one groupBy reassembles the sorted array."""
+    strategy), one groupBy reassembles the sorted array. The df join
+    IS skewed on stop-words by construction ("the" carries a corpus-
+    sized bucket): that is exactly the shape AQE's skew-join split
+    handles, and the skew never reaches the candidate join — prefix
+    tokens are the LOW-df tail."""
     toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.filter(

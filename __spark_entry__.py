@@ -80,6 +80,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   pruning simulation, full-value oracle), s21_stream_holt (new:
 #:   streaming Holt GroupState twin, shares HOLT_TREND_ORACLE_SQL),
 #:   x_attribution (new: first/last/linear multi-touch credit,
+#:   full-value oracle), x_kmeans_lloyd (new: exact-integer Lloyd
+#:   k-means, unrolled-CTE full-value oracle), x_delete_propagate
+#:   (new: GDPR cascade blast-radius audit, full-value oracle),
+#:   x_mojibake_detect (new: encoding-artifact hygiene filter,
 #:   full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)

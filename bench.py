@@ -157,6 +157,9 @@ def main() -> None:
         "x_ccnet_buckets",  # CCNet perplexity terciles (round 5)
         "x_graph_kcore",  # peeling decomposition (round 5)
         "x_kcenter_select",  # Gonzalez diverse coreset (round 5)
+        "x_kmeans_lloyd",  # exact-integer Lloyd clustering (round 6)
+        "x_delete_propagate",  # GDPR cascade blast radius (round 6)
+        "x_mojibake_detect",  # encoding-artifact hygiene filter (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -317,6 +317,81 @@ def x_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kcenter_select(emb, k=8)
 
 
+def x_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 3 rounds) over the embeddings corpus in
+    exact BIGINT micro-unit arithmetic — lowest-id seeds, lowest-index
+    tie-break, truncating-division centroid updates — so the FULL
+    3-round trajectory (not just the final partition) is replayed
+    bit-for-bit by the unrolled-CTE DuckDB oracle. The missing
+    clustering flagship next to the k-center coreset and the
+    centroid-argmax semantic dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(emb, k=8, rounds=3)
+
+
+def _kmeans_oracle(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd rounds: a_i = nearest-centroid assignment under
+    cent_{i-1} (ties → lowest cluster), cent_i = per-dim truncating
+    integer mean (empty clusters COALESCE to their previous centroid
+    — same rule as the Spark driver fold). AS MATERIALIZED on every
+    round: DuckDB inlines multiply-referenced CTEs otherwise and the
+    base scan expands exponentially."""
+    d2 = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cent0 AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+                   q AS cq
+            FROM e ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    # rounds updates + one final assignment under the last centroids:
+    # assignment pass r runs under cent{r-1}; pass rounds+1 is final.
+    for r in range(1, rounds + 2):
+        parts.append(f""",
+        a{r} AS MATERIALIZED (
+            SELECT vec_id, cl, d2 FROM (
+                SELECT vec_id, cl, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, cl ASC) AS rn
+                FROM (
+                    SELECT e.vec_id, c.cl, {d2} AS d2
+                    FROM e CROSS JOIN cent{r - 1} c
+                )
+            ) WHERE rn = 1
+        )""")
+        if r == rounds + 1:
+            break
+        parts.append(f""",
+        agg{r} AS MATERIALIZED (
+            SELECT a.cl, t.i, SUM(e.q[t.i]) AS s, COUNT(*) AS n
+            FROM a{r} a JOIN e USING (vec_id)
+            CROSS JOIN range(1, {dim + 1}) t(i)
+            GROUP BY a.cl, t.i
+        ),
+        cent{r} AS MATERIALIZED (
+            SELECT p.cl, COALESCE(u.cq, p.cq) AS cq
+            FROM cent{r - 1} p LEFT JOIN (
+                SELECT cl,
+                       list(CASE WHEN s < 0 THEN -((-s) // n)
+                            ELSE s // n END ORDER BY i) AS cq
+                FROM agg{r} GROUP BY cl
+            ) u USING (cl)
+        )""")
+    parts.append(f"""
+        SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d2 FROM a{rounds + 1}""")
+    return "".join(parts)
+
+
 def _kcenter_oracle(k: int = 8, dim: int = 64) -> str:
     """Unrolled Gonzalez rounds: cents_i = chosen set so far; round i
     takes the corpus argmax of min squared-L2 to cents_i (ties to the
@@ -2116,6 +2191,52 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_mktsegment")
 
 
+def x_delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-erasure cascade: tombstoned customers
+    (c_custkey % 97 = 0) propagate through orders (by custkey) into
+    lineitem (by the doomed orderkeys); output is the per-table
+    blast-radius audit summary a compliance job must durably record.
+    One declarative plan of chained left-semi joins — the planner
+    picks broadcast vs shuffle per hop."""
+    from mapr_plugins_spark.operators.merge import cascade_delete
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    line = _t(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    return cascade_delete(
+        tomb,
+        [
+            ("customer", cust, "c_custkey", None),
+            ("orders", orders, "o_custkey", "o_orderkey"),
+            ("lineitem", line, "l_orderkey", None),
+        ],
+    )
+
+
+def x_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) detection over the corpus with
+    deterministically injected damage — docs ≡0 (mod 7) get a
+    UTF-8-as-Latin-1 suffix, docs ≡0 (mod 13) a replacement-character
+    suffix — so the detector has real positives to find and the
+    oracle replays injection AND detection. Length-arithmetic literal
+    counting, no regex, zero shuffle."""
+    from mapr_plugins_spark.operators.text import mojibake_detect
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    damaged = docs.select(
+        "doc_id",
+        F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" cafÃ© â€” naÃ¯ve")))
+        .when(k % 13 == 0, F.concat(F.col("text"), F.lit(" bad�byte")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mojibake_detect(damaged)
+
+
 def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE semantics (update / delete / insert / keep) applied to the
     customer table from a deterministic changeset — the A6 keyed-table
@@ -3114,6 +3235,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_lsh_indexed,
             x_hard_negatives,
             x_kcenter_select,
+            x_kmeans_lloyd,
             x_dedup_minhash_pairs,
             x_dedup_ngram_jaccard,
             x_dedup_containment,
@@ -3195,6 +3317,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ccnet_buckets,
             x_decontaminate,
             x_merge_upsert,
+            x_delete_propagate,
+            x_mojibake_detect,
             x_overlap_join,
             x_vocab_encode,
             x_gap_fill,
@@ -4945,6 +5069,58 @@ def extension_oracles() -> dict[str, str]:
                                     WHEN 'MACHINERY' THEN 1000
                                     ELSE 2500 END
         """,
+        "x_delete_propagate": """
+            WITH tomb AS (
+                SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+            ),
+            del_o AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT k FROM tomb)
+            )
+            SELECT 'customer' AS table_name,
+                   (SELECT COUNT(*) FROM customer) AS rows_before,
+                   (SELECT COUNT(*) FROM tomb) AS rows_deleted,
+                   (SELECT COUNT(*) FROM customer)
+                       - (SELECT COUNT(*) FROM tomb) AS rows_after
+            UNION ALL
+            SELECT 'orders',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM del_o),
+                   (SELECT COUNT(*) FROM orders)
+                       - (SELECT COUNT(*) FROM del_o)
+            UNION ALL
+            SELECT 'lineitem',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+                   (SELECT COUNT(*) FROM lineitem)
+                       - (SELECT COUNT(*) FROM lineitem
+                          WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+        """,
+        "x_mojibake_detect": """
+            WITH damaged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                                THEN text || ' cafÃ© â€” naÃ¯ve'
+                            WHEN doc_id % 13 = 0
+                                THEN text || ' bad�byte'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(
+                       (length(text) - length(replace(text, 'Ã', '')))
+                     + (length(text) - length(replace(text, 'Â', '')))
+                     + (length(text) - length(replace(text, 'â€', ''))) // 2
+                     + (length(text) - length(replace(text, '�', '')))
+                   AS BIGINT) AS artifact_cnt,
+                   ((length(text) - length(replace(text, 'Ã', '')))
+                     + (length(text) - length(replace(text, 'Â', '')))
+                     + (length(text) - length(replace(text, 'â€', ''))) // 2
+                     + (length(text) - length(replace(text, '�', '')))) > 0
+                       AS is_mojibake
+            FROM damaged
+        """,
         "x_merge_upsert": """
             WITH base AS (
                 SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
@@ -5541,6 +5717,7 @@ def extension_oracles() -> dict[str, str]:
         "x_triangle_estimate": _triangle_estimate_oracle(guarded=True),
         "x_graph_kcore": _kcore_oracle(k=65, rounds=12),
         "x_kcenter_select": _kcenter_oracle(k=8, dim=64),
+        "x_kmeans_lloyd": _kmeans_oracle(k=8, rounds=3, dim=64),
         "x_triangle_estimate_prod": _triangle_estimate_oracle(guarded=False),
         "x_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

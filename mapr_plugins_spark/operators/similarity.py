@@ -1268,3 +1268,103 @@ def jl_component_sql(
         )
         + ")"
     )
+
+
+def _int_d2_fold(qcol, cent):
+    """Exact integer squared-L2 between two BIGINT micro-unit vectors
+    as a sequential zip_with/aggregate fold — order-independent
+    (integer addition is associative), so DuckDB's list_sum replays it
+    exactly."""
+    return F.aggregate(
+        F.zip_with(qcol, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFrame:
+    """Assign every quantized point to its nearest centroid (ties →
+    lowest cluster index). ONE transform-lambda over a literal
+    array-of-arrays (k·dim literals), then a struct array_min — the
+    (d2, idx) struct ordering IS the tie-break, no second pass over
+    the distance array."""
+    cents_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents])
+    idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    d2s = F.transform(cents_lit, lambda c: _int_d2_fold(F.col("__q"), c))
+    best = F.array_min(
+        F.zip_with(d2s, idxs, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    return q.select(
+        F.col(id_col),
+        F.col("__q"),
+        best["i"].cast("int").alias("cluster"),
+        best["d"].alias("d2"),
+    )
+
+
+def _quantize_micro(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+        ).alias("__q"),
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means (1957/1982, public) over an embedding corpus,
+    made EXACTLY replayable cross-engine: components are quantized to
+    BIGINT micro-units (floor(v·10⁶) — floor, never round: round
+    straddles banker's/half-up conventions), distances are exact
+    integer squared-L2, centroid updates are truncating integer
+    division (both engines truncate toward zero; the sign-wrapped
+    form is pinned in tests), seeds are the k lowest-id vectors, and
+    assignment ties break to the lowest cluster index. The entire
+    ``rounds``-iteration trajectory is therefore bit-identical to the
+    DuckDB oracle's unrolled-CTE replay — no epsilon anywhere.
+
+    Distributed shape (the same as Spark MLlib's KMeans): per round,
+    ONE corpus scan computing assignments, then a (cluster, dim)
+    partial-aggregated shuffle of k·dim cells; the driver holds only
+    k·dim BIGINTs of centroid state (bounded, metadata-sized). Empty
+    clusters keep their previous centroid. At 100 TB: rounds·scans of
+    an embarrassingly parallel map + a map-side-combined k·dim·P
+    shuffle — no corpus-sized shuffle, no data-sized driver state.
+    The quantized corpus is persisted across rounds and released at
+    the operator's eager boundary (the last centroid collect); the
+    returned plan re-derives it from the scan (one cheap codegen
+    projection), so no cache leaks past the call.
+
+    Output: ``(id, cluster INT, d2 BIGINT)`` — the final assignment
+    under the round-``rounds`` centroids."""
+    q = _quantize_micro(emb, id_col, vec_col).persist()
+    try:
+        seeds = q.orderBy(F.col(id_col).asc()).limit(k).collect()
+        cents = [list(r["__q"]) for r in seeds]
+        for _ in range(rounds):
+            a = _kmeans_assign(q, cents, id_col)
+            agg = (
+                a.select("cluster", F.posexplode("__q").alias("__i", "__v"))
+                .groupBy("cluster", "__i")
+                .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            new = [list(c) for c in cents]
+            for row in agg:
+                s, n = int(row["__s"]), int(row["__n"])
+                new[int(row["cluster"])][int(row["__i"])] = (
+                    -((-s) // n) if s < 0 else s // n
+                )
+            cents = new
+    finally:
+        q.unpersist()
+    return _kmeans_assign(
+        _quantize_micro(emb, id_col, vec_col), cents, id_col
+    ).select(id_col, "cluster", "d2")

@@ -899,3 +899,38 @@ def bpe_train_collected(
     return df.sparkSession.createDataFrame(
         learned, "rank INT, merge_left STRING, merge_right STRING, pair_count BIGINT"
     )
+
+
+#: UTF-8-bytes-read-as-Latin-1/cp1252 artifact markers (the public
+#: "mojibake" heuristic family, cf. ftfy's badness signals): 'Ã'/'Â'
+#: lead bytes of 2-byte UTF-8 sequences, 'â€' the lead pair of
+#: smart-punctuation sequences, and the replacement character a lossy
+#: decode leaves behind. Literal substrings, NOT regexes — counting is
+#: pure length arithmetic, identical in any engine/dialect.
+MOJIBAKE_MARKERS: tuple[str, ...] = ("Ã", "Â", "â€", "�")
+
+
+def mojibake_detect(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encoding-artifact detection — the byte-level hygiene filter a
+    web-crawl ingest runs before any language/quality scoring (a
+    mis-decoded document poisons tokenization downstream). Counts
+    occurrences of each mojibake marker by literal length arithmetic
+    ``(len(s) - len(replace(s, m, ''))) / len(m)`` — zero regex (no
+    dialect hazard), zero shuffle, whole-stage codegen; the DuckDB
+    oracle replays the same arithmetic verbatim.
+
+    Output: ``(id, artifact_cnt BIGINT, is_mojibake BOOLEAN)``."""
+    s = F.col(text_col)
+    cnt = F.lit(0).cast("long")
+    for m in MOJIBAKE_MARKERS:
+        cnt = cnt + (
+            (F.length(s) - F.length(F.replace(s, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        cnt.alias("artifact_cnt"),
+        (cnt > 0).alias("is_mojibake"),
+    )

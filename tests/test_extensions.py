@@ -1638,7 +1638,10 @@ def test_setsim_join_lossless_vs_brute_force(spark):
         ],
         "doc_id BIGINT, text STRING",
     )
-    rows = setsim_join_pairs(docs, tau_num=3, tau_den=5).collect()
+    po: list = []
+    rows = setsim_join_pairs(docs, tau_num=3, tau_den=5, persisted_out=po).collect()
+    for d in po:
+        d.unpersist()
     got = {(r.id_a, r.id_b): (r.inter, r.union_size) for r in rows}
     assert got == {(1, 2): (4, 6), (1, 3): (5, 5), (2, 3): (4, 6)}
     by_pair = {(r.id_a, r.id_b): r.jaccard for r in rows}
@@ -1655,10 +1658,13 @@ def test_setsim_prefix_length_law(spark):
         "doc_id BIGINT, text STRING",
     )
     # true Jaccard = 9/11
-    hit = setsim_join_pairs(docs, tau_num=9, tau_den=11).collect()
+    po: list = []
+    hit = setsim_join_pairs(docs, tau_num=9, tau_den=11, persisted_out=po).collect()
     assert [(r.id_a, r.id_b) for r in hit] == [(1, 2)]
-    miss = setsim_join_pairs(docs, tau_num=10, tau_den=12).collect()
+    miss = setsim_join_pairs(docs, tau_num=10, tau_den=12, persisted_out=po).collect()
     assert miss == []
+    for d in po:
+        d.unpersist()
 
 
 def test_assoc_rules_exact_counts(spark):
@@ -1810,3 +1816,111 @@ def test_attribution_credit_laws(spark):
     (c5,) = by_conv[5]
     assert c5.touch_event_id == 4 and c5.first_credit and c5.last_credit
     assert c5.linear_value == 10.0
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    """Two planted groups at opposite corners must land in distinct
+    clusters, co-members together; a point sitting exactly ON the
+    final centroid has d2 = 0."""
+    from mapr_plugins_spark.operators.similarity import kmeans_lloyd
+
+    rows = [
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [1.0, 1.0, 1.0, 1.0]),
+        (3, [1.1, 0.9, 1.0, 1.0]),
+        (4, [-1.0, -1.0, -1.0, -1.0]),
+        (5, [-1.0, -1.0, -1.0, -1.0]),
+        (6, [-0.9, -1.1, -1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {r.vec_id: (r.cluster, r.d2) for r in
+           kmeans_lloyd(emb, k=2, rounds=2).collect()}
+    assert got[1][0] == got[2][0] == got[3][0]
+    assert got[4][0] == got[5][0] == got[6][0]
+    assert got[1][0] != got[4][0]
+    # centroid of {1,2,3} has the mean of two identical + one jittered
+    # point; the identical pair cannot sit at distance 0 unless the
+    # jitter collapses — but exact-duplicate points always share d2
+    assert got[1][1] == got[2][1]
+    assert set(v[0] for v in got.values()) == {0, 1}
+
+
+def test_kmeans_lloyd_truncating_division_matches_duckdb(spark):
+    """The Python centroid fold and the oracle's CASE both truncate
+    toward zero — pin the convention on negative sums (DuckDB's //
+    truncates; Python's // floors, hence the sign wrap)."""
+    import duckdb
+
+    for s, n in [(-7, 2), (7, 2), (-9, 4), (9, 4), (-8, 2)]:
+        py = -((-s) // n) if s < 0 else s // n
+        db = duckdb.sql(
+            f"SELECT CASE WHEN ({s}) < 0 THEN -((-({s})) // {n}) "
+            f"ELSE ({s}) // {n} END"
+        ).fetchone()[0]
+        plain = duckdb.sql(f"SELECT ({s}) // {n}").fetchone()[0]
+        assert py == db == plain == int(s / n)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
+    """k larger than the number of distinct locations: duplicate seeds
+    produce an empty cluster after the first assignment (ties break to
+    the lowest index); the empty cluster's centroid must persist
+    without error and every output cluster id stays in [0, k)."""
+    from mapr_plugins_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [float(i % 2), 0.0]) for i in range(1, 7)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = kmeans_lloyd(emb, k=3, rounds=2).collect()
+    assert len(out) == 6
+    assert all(0 <= r.cluster < 3 for r in out)
+
+
+def test_cascade_delete_blast_radius(spark):
+    """Hand-checkable two-level cascade: tombstones {1}, orders of
+    customer 1 = {10, 11}, lineitems of those orders = 3 rows."""
+    from mapr_plugins_spark.operators.merge import cascade_delete
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c BIGINT")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], "o BIGINT, oc BIGINT"
+    )
+    line = spark.createDataFrame(
+        [(10, 100), (10, 101), (11, 102), (12, 103), (13, 104)],
+        "lo BIGINT, l BIGINT",
+    )
+    tomb = cust.filter(F.col("c") == 1).select(F.col("c").alias("k"))
+    got = {
+        r.table_name: (r.rows_before, r.rows_deleted, r.rows_after)
+        for r in cascade_delete(
+            tomb,
+            [("cust", cust, "c", None), ("orders", orders, "oc", "o"),
+             ("line", line, "lo", None)],
+        ).collect()
+    }
+    assert got == {
+        "cust": (3, 1, 2),
+        "orders": (4, 2, 2),
+        "line": (5, 3, 2),
+    }
+
+
+def test_mojibake_detect_counts(spark):
+    """Clean ASCII → 0; a UTF-8-as-Latin-1 suffix counts each marker
+    once per occurrence ('â€' at its 2-char weight)."""
+    from mapr_plugins_spark.operators.text import mojibake_detect
+
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean ascii text"),
+            (2, "smart quote gone wrong: â€œquotedâ€"),
+            (3, "cafÃ© and naÃ¯ve"),
+            (4, "lossy�decode"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.artifact_cnt, r.is_mojibake)
+           for r in mojibake_detect(docs).collect()}
+    assert got[1] == (0, False)
+    assert got[2] == (2, True)   # two 'â€' sequences
+    assert got[3] == (2, True)   # two 'Ã' lead bytes
+    assert got[4] == (1, True)   # one replacement char

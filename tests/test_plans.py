@@ -826,8 +826,45 @@ def test_setsim_join_is_hint_free_and_cartesian_free(spark, sf_dir):
     never degenerate to a cartesian product."""
     from mapr_plugins_spark.operators.registry import x_setsim_join
 
+    # Pin the UNCACHED plan: a token-array frame left persisted by an
+    # earlier test would splice an InMemoryRelation in here, and the
+    # explain would then render that cached subtree's ORIGINAL physical
+    # plan (planned under default confs, broadcast and all) — the pin
+    # would be reading a stale cache exhibit, not this operator's
+    # strategy.
+    spark.catalog.clearCache()
     with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
         df = x_setsim_join(spark, sf_dir)
         p = A.plan_str(df)
     assert not A.has_cartesian(df), p
     assert "BroadcastHashJoin" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir):
+    """The returned k-means assignment plan is a pure row-local
+    projection (quantize → literal-centroid distance fold → struct
+    min): no exchange, no join, no cartesian. The iterative work all
+    happened at bounded driver collects before the plan was built."""
+    from mapr_plugins_spark.operators.registry import x_kmeans_lloyd
+
+    spark.catalog.clearCache()
+    df = x_kmeans_lloyd(spark, sf_dir)
+    p = A.plan_str(df)
+    assert not A.has_cartesian(df), p
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+
+
+def test_delete_propagate_uses_semi_joins_unhinted(spark, sf_dir):
+    """Every cascade hop is a left-semi join with strategy left to the
+    planner (tombstone sets grow with erasure backlog — a forced
+    broadcast would eventually OOM); the only nested-loop sites are
+    the documented 1-row scalar-attach cross joins of the audit
+    summary."""
+    from mapr_plugins_spark.operators.registry import x_delete_propagate
+
+    spark.catalog.clearCache()
+    df = x_delete_propagate(spark, sf_dir)
+    p = A.plan_str(df)
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p

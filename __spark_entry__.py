@@ -84,7 +84,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   k-means, unrolled-CTE full-value oracle), x_delete_propagate
 #:   (new: GDPR cascade blast-radius audit, full-value oracle),
 #:   x_mojibake_detect (new: encoding-artifact hygiene filter,
-#:   full-value oracle)
+#:   full-value oracle), x_zscore_anomaly (new: exact-integer prefix
+#:   z-score anomaly flags, full-value oracle),
+#:   s22_stream_zscore (new: streaming GroupState twin, shares
+#:   ZSCORE_ORACLE_SQL verbatim)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

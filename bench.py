@@ -160,6 +160,8 @@ def main() -> None:
         "x_kmeans_lloyd",  # exact-integer Lloyd clustering (round 6)
         "x_delete_propagate",  # GDPR cascade blast radius (round 6)
         "x_mojibake_detect",  # encoding-artifact hygiene filter (round 6)
+        "x_zscore_anomaly",  # exact-integer prefix z-score flags (round 6)
+        "s22_stream_zscore",  # streaming GroupState twin (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -817,3 +817,65 @@ def conversion_attribution(
         (F.col("__conv_value").cast("double")
          / F.col("n_touches").cast("double")).alias("linear_value"),
     )
+
+
+def zscore_prefix_anomaly(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    z: int = 3,
+    min_n: int = 5,
+) -> DataFrame:
+    """Per-key streaming-shaped anomaly flags: each event is scored
+    against the mean/stddev of its STRICT PREFIX (the events before it
+    in ``order_cols`` order) — exactly what an online monitor knows at
+    arrival time, so the batch result is the replay of the streaming
+    twin (``s22_stream_zscore`` shares this oracle verbatim).
+
+    Exactness: values quantize to BIGINT micro-units and the z-test is
+    squared into pure integer arithmetic —
+
+        |x − μ| > z·σ   ⟺   (n·x − S1)² > z²·(n·S2 − S1²)
+
+    (both sides × n²) — computed in DECIMAL(38,0) on the Spark side
+    and HUGEINT in DuckDB, so there is no float epsilon and no
+    sqrt/stddev convention to straddle. Headroom: exact while
+    n·|x_micro| < 10¹⁹ per key (n < ~2·10¹⁰ events at the corpus's
+    value range) — far past any per-key history a monitor keeps.
+
+    ONE shuffle on the key; the prefix window reuses that
+    partitioning. σ = 0 prefixes flag any deviation (rhs = 0);
+    prefixes shorter than ``min_n`` never flag.
+
+    Output: ``(key, id, x_micro, n_prev, is_anomaly)``."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = F.floor(F.col(value_col).cast("double") * F.lit(1000000.0)).cast("long")
+    base = df.select(
+        F.col(key_col), *[F.col(c) for c in order_cols], x.alias("x_micro")
+    )
+
+    def D(c):
+        return c.cast("decimal(38,0)")
+
+    xm = F.col("x_micro")
+    n = F.count("x_micro").over(w)
+    s1 = F.sum("x_micro").over(w)
+    s2 = F.sum(D(xm) * D(xm)).over(w)
+    lhs_base = D(n) * D(xm) - D(s1)
+    lhs = lhs_base * lhs_base
+    rhs = F.lit(z * z).cast("decimal(38,0)") * (D(n) * s2 - D(s1) * D(s1))
+    return base.select(
+        F.col(key_col),
+        F.col(id_col),
+        xm,
+        n.alias("n_prev"),
+        F.when((n >= min_n) & (lhs > rhs), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

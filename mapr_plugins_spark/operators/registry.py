@@ -1369,6 +1369,20 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user prefix z-score anomaly flags over the event value
+    series — what an online monitor knows at each event's arrival
+    time. Exact integer arithmetic (squared z-test over micro-units,
+    DECIMAL(38,0)/HUGEINT); the streaming GroupState twin s22 shares
+    ZSCORE_ORACLE_SQL verbatim."""
+    from mapr_plugins_spark.operators.analytics import zscore_prefix_anomaly
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return zscore_prefix_anomaly(
+        ev, "user_id", ["ts", "event_id"], "event_id", "value", z=3, min_n=5
+    )
+
+
 def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (alpha=0.25, ts then event_id
     order) — bucketed sequential fold (operators/analytics.py::ewma),
@@ -3293,6 +3307,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_doc_sink_roundtrip,
             x_salted_join,
             x_ewma,
+            x_zscore_anomaly,
             x_assoc_rules,
             x_holt_trend,
             x_bootstrap_ci,
@@ -4114,6 +4129,37 @@ def _pii_redact_oracle() -> str:
 #: token-budget oracle — shared verbatim by the streaming twin
 #: (s16_stream_token_budget): the per-source running-total state fold
 #: over doc_id-ordered waves finishes at exactly the batch cumsums.
+#: Shared by the batch x_zscore_anomaly and the streaming s22 twin —
+#: one oracle constant, verbatim (the s16/s20/s21 sharing pattern).
+#: Pure integer arithmetic: the z-test is squared into
+#: (n·x − S1)² > z²·(n·S2 − S1²) over BIGINT micro-units, HUGEINT
+#: products — no float epsilon, no stddev convention.
+ZSCORE_ORACLE_SQL = """
+            SELECT user_id, event_id, x_micro, n_prev,
+                   CASE WHEN n_prev >= 5
+                             AND (CAST(n_prev AS HUGEINT) * x_micro - s1)
+                                 * (CAST(n_prev AS HUGEINT) * x_micro - s1)
+                                 > 9 * (CAST(n_prev AS HUGEINT) * s2
+                                        - CAST(s1 AS HUGEINT) * s1)
+                        THEN true ELSE false END AS is_anomaly
+            FROM (
+                SELECT user_id, event_id, x_micro,
+                       COUNT(x_micro) OVER w AS n_prev,
+                       SUM(x_micro) OVER w AS s1,
+                       SUM(CAST(x_micro AS HUGEINT) * x_micro) OVER w AS s2
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           CAST(floor(value * 1000000) AS BIGINT) AS x_micro
+                    FROM events
+                )
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            )
+"""
+
+
 #: Shared by the batch x_holt_trend and the streaming s21 twin —
 #: one oracle constant, verbatim (the s16/s20 sharing pattern).
 HOLT_TREND_ORACLE_SQL = """
@@ -5527,6 +5573,7 @@ def extension_oracles() -> dict[str, str]:
                 FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
             ) WHERE change IS NOT NULL
         """,
+        "x_zscore_anomaly": ZSCORE_ORACLE_SQL,
         "x_ewma": """
             WITH RECURSIVE s AS (
                 SELECT user_id, event_id, value,

@@ -1011,6 +1011,80 @@ def s21_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s22_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event z-score anomaly flags — the GroupState twin
+    of batch ``x_zscore_anomaly``, sharing ZSCORE_ORACLE_SQL VERBATIM.
+    State is O(1) per key: (n, S1, S2), with S2 carried as a decimal
+    STRING (S2 = Σx² outgrows int64 at ~40k events/key at this value
+    range; Python ints are arbitrary-precision, so exactness survives
+    any history length). Replayed in 4 REAL ts-contiguous micro-batches
+    (ts is globally unique in the corpus, so in-order arrival is
+    well-defined); each batch folds its rows sorted by (ts, event_id)
+    through the SAME integer test the batch window computes —
+    (n·x − S1)² > 9·(n·S2 − S1²) — and emits one flagged row per event
+    (append semantics), so the union across batches is row-for-row the
+    batch result."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    stream = df_stream_chunked(ev, f"{sf_dir}/zscore_events", "ts", n_chunks=4)
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            n, s1, s2s = state.get
+            n, s1, s2 = int(n), int(s1), int(s2s)
+        else:
+            n, s1, s2 = 0, 0, 0
+        eids, xs, nps, flags = [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                x = math.floor(float(v) * 1000000.0)
+                flag = bool(
+                    n >= 5 and (n * x - s1) ** 2 > 9 * (n * s2 - s1 * s1)
+                )
+                eids.append(int(eid))
+                xs.append(x)
+                nps.append(n)
+                flags.append(flag)
+                n += 1
+                s1 += x
+                s2 += x * x
+        state.update((n, s1, str(s2)))
+        if eids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(eids),
+                    "event_id": eids,
+                    "x_micro": xs,
+                    "n_prev": nps,
+                    "is_anomaly": flags,
+                }
+            )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id BIGINT, event_id BIGINT, x_micro BIGINT,"
+            " n_prev BIGINT, is_anomaly BOOLEAN"
+        ),
+        stateStructType="n BIGINT, s1 BIGINT, s2s STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(result, "append")
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -1033,6 +1107,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s19_stream_quantile,
         s20_stream_rollup,
         s21_stream_holt,
+        s22_stream_zscore,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -1050,6 +1125,7 @@ def streaming_oracles() -> dict[str, str]:
         DRIFT_CHI2_ORACLE_SQL,
         TOKEN_BUDGET_ORACLE_SQL,
         HOLT_TREND_ORACLE_SQL,
+        ZSCORE_ORACLE_SQL,
     )
 
     from mapr_plugins_spark.operators.registry import _cms_oracle
@@ -1081,6 +1157,7 @@ def streaming_oracles() -> dict[str, str]:
         # log shares the batch key's oracle verbatim
         "s16_stream_token_budget": TOKEN_BUDGET_ORACLE_SQL,
         "s21_stream_holt": HOLT_TREND_ORACLE_SQL,
+        "s22_stream_zscore": ZSCORE_ORACLE_SQL,
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
         # the bounded-state variant ends in the same exact recount and

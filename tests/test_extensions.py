@@ -1924,3 +1924,44 @@ def test_mojibake_detect_counts(spark):
     assert got[2] == (2, True)   # two 'â€' sequences
     assert got[3] == (2, True)   # two 'Ã' lead bytes
     assert got[4] == (1, True)   # one replacement char
+
+
+def test_zscore_prefix_anomaly_laws(spark):
+    """Hand fixture: zero-variance prefix flags any deviation; values
+    equal to the constant prefix never flag; the first min_n events
+    never flag regardless of value."""
+    from mapr_plugins_spark.operators.analytics import zscore_prefix_anomaly
+
+    rows = [(1, i, float(v)) for i, v in enumerate(
+        [10, 10, 10, 10, 10, 10, 1000, 10], start=1
+    )]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, value DOUBLE"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    got = {r.event_id: r for r in zscore_prefix_anomaly(
+        ev, "user_id", ["ts", "event_id"], "event_id", "value"
+    ).collect()}
+    # events 1..5 have prefixes shorter than min_n=5 → never flagged
+    for i in range(1, 6):
+        assert not got[i].is_anomaly, i
+    assert not got[6].is_anomaly          # equals the constant prefix
+    assert got[7].is_anomaly              # spike vs sigma=0 prefix
+    # event 8: prefix now contains the 1000 outlier → huge sigma, 10 is
+    # within 3 sigma of the prefix mean
+    assert not got[8].is_anomaly
+    assert got[7].n_prev == 6 and got[7].x_micro == 1000 * 1000000
+
+
+def test_zscore_stream_twin_equals_batch(spark):
+    """The GroupState twin must reproduce the batch operator row for
+    row at sf0.001 — same integer state fold, chunked in-order
+    replay."""
+    from mapr_plugins_spark.operators.registry import x_zscore_anomaly
+    from mapr_plugins_spark.streaming.registry import s22_stream_zscore
+
+    sf = "/root/testdata/sf0.001"
+    batch = {(r.user_id, r.event_id): (r.x_micro, r.n_prev, r.is_anomaly)
+             for r in x_zscore_anomaly(spark, sf).collect()}
+    stream = {(r.user_id, r.event_id): (r.x_micro, r.n_prev, r.is_anomaly)
+              for r in s22_stream_zscore(spark, sf).collect()}
+    assert batch == stream

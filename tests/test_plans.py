@@ -868,3 +868,16 @@ def test_delete_propagate_uses_semi_joins_unhinted(spark, sf_dir):
     p = A.plan_str(df)
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_zscore_anomaly_single_shuffle(spark, sf_dir):
+    """One hash exchange on the user key; the prefix window reuses that
+    partitioning — no second shuffle, no join, no Python stage."""
+    from mapr_plugins_spark.operators.registry import x_zscore_anomaly
+
+    spark.catalog.clearCache()
+    df = x_zscore_anomaly(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) <= 1, p
+    assert "Join" not in p, p
+    assert "Python" not in p, p

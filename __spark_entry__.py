@@ -87,7 +87,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   full-value oracle), x_zscore_anomaly (new: exact-integer prefix
 #:   z-score anomaly flags, full-value oracle),
 #:   s22_stream_zscore (new: streaming GroupState twin, shares
-#:   ZSCORE_ORACLE_SQL verbatim)
+#:   ZSCORE_ORACLE_SQL verbatim), x_holt_winters (new: additive
+#:   seasonal Holt-Winters, recursive-CTE full-value oracle),
+#:   x_feature_hashing (new: Weinberger hashing-trick vectorizer,
+#:   full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -162,6 +162,8 @@ def main() -> None:
         "x_mojibake_detect",  # encoding-artifact hygiene filter (round 6)
         "x_zscore_anomaly",  # exact-integer prefix z-score flags (round 6)
         "s22_stream_zscore",  # streaming GroupState twin (round 6)
+        "x_holt_winters",  # additive seasonal smoothing (round 6)
+        "x_feature_hashing",  # hashing-trick vectorizer (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -879,3 +879,110 @@ def zscore_prefix_anomaly(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    m: int = 4,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    horizons: Sequence[int] = (1, 2),
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing per key
+    (Winters 1960, public): level + trend + an m-slot seasonal cycle,
+
+        l_t = α·(v_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(v_t − l_t) + (1−γ)·s_{t−m}
+
+    with the deterministic cold-start convention ``l_1 = v_1, b_1 = 0,
+    seasons all 0`` (observation t occupies slot (t−1) mod m). α/β/γ
+    default to binary-exact constants and the fold is ONE JVM-side
+    ``aggregate`` HOF over each key's ordered history — the same
+    single-shuffle, O(1)-state shape as ``holt_linear`` — so the
+    recursive-CTE oracle replays every IEEE op in order (l_t appears
+    duplicated in the trend and season updates on BOTH engines).
+
+    Output: final state (level, trend, season_0..season_{m−1}) and
+    ``forecast_h = l + h·b + s_slot(n+h)``, all unrounded."""
+    a, ac = float(alpha), 1.0 - float(alpha)
+    be, bc = float(beta), 1.0 - float(beta)
+    g, gc = float(gamma), 1.0 - float(gamma)
+    hist = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("h")
+    )
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        *[F.lit(0.0).alias(f"s{k}") for k in range(m)],
+        F.lit(0).cast("int").alias("n"),
+    )
+
+    def _slot_sel(slot, fields):
+        sel = fields[m - 1]
+        for k in range(m - 2, -1, -1):
+            sel = F.when(slot == k, fields[k]).otherwise(sel)
+        return sel
+
+    def _step(acc, x):
+        slot = acc["n"] % m
+        s_prev = _slot_sel(slot, [acc[f"s{k}"] for k in range(m)])
+        l_new = F.lit(a) * (x["v"] - s_prev) + F.lit(ac) * (acc["l"] + acc["b"])
+        seasons = [
+            F.when(
+                slot == k,
+                F.lit(g) * (x["v"] - l_new) + F.lit(gc) * acc[f"s{k}"],
+            )
+            .otherwise(acc[f"s{k}"])
+            .alias(f"s{k}")
+            for k in range(m)
+        ]
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                x["v"].alias("l"),
+                F.lit(0.0).alias("b"),
+                *[F.lit(0.0).alias(f"s{k}") for k in range(m)],
+                F.lit(1).cast("int").alias("n"),
+            ),
+        ).otherwise(
+            F.struct(
+                l_new.alias("l"),
+                (F.lit(be) * (l_new - acc["l"]) + F.lit(bc) * acc["b"]).alias("b"),
+                *seasons,
+                (acc["n"] + 1).alias("n"),
+            )
+        )
+
+    state = hist.select(
+        "key", F.aggregate("h", init, _step).alias("s")
+    ).filter(F.col("s.n") > 0)
+    n_final = F.col("s.n").cast("long")
+    fc = []
+    for h in horizons:
+        slot_h = (F.col("s.n") + (h - 1)) % m
+        s_h = _slot_sel(slot_h, [F.col(f"s.s{k}") for k in range(m)])
+        fc.append(
+            (F.col("s.l") + F.lit(float(h)) * F.col("s.b") + s_h).alias(
+                f"forecast_{h}"
+            )
+        )
+    return state.select(
+        F.col("key").alias(key_col),
+        n_final.alias("n_obs"),
+        F.col("s.l").alias("level"),
+        F.col("s.b").alias("trend"),
+        *[F.col(f"s.s{k}").alias(f"season_{k}") for k in range(m)],
+        *fc,
+    )

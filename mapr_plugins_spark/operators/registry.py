@@ -1369,6 +1369,74 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 4-slot season) per user
+    over the event value series — α=1/2, β=1/4, γ=1/2 binary-exact;
+    one JVM-side HOF fold; the recursive-CTE oracle replays the full
+    state (including all four season slots) bit-for-bit."""
+    from mapr_plugins_spark.operators.analytics import holt_winters_additive
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return holt_winters_additive(
+        ev, "user_id", ["ts", "event_id"], "value", m=4, horizons=(1, 2)
+    )
+
+
+def _holt_winters_oracle(m: int = 4, horizons=(1, 2)) -> str:
+    """Recursive-CTE replay of the additive Holt-Winters fold. The
+    l_new expression is textually duplicated into the trend and season
+    updates — the same duplicated IEEE op sequence the Spark fold
+    evaluates (the HOLT_TREND precedent)."""
+    scols = ", ".join(f"s{k}" for k in range(m))
+    zeros = ", ".join(f"CAST(0.0 AS DOUBLE) AS s{k}" for k in range(m))
+    sel_prev = (
+        f"CASE (nx.rn - 1) % {m} "
+        + " ".join(f"WHEN {k} THEN r.s{k}" for k in range(m - 1))
+        + f" ELSE r.s{m - 1} END"
+    )
+    lnew = f"0.5 * (nx.value - {sel_prev}) + 0.5 * (r.l + r.b)"
+    supd = ", ".join(
+        f"CASE WHEN (nx.rn - 1) % {m} = {k} "
+        f"THEN 0.5 * (nx.value - ({lnew})) + 0.5 * r.s{k} "
+        f"ELSE r.s{k} END"
+        for k in range(m)
+    )
+    fcs = []
+    for h in horizons:
+        sel_h = (
+            f"CASE (n + {h - 1}) % {m} "
+            + " ".join(f"WHEN {k} THEN s{k}" for k in range(m - 1))
+            + f" ELSE s{m - 1} END"
+        )
+        fcs.append(f"l + {float(h)} * b + {sel_h} AS forecast_{h}")
+    season_out = ", ".join(f"s{k} AS season_{k}" for k in range(m))
+    return f"""
+            WITH RECURSIVE s AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, rn, n, CAST(value AS DOUBLE) AS l,
+                       CAST(0.0 AS DOUBLE) AS b, {zeros}
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT nx.user_id, nx.rn, nx.n,
+                       {lnew},
+                       0.25 * (({lnew}) - r.l) + 0.75 * r.b,
+                       {supd}
+                FROM r JOIN s nx
+                  ON nx.user_id = r.user_id AND nx.rn = r.rn + 1
+            )
+            SELECT user_id, n AS n_obs, l AS level, b AS trend,
+                   {season_out},
+                   {", ".join(fcs)}
+            FROM r WHERE rn = n
+        """
+
+
 def x_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user prefix z-score anomaly flags over the event value
     series — what an online monitor knows at each event's arrival
@@ -2082,6 +2150,17 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(docs, budget=256, n_buckets=8)
+
+
+def x_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009) of the
+    corpus into a fixed 64-bucket signed sparse space — the
+    vocabulary-free crawl-scale vectorizer. Portable-hash buckets and
+    signs; sparse long-format output; one explode + one aggregate."""
+    from mapr_plugins_spark.operators.text import feature_hashing
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return feature_hashing(docs, n_buckets=64)
 
 
 def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3308,6 +3387,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_salted_join,
             x_ewma,
             x_zscore_anomaly,
+            x_holt_winters,
             x_assoc_rules,
             x_holt_trend,
             x_bootstrap_ci,
@@ -3328,6 +3408,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_doc_chunk,
             x_pack_sequences,
             x_tfidf,
+            x_feature_hashing,
             x_lm_score,
             x_ccnet_buckets,
             x_decontaminate,
@@ -5574,6 +5655,7 @@ def extension_oracles() -> dict[str, str]:
             ) WHERE change IS NOT NULL
         """,
         "x_zscore_anomaly": ZSCORE_ORACLE_SQL,
+        "x_holt_winters": _holt_winters_oracle(m=4, horizons=(1, 2)),
         "x_ewma": """
             WITH RECURSIVE s AS (
                 SELECT user_id, event_id, value,
@@ -5820,6 +5902,20 @@ def extension_oracles() -> dict[str, str]:
                         WHEN 1 THEN 'middle' ELSE 'tail' END AS verdict,
                    (rn - 1) * 3 // n <= 1 AS keep
             FROM rk
+        """,
+        "x_feature_hashing": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST((CAST((instr('0123456789abcdef', substr(md5(t.tok), 1, 1)) - 1) * CAST(72057594037927936 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 2, 1)) - 1) * CAST(4503599627370496 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 3, 1)) - 1) * CAST(281474976710656 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 4, 1)) - 1) * CAST(17592186044416 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 5, 1)) - 1) * CAST(1099511627776 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 6, 1)) - 1) * CAST(68719476736 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 7, 1)) - 1) * CAST(4294967296 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 8, 1)) - 1) * CAST(268435456 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 9, 1)) - 1) * CAST(16777216 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 10, 1)) - 1) * CAST(1048576 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 11, 1)) - 1) * CAST(65536 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 12, 1)) - 1) * CAST(4096 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 13, 1)) - 1) * CAST(256 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 14, 1)) - 1) * CAST(16 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 15, 1)) - 1) * CAST(1 AS BIGINT) AS BIGINT) % 64) AS INTEGER) AS bucket,
+                       CASE WHEN ((CAST((instr('0123456789abcdef', substr(md5(t.tok), 1, 1)) - 1) * CAST(72057594037927936 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 2, 1)) - 1) * CAST(4503599627370496 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 3, 1)) - 1) * CAST(281474976710656 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 4, 1)) - 1) * CAST(17592186044416 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 5, 1)) - 1) * CAST(1099511627776 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 6, 1)) - 1) * CAST(68719476736 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 7, 1)) - 1) * CAST(4294967296 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 8, 1)) - 1) * CAST(268435456 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 9, 1)) - 1) * CAST(16777216 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 10, 1)) - 1) * CAST(1048576 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 11, 1)) - 1) * CAST(65536 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 12, 1)) - 1) * CAST(4096 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 13, 1)) - 1) * CAST(256 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 14, 1)) - 1) * CAST(16 AS BIGINT) + (instr('0123456789abcdef', substr(md5(t.tok), 15, 1)) - 1) * CAST(1 AS BIGINT) AS BIGINT) // 64) % 2) = 0
+                            THEN 1 ELSE -1 END AS sign
+                FROM t
+            )
+            SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+            FROM h GROUP BY doc_id, bucket HAVING SUM(sign) <> 0
         """,
         "x_tfidf": f"""
             WITH tp AS (

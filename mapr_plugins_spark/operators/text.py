@@ -934,3 +934,48 @@ def mojibake_detect(
         cnt.alias("artifact_cnt"),
         (cnt > 0).alias("is_mojibake"),
     )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al., ICML 2009
+    "Feature Hashing for Large Scale Multitask Learning", public):
+    each token hashes to ``bucket = h mod n_buckets`` with a SIGN
+    drawn from an independent hash bit, so bucket collisions cancel in
+    expectation and the sparse vector is unbiased. The fixed,
+    vocabulary-free feature space is what makes this the standard
+    featurizer at crawl scale — no vocabulary build pass, no
+    vocabulary broadcast, new tokens never resize anything.
+
+    Deterministic and engine-portable: h is the 60-bit md5 portable
+    hash (same arithmetic the MinHash family pins), sign comes from
+    bit ``log2(n_buckets)`` (disjoint from the bucket bits). Output is
+    the sparse long format ``(id, bucket INT, weight BIGINT)`` with
+    zero-sum cells dropped (exactly the cells a sparse vector omits).
+    One explode + one map-side-combined aggregate on (id, bucket) —
+    the same shuffle posture as TF-IDF."""
+    from mapr_plugins_spark.functions.portable_hash import (
+        spark_hex15_to_bigint_sql,
+    )
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    h = F.expr(spark_hex15_to_bigint_sql("md5(tok)"))
+    hashed = toks.select(
+        F.col(id_col),
+        (h % n_buckets).cast("int").alias("bucket"),
+        F.when((F.expr(f"({spark_hex15_to_bigint_sql('md5(tok)')}) div {n_buckets}") % 2) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -1965,3 +1965,91 @@ def test_zscore_stream_twin_equals_batch(spark):
     stream = {(r.user_id, r.event_id): (r.x_micro, r.n_prev, r.is_anomaly)
               for r in s22_stream_zscore(spark, sf).collect()}
     assert batch == stream
+
+
+def _hw_replica(values, m=2, a=0.5, be=0.25, g=0.5):
+    """Independent Python-float replica of the Holt-Winters fold (same
+    IEEE doubles, different evaluator)."""
+    l = b = 0.0
+    s = [0.0] * m
+    n = 0
+    for v in values:
+        if n == 0:
+            l, b, s, n = float(v), 0.0, [0.0] * m, 1
+            continue
+        j = n % m
+        l_new = a * (v - s[j]) + (1.0 - a) * (l + b)
+        b = be * (l_new - l) + (1.0 - be) * b
+        s[j] = g * (v - l_new) + (1.0 - g) * s[j]
+        l = l_new
+        n += 1
+    return l, b, s, n
+
+
+def test_holt_winters_matches_python_replica(spark):
+    """Bit-for-bit agreement with an independent Python evaluator on an
+    alternating series (m=2): the seasonal slots must separate."""
+    from mapr_plugins_spark.operators.analytics import holt_winters_additive
+
+    values = [10.0, 14.0, 9.0, 15.0, 10.5, 13.5, 9.5, 14.5]
+    ev = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(values, start=1)],
+        "user_id BIGINT, event_id BIGINT, value DOUBLE",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    (row,) = holt_winters_additive(
+        ev, "user_id", ["ts", "event_id"], "value", m=2, horizons=(1, 2)
+    ).collect()
+    l, b, s, n = _hw_replica(values, m=2)
+    assert (row.level, row.trend, row.season_0, row.season_1, row.n_obs) == (
+        l, b, s[0], s[1], n
+    )
+    assert row.forecast_1 == l + 1.0 * b + s[n % 2]
+    assert row.forecast_2 == l + 2.0 * b + s[(n + 1) % 2]
+    # even slots (low values) vs odd slots (high) must have separated
+    assert row.season_0 != row.season_1
+
+
+def test_holt_winters_constant_series_is_fixed_point(spark):
+    """A constant series is a fixed point: level = the constant, trend
+    and every season slot exactly 0, every forecast = the constant."""
+    from mapr_plugins_spark.operators.analytics import holt_winters_additive
+
+    ev = spark.createDataFrame(
+        [(1, i, 42.5) for i in range(1, 10)],
+        "user_id BIGINT, event_id BIGINT, value DOUBLE",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    (row,) = holt_winters_additive(
+        ev, "user_id", ["ts", "event_id"], "value", m=4
+    ).collect()
+    assert row.level == 42.5 and row.trend == 0.0
+    assert row.season_0 == row.season_1 == row.season_2 == row.season_3 == 0.0
+    assert row.forecast_1 == 42.5 and row.forecast_2 == 42.5
+
+
+def test_feature_hashing_laws(spark):
+    """Same token → same (bucket, sign) everywhere; k repetitions give
+    |weight| = k in exactly one bucket; identical texts hash
+    identically; weights never exceed the doc's token count."""
+    from mapr_plugins_spark.operators.text import feature_hashing
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha"),
+            (2, "alpha beta"),
+            (3, "alpha beta"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = feature_hashing(docs, n_buckets=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    # doc 1: one token 3x -> one bucket, |weight| = 3
+    assert len(by_doc[1]) == 1
+    ((b1, w1),) = by_doc[1].items()
+    assert abs(w1) == 3
+    # identical docs 2 and 3 produce identical sparse vectors
+    assert by_doc[2] == by_doc[3]
+    # alpha's bucket in doc 2 carries 1/3 of doc 1's weight, same sign
+    assert by_doc[2][b1] * 3 == w1
+    assert all(0 <= r.bucket < 64 for r in rows)

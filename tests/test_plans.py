@@ -881,3 +881,16 @@ def test_zscore_anomaly_single_shuffle(spark, sf_dir):
     assert A.shuffle_count(df) <= 1, p
     assert "Join" not in p, p
     assert "Python" not in p, p
+
+
+def test_feature_hashing_single_aggregate_shuffle(spark, sf_dir):
+    """Explode + ONE map-side-combined aggregate on (doc, bucket): at
+    most one exchange, no join, no Python stage, codegen'd hashing."""
+    from mapr_plugins_spark.operators.registry import x_feature_hashing
+
+    spark.catalog.clearCache()
+    df = x_feature_hashing(spark, sf_dir)
+    p = A.plan_str(df)
+    assert A.shuffle_count(df) <= 1, p
+    assert "Join" not in p and "Python" not in p, p
+    assert A.count_nodes(df, "HashAggregate") >= 2, p  # partial+final

@@ -90,7 +90,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   ZSCORE_ORACLE_SQL verbatim), x_holt_winters (new: additive
 #:   seasonal Holt-Winters, recursive-CTE full-value oracle),
 #:   x_feature_hashing (new: Weinberger hashing-trick vectorizer,
-#:   full-value oracle)
+#:   full-value oracle), x_markov_transitions (new: journey
+#:   transition matrix, full-value oracle), x_churn_label (new:
+#:   censored churn labeling, full-value oracle), x_weighted_median
+#:   (new: integer-rank weighted median, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -164,6 +164,9 @@ def main() -> None:
         "s22_stream_zscore",  # streaming GroupState twin (round 6)
         "x_holt_winters",  # additive seasonal smoothing (round 6)
         "x_feature_hashing",  # hashing-trick vectorizer (round 6)
+        "x_markov_transitions",  # journey transition matrix (round 6)
+        "x_churn_label",  # censored churn labeling (round 6)
+        "x_weighted_median",  # integer-rank weighted median (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -986,3 +986,118 @@ def holt_winters_additive(
         *[F.col(f"s.s{k}").alias(f"season_{k}") for k in range(m)],
         *fc,
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    prob_scale: int = 1_000_000,
+) -> DataFrame:
+    """First-order Markov transition matrix of a categorical event
+    stream (the user-journey "what follows what" model behind
+    next-action prediction and anomaly screens): per key, consecutive
+    event pairs in ``order_cols`` order; globally, counts per
+    (from_state, to_state) and the row-conditional probability as an
+    EXACT integer rational ``p_micro = (n_pair·scale) DIV n_from`` —
+    no float division to straddle.
+
+    One lead-window pass (shuffle on the key) + one pair aggregate;
+    both map-side combine. State-space-sized output."""
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n_pair").alias("n_from"))
+    return pairs.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        "n_pair",
+        "n_from",
+        F.expr(f"(n_pair * {prob_scale}) DIV n_from").alias("p_micro"),
+    )
+
+
+def churn_labels(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Gap-based churn labeling — the standard supervised-training
+    label a retention model consumes: an event is labeled churned when
+    the SAME key produces no activity within ``horizon_days`` after
+    it. Events whose horizon extends past the corpus's last observed
+    timestamp cannot be labeled honestly and are flagged ``censored``
+    instead (never silently labeled — the survival-analysis
+    convention).
+
+    Exact integer arithmetic on epoch micros; one shuffle on the key
+    (lead window), one scalar corpus-max attach."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    horizon_us = horizon_days * 86_400_000_000
+    base = df.select(
+        F.col(key_col),
+        F.col(id_col),
+        us.alias("ts_us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    mx = df.select(F.max(us).alias("corpus_max_us"))
+    return base.crossJoin(F.broadcast(mx)).select(
+        key_col,
+        id_col,
+        (F.col("corpus_max_us") - F.col("ts_us") < horizon_us).alias("censored"),
+        F.when(
+            F.col("corpus_max_us") - F.col("ts_us") < horizon_us, F.lit(False)
+        )
+        .otherwise(
+            F.coalesce(
+                F.col("next_us") - F.col("ts_us") > horizon_us, F.lit(True)
+            )
+        )
+        .alias("churned"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group WEIGHTED lower median: the smallest value whose
+    cumulative weight reaches half the group's total —
+    ``2·cum_w ≥ total_w`` in pure integer arithmetic (no percentile
+    interpolation convention, no float). Ties in value break by the
+    value ordering itself (cumulative weight is monotone). One shuffle
+    on the group; the cumulative window reuses it."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    tot = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.sum(weight_col).over(w).alias("cum_w"),
+        F.sum(weight_col).over(tot).alias("total_w"),
+    ).filter(F.lit(2) * F.col("cum_w") >= F.col("total_w"))
+    pick = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    return (
+        ranked.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(group_col),
+            F.col(value_col).alias("weighted_median"),
+            "cum_w",
+            "total_w",
+        )
+    )

@@ -1369,6 +1369,41 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type Markov transition matrix over per-user
+    journeys — counts + exact integer-rational conditional
+    probabilities (micro-units, DIV not float). One lead window + one
+    aggregate."""
+    from mapr_plugins_spark.operators.analytics import markov_transitions
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return markov_transitions(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def x_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based churn labels (7-day horizon) per event with honest
+    right-censoring at the corpus edge — the supervised label a
+    retention model trains on. Integer epoch-micro arithmetic."""
+    from mapr_plugins_spark.operators.analytics import churn_labels
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return churn_labels(ev, "user_id", "ts", "event_id", horizon_days=7)
+
+
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation weighted lower median of customer balances
+    (deterministic integer weights 1 + custkey mod 5) — cumulative-
+    weight integer test, no percentile interpolation convention."""
+    from mapr_plugins_spark.operators.analytics import weighted_median
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_acctbal",
+        (F.lit(1) + F.col("c_custkey") % 5).alias("w"),
+    )
+    return weighted_median(c, "c_nationkey", "c_acctbal", "w")
+
+
 def x_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (level + trend + 4-slot season) per user
     over the event value series — α=1/2, β=1/4, γ=1/2 binary-exact;
@@ -3388,6 +3423,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ewma,
             x_zscore_anomaly,
             x_holt_winters,
+            x_markov_transitions,
+            x_churn_label,
+            x_weighted_median,
             x_assoc_rules,
             x_holt_trend,
             x_bootstrap_ci,
@@ -5656,6 +5694,65 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_zscore_anomaly": ZSCORE_ORACLE_SQL,
         "x_holt_winters": _holt_winters_oracle(m=4, horizons=(1, 2)),
+        "x_markov_transitions": """
+            WITH p AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS to_state
+                FROM events
+            ),
+            c AS (
+                SELECT from_state, to_state, COUNT(*) AS n_pair
+                FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT from_state, SUM(n_pair) AS n_from
+                FROM c GROUP BY 1
+            )
+            SELECT c.from_state, c.to_state,
+                   CAST(n_pair AS BIGINT) AS n_pair,
+                   CAST(n_from AS BIGINT) AS n_from,
+                   CAST((n_pair * 1000000) // n_from AS BIGINT) AS p_micro
+            FROM c JOIN t USING (from_state)
+        """,
+        "x_churn_label": """
+            WITH b AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts),
+                                                         event_id) AS next_us
+                FROM events
+            ),
+            m AS (SELECT MAX(epoch_us(ts)) AS corpus_max_us FROM events)
+            SELECT user_id, event_id,
+                   (corpus_max_us - ts_us < 604800000000) AS censored,
+                   CASE WHEN corpus_max_us - ts_us < 604800000000 THEN false
+                        ELSE COALESCE(next_us - ts_us > 604800000000, true)
+                   END AS churned
+            FROM b CROSS JOIN m
+        """,
+        "x_weighted_median": """
+            WITH r AS (
+                SELECT c_nationkey, c_acctbal,
+                       SUM(1 + c_custkey % 5) OVER (
+                           PARTITION BY c_nationkey ORDER BY c_acctbal
+                       ) AS cum_w,
+                       SUM(1 + c_custkey % 5) OVER (
+                           PARTITION BY c_nationkey
+                       ) AS total_w
+                FROM customer
+            )
+            SELECT c_nationkey, c_acctbal AS weighted_median,
+                   CAST(cum_w AS BIGINT) AS cum_w,
+                   CAST(total_w AS BIGINT) AS total_w
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY c_nationkey ORDER BY c_acctbal
+                ) AS rn
+                FROM r WHERE 2 * cum_w >= total_w
+            ) WHERE rn = 1
+        """,
         "x_ewma": """
             WITH RECURSIVE s AS (
                 SELECT user_id, event_id, value,

@@ -2053,3 +2053,69 @@ def test_feature_hashing_laws(spark):
     # alpha's bucket in doc 2 carries 1/3 of doc 1's weight, same sign
     assert by_doc[2][b1] * 3 == w1
     assert all(0 <= r.bucket < 64 for r in rows)
+
+
+def test_markov_transitions_row_stochastic(spark):
+    """Hand fixture: counts match journeys, n_from sums its row, and
+    the floored integer probabilities lie in (0, 1e6] with row sums
+    within n_states of 1e6."""
+    from mapr_plugins_spark.operators.analytics import markov_transitions
+
+    rows = [(1, i, t) for i, t in enumerate("AABAB", 1)] + [
+        (2, i, t) for i, t in enumerate("ABB", 1)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id BIGINT, event_id BIGINT, event_type STRING"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    got = {(r.from_state, r.to_state): r for r in markov_transitions(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    ).collect()}
+    # user1: A>A A>B B>A A>B ; user2: A>B B>B
+    assert got[("A", "A")].n_pair == 1
+    assert got[("A", "B")].n_pair == 3
+    assert got[("B", "A")].n_pair == 1
+    assert got[("B", "B")].n_pair == 1
+    assert got[("A", "A")].n_from == 4 and got[("B", "B")].n_from == 2
+    assert got[("A", "B")].p_micro == 750000
+    assert got[("B", "A")].p_micro == 500000
+    for r in got.values():
+        assert 0 < r.p_micro <= 1_000_000
+
+
+def test_churn_labels_gap_and_censoring(spark):
+    """Gap > horizon → churned; gap within horizon → retained; events
+    within a horizon of the corpus edge are censored, never labeled."""
+    from mapr_plugins_spark.operators.analytics import churn_labels
+
+    day = 86_400
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0),            # next gap 2d -> retained
+            (1, 2, 2 * day),      # next gap 10d -> churned
+            (1, 3, 12 * day),     # gap to corpus end 8d, no next -> churned
+            (2, 4, 20 * day),     # corpus max: censored
+        ],
+        "user_id BIGINT, event_id BIGINT, sec BIGINT",
+    ).withColumn("ts", F.col("sec").cast("timestamp")).drop("sec")
+    got = {r.event_id: (r.churned, r.censored)
+           for r in churn_labels(ev, "user_id", "ts", "event_id", 7).collect()}
+    assert got[1] == (False, False)
+    assert got[2] == (True, False)
+    assert got[3] == (True, False)
+    assert got[4] == (False, True)
+
+
+def test_weighted_median_laws(spark):
+    """Unit weights reduce to the plain lower median; a dominant weight
+    drags the median to its row."""
+    from mapr_plugins_spark.operators.analytics import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1), ("g", 4.0, 1),
+         ("h", 1.0, 1), ("h", 2.0, 1), ("h", 3.0, 10)],
+        "grp STRING, v DOUBLE, w INT",
+    )
+    got = {r.grp: r.weighted_median
+           for r in weighted_median(df, "grp", "v", "w").collect()}
+    assert got["g"] == 2.0   # lower median of 1,2,3,4
+    assert got["h"] == 3.0   # weight 10 dominates

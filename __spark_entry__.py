@@ -93,7 +93,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   full-value oracle), x_markov_transitions (new: journey
 #:   transition matrix, full-value oracle), x_churn_label (new:
 #:   censored churn labeling, full-value oracle), x_weighted_median
-#:   (new: integer-rank weighted median, full-value oracle)
+#:   (new: integer-rank weighted median, full-value oracle),
+#:   x_dedup_canonical (new: survivorship keep/replace map,
+#:   full-value oracle), x_benford_digits (new: first-digit fraud
+#:   screen, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

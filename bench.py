@@ -167,6 +167,8 @@ def main() -> None:
         "x_markov_transitions",  # journey transition matrix (round 6)
         "x_churn_label",  # censored churn labeling (round 6)
         "x_weighted_median",  # integer-rank weighted median (round 6)
+        "x_dedup_canonical",  # survivorship keep/replace map (round 6)
+        "x_benford_digits",  # first-digit fraud screen (round 6)
     ]
     names = [n for n in headline if n in registry]
 

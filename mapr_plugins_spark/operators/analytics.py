@@ -1101,3 +1101,63 @@ def weighted_median(
             "total_w",
         )
     )
+
+
+#: Benford first-digit probabilities log10(1+1/d) in integer
+#: micro-units — computed ONCE (Python, documented values) and embedded
+#: as the SAME literals in the Spark plan and the DuckDB oracle, so no
+#: cross-engine log/rounding convention exists anywhere.
+BENFORD_MICRO: tuple[tuple[int, int], ...] = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+
+def benford_profile(
+    df: DataFrame,
+    amount_col: str,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law (Newcomb 1881 /
+    Benford 1938, public — the standard fraud/data-quality screen for
+    financial amounts). Digit extraction is EXACT: the decimal amount
+    scales to integer cents, and the first digit is the first
+    character of the integer's decimal string — no log10/power float
+    path with its boundary hazard at powers of ten. The cent scaling
+    ROUNDS to nearest on BOTH engines via an explicit round() (a bare
+    integer cast truncates in Spark but rounds in DuckDB — a
+    0.03-valued double sits just below 3 cents and would extract digit
+    2 vs 3); a product landing exactly on .5 is unrepresentable for
+    cent-valued doubles ((2n+1)/200 carries a factor 25 in the
+    denominator), so the engines' differing half conventions never
+    fire and the rounded cents are identical. Observed shares
+    are integer rationals (micro-units, DIV); expected shares are the
+    embedded literal table. Output per digit: count, observed and
+    expected micro-probabilities, absolute deviation.
+
+    One map-side-combined 9-group aggregate; scale-trivial."""
+    cents = F.round(F.col(amount_col) * cents_scale).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(amount_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("__N"))
+    exp = counts.sparkSession.createDataFrame(
+        list(BENFORD_MICRO), "digit INT, p_benford_micro BIGINT"
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(exp, "digit")
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("(n_obs * 1000000) DIV __N").alias("p_obs_micro"),
+            "p_benford_micro",
+            F.abs(
+                F.expr("(n_obs * 1000000) DIV __N") - F.col("p_benford_micro")
+            ).alias("dev_micro"),
+        )
+    )

@@ -1147,3 +1147,54 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
+
+
+def canonical_replacement(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup ACTION table a pipeline actually ships: every doc
+    mapped to its cluster's SURVIVOR under the standard survivorship
+    rule (longest text wins, ties to the lowest id) with a keep /
+    replace verdict per row. ``clusters`` is a (id, canonical_id)
+    component assignment (e.g. ``collapse_components``); docs in no
+    near-dup pair are their own singleton cluster — every corpus row
+    appears exactly once, so the table is a total replacement map.
+
+    Shuffle posture: one equi-join corpus↔clusters on the id (clusters
+    is component-sized, the planner may broadcast it — unhinted, the
+    round-5 lesson), one per-cluster window on the cluster key, one
+    survivor join. No driver state, no corpus broadcast."""
+    full = (
+        corpus.select(F.col(id_col), F.length(F.col(text_col)).alias("__n"))
+        .join(
+            clusters.select(
+                F.col(id_col), F.col("canonical_id").alias("cluster_id")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            "__n",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__n").desc(), F.col(id_col).asc()
+    )
+    surv = (
+        full.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("survivor_id"))
+    )
+    return full.join(surv, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "survivor_id",
+        F.when(F.col(id_col) == F.col("survivor_id"), F.lit("keep"))
+        .otherwise(F.lit("replace"))
+        .alias("action"),
+    )

@@ -972,6 +972,60 @@ def x_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.collapse_components(pairs)
 
 
+def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup ACTION table: MinHash pairs → connected
+    components → survivorship (longest text, tie lowest id) → a total
+    keep/replace map over the corpus. The artifact a curation pipeline
+    persists and every downstream join consumes."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.verified_near_dup_pairs(
+        corpus, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS, threshold=0.5
+    )
+    return D.canonical_replacement(corpus, D.collapse_components(pairs))
+
+
+def _canonical_oracle() -> str:
+    """Clusters closure (the x_minhash_clusters oracle) + survivorship
+    window + total map over the injected corpus."""
+    pairs = _minhash_pairs_ctes(_CORPUS_SQL, 0.5)
+    return f"""
+        WITH RECURSIVE {pairs},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        clus AS (
+            SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        full_t AS (
+            SELECT c.doc_id,
+                   COALESCE(cl.cluster_id, c.doc_id) AS cluster_id,
+                   length(c.text) AS n
+            FROM corpus c LEFT JOIN clus cl USING (doc_id)
+        ),
+        surv AS (
+            SELECT cluster_id, doc_id AS survivor_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n DESC, doc_id ASC) AS rn
+                FROM full_t
+            ) WHERE rn = 1
+        )
+        SELECT f.doc_id, f.cluster_id, s.survivor_id,
+               CASE WHEN f.doc_id = s.survivor_id THEN 'keep'
+                    ELSE 'replace' END AS action
+        FROM full_t f JOIN surv s USING (cluster_id)
+    """
+
+
 def x_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of event_type by event value
     (smoothing=10): exact-decimal category/global sums, one fixed
@@ -1367,6 +1421,43 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("change").isNotNull())
         .select("c_custkey", "change")
     )
+
+
+def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — exact integer
+    digit extraction (cents → decimal string, no log10 float path),
+    integer-rational observed shares vs the embedded literal expected
+    table."""
+    from mapr_plugins_spark.operators.analytics import benford_profile
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_profile(o, "o_totalprice")
+
+
+def _benford_oracle() -> str:
+    from mapr_plugins_spark.operators.analytics import BENFORD_MICRO
+
+    exp = " UNION ALL ".join(
+        f"SELECT {d} AS digit, CAST({p} AS BIGINT) AS p_benford_micro"
+        for d, p in BENFORD_MICRO
+    )
+    return f"""
+        WITH c AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                         AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ),
+        k AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY digit),
+        t AS (SELECT SUM(n_obs) AS N FROM k),
+        e AS ({exp})
+        SELECT k.digit, CAST(k.n_obs AS BIGINT) AS n_obs,
+               CAST((k.n_obs * 1000000) // t.N AS BIGINT) AS p_obs_micro,
+               e.p_benford_micro,
+               CAST(abs((k.n_obs * 1000000) // t.N - e.p_benford_micro)
+                    AS BIGINT) AS dev_micro
+        FROM k CROSS JOIN t JOIN e USING (digit)
+    """
 
 
 def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3409,6 +3500,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_row_index,
             x_interval_merge,
             x_minhash_clusters,
+            x_dedup_canonical,
             x_text_diversity,
             x_url_canonical_dedup,
             x_weighted_sample,
@@ -3423,6 +3515,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ewma,
             x_zscore_anomaly,
             x_holt_winters,
+            x_benford_digits,
             x_markov_transitions,
             x_churn_label,
             x_weighted_median,
@@ -5544,6 +5637,7 @@ def extension_oracles() -> dict[str, str]:
             FROM m GROUP BY user_id, interval_seq
         """,
         "x_minhash_clusters": _clusters_oracle(),
+        "x_dedup_canonical": _canonical_oracle(),
         # same closure oracle: the distributed min-label branch must
         # produce the identical components as the driver union-find
         "x_graph_components": _clusters_oracle(),
@@ -5694,6 +5788,7 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_zscore_anomaly": ZSCORE_ORACLE_SQL,
         "x_holt_winters": _holt_winters_oracle(m=4, horizons=(1, 2)),
+        "x_benford_digits": _benford_oracle(),
         "x_markov_transitions": """
             WITH p AS (
                 SELECT event_type AS from_state,

@@ -2119,3 +2119,53 @@ def test_weighted_median_laws(spark):
            for r in weighted_median(df, "grp", "v", "w").collect()}
     assert got["g"] == 2.0   # lower median of 1,2,3,4
     assert got["h"] == 3.0   # weight 10 dominates
+
+
+def test_canonical_replacement_survivorship_laws(spark):
+    """Total map (every doc exactly once), exactly one keeper per
+    cluster, the keeper is the longest member (ties to lowest id),
+    singletons keep themselves."""
+    from mapr_plugins_spark.operators.dedup import canonical_replacement
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the much longer surviving text"),
+            (3, "middle sized text"),
+            (9, "a singleton untouched by pairs"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id BIGINT, canonical_id BIGINT"
+    )
+    rows = canonical_replacement(corpus, clusters).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3, 9]
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[2].action == "keep" and by_id[2].survivor_id == 2
+    assert by_id[1].action == "replace" and by_id[1].survivor_id == 2
+    assert by_id[3].action == "replace" and by_id[3].survivor_id == 2
+    assert by_id[9].action == "keep" and by_id[9].cluster_id == 9
+    keeps = [r for r in rows if r.action == "keep"]
+    assert len(keeps) == len({r.cluster_id for r in rows})
+
+
+def test_benford_profile_exact_digits(spark):
+    """Digit extraction is exact at power-of-ten boundaries (the
+    log10-float failure mode): 9.99→9, 10.00→1, 0.01→1; shares are
+    floored integer rationals summing to ≤ 1e6."""
+    from mapr_plugins_spark.operators.analytics import benford_profile
+
+    df = spark.createDataFrame(
+        [(9.99,), (10.00,), (0.01,), (99.99,), (100.00,), (1.00,), (0.03,)],
+        "amt DOUBLE",
+    )
+    rows = benford_profile(df, "amt").collect()
+    got = {r.digit: r.n_obs for r in rows}
+    # 0.03's double sits just BELOW 3 cents: a truncating cast would
+    # extract digit 2 (and DuckDB's rounding cast digit 3) — the
+    # explicit round() pins digit 3 on both engines
+    assert got == {9: 2, 1: 4, 3: 1}
+    assert sum(r.p_obs_micro for r in rows) <= 1_000_000
+    for r in rows:
+        assert r.dev_micro == abs(r.p_obs_micro - r.p_benford_micro)

@@ -96,7 +96,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   (new: integer-rank weighted median, full-value oracle),
 #:   x_dedup_canonical (new: survivorship keep/replace map,
 #:   full-value oracle), x_benford_digits (new: first-digit fraud
-#:   screen, full-value oracle)
+#:   screen, full-value oracle), x_blocking_recall (new: measured
+#:   MinHash banding recall vs exact sample ground truth, full-value
+#:   oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -169,6 +169,7 @@ def main() -> None:
         "x_weighted_median",  # integer-rank weighted median (round 6)
         "x_dedup_canonical",  # survivorship keep/replace map (round 6)
         "x_benford_digits",  # first-digit fraud screen (round 6)
+        "x_blocking_recall",  # measured banding recall vs exact (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -562,6 +562,67 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, n=4, block_chars=16, threshold=0.6)
 
 
+def x_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash blocking quality on a deterministic sample:
+    exact all-pairs shingle-Jaccard ground truth vs the banded
+    pipeline's verified pairs → precision/recall integer rationals.
+    One row; the sample² cross join is the documented eval budget."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    pairs = D.verified_near_dup_pairs(
+        corpus, n_hashes=_MINHASH_SEEDS, band_rows=_BAND_ROWS, threshold=0.5
+    )
+    return D.blocking_quality_eval(corpus, pairs, sample_mod=5)
+
+
+def _blocking_recall_oracle() -> str:
+    pairs = _minhash_pairs_ctes(_CORPUS_SQL, 0.5)
+    return f"""
+        WITH {pairs},
+        sample AS (SELECT doc_id, text FROM corpus WHERE doc_id % 5 = 0),
+        w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM sample),
+        sh2 AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       AS shingle
+            FROM w2 WHERE len(w) >= 3
+        ),
+        szs AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY 1),
+        ex AS (
+            SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, COUNT(*) AS ni
+            FROM sh2 s1
+            JOIN sh2 s2 ON s2.shingle = s1.shingle
+                        AND s1.doc_id < s2.doc_id
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT e.id_a, e.id_b
+            FROM ex e
+            JOIN szs a ON a.doc_id = e.id_a
+            JOIN szs b ON b.doc_id = e.id_b
+            WHERE 2 * e.ni >= a.n + b.n - e.ni
+        ),
+        blocked AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE id_a % 5 = 0 AND id_b % 5 = 0
+        ),
+        hit AS (SELECT * FROM blocked INTERSECT SELECT * FROM exact),
+        ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+        nbk AS (SELECT COUNT(*) AS n_blocked FROM blocked),
+        nh AS (SELECT COUNT(*) AS n_hit FROM hit)
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_blocked AS BIGINT) AS n_blocked,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(CASE WHEN n_blocked = 0 THEN 1000000
+                    ELSE (n_hit * 1000000) // n_blocked END AS BIGINT)
+                   AS precision_micro,
+               CAST(CASE WHEN n_exact = 0 THEN 1000000
+                    ELSE (n_hit * 1000000) // n_exact END AS BIGINT)
+                   AS recall_micro
+        FROM ne CROSS JOIN nbk CROSS JOIN nh
+    """
+
+
 def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment pairs (|A∩B| / min|A|,|B| over char 8-grams):
     the doc-in-doc inclusion signal Jaccard misses — the injected
@@ -3501,6 +3562,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_interval_merge,
             x_minhash_clusters,
             x_dedup_canonical,
+            x_blocking_recall,
             x_text_diversity,
             x_url_canonical_dedup,
             x_weighted_sample,
@@ -5638,6 +5700,7 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_minhash_clusters": _clusters_oracle(),
         "x_dedup_canonical": _canonical_oracle(),
+        "x_blocking_recall": _blocking_recall_oracle(),
         # same closure oracle: the distributed min-label branch must
         # produce the identical components as the driver union-find
         "x_graph_components": _clusters_oracle(),

@@ -2169,3 +2169,28 @@ def test_benford_profile_exact_digits(spark):
     assert sum(r.p_obs_micro for r in rows) <= 1_000_000
     for r in rows:
         assert r.dev_micro == abs(r.p_obs_micro - r.p_benford_micro)
+
+
+def test_blocking_quality_eval_laws(spark):
+    """Precision is 1e6 by construction for a verify-stage pipeline;
+    identical documents are always recalled (a band of identical
+    signatures must collide); counts are consistent."""
+    from mapr_plugins_spark.operators.dedup import (
+        blocking_quality_eval,
+        verified_near_dup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, base), (5, base), (10, base + " extra"), (15, "unrelated "
+          "words entirely different from the rest of this corpus here")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = verified_near_dup_pairs(docs, threshold=0.5)
+    (row,) = blocking_quality_eval(docs, pairs, sample_mod=5).collect()
+    assert row.precision_micro == 1_000_000
+    assert row.n_hit == row.n_blocked <= row.n_exact
+    # the identical pair (0,5) is structurally unmissable
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 5) in got
+    assert row.n_exact >= 1 and row.recall_micro > 0

@@ -98,7 +98,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   full-value oracle), x_benford_digits (new: first-digit fraud
 #:   screen, full-value oracle), x_blocking_recall (new: measured
 #:   MinHash banding recall vs exact sample ground truth, full-value
-#:   oracle)
+#:   oracle), x_classifier_auc (new: exact integer Mann-Whitney
+#:   ROC-AUC, full-value oracle), x_calibration_bins (new:
+#:   reliability table, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

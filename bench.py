@@ -170,6 +170,8 @@ def main() -> None:
         "x_dedup_canonical",  # survivorship keep/replace map (round 6)
         "x_benford_digits",  # first-digit fraud screen (round 6)
         "x_blocking_recall",  # measured banding recall vs exact (round 6)
+        "x_classifier_auc",  # exact Mann-Whitney AUC (round 6)
+        "x_calibration_bins",  # reliability table (round 6)
     ]
     names = [n for n in headline if n in registry]
 

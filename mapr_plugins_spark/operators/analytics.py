@@ -1161,3 +1161,102 @@ def benford_profile(
             ).alias("dev_micro"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney U statistic with average-rank
+    tie handling — the model-eval number an ML platform must get
+    bit-stable (a float rank-sum drifts run to run; this one cannot):
+    per-SCORE aggregation first (map-side combine over the corpus),
+    then rank algebra over the DISTINCT-score table only. Average
+    ranks are kept doubled (min+max of each tie group = 2·cum_before +
+    n_s + 1) so everything stays integer; the final ratio is
+    ``(2·ΣR_pos − 2·nPos(nPos+1)/2)·10⁶ DIV (2·nPos·nNeg)`` in
+    DECIMAL(38,0) — headroom to ~10¹² rows.
+
+    The distinct-score window is a single global frame — deliberately:
+    an integer-micro model's score space is bounded (≤10⁷ values
+    here), orders of magnitude below the corpus, which is exactly why
+    exact AUC is computed on the score histogram and never on raw
+    rows. Output: ``(n_pos, n_neg, auc_micro)``."""
+    per = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_s"),
+    )
+    w = (
+        Window.orderBy(F.col("s").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "s",
+        "n_s",
+        "pos_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("cum_before"),
+    )
+
+    def D(c):
+        return c.cast("decimal(38,0)")
+
+    agg = cum.agg(
+        F.sum(
+            D(F.col("pos_s"))
+            * (D(F.lit(2)) * D(F.col("cum_before")) + D(F.col("n_s")) + D(F.lit(1)))
+        ).alias("sum_r2"),
+        F.sum("pos_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).alias("n_neg"),
+    )
+    u2 = F.col("sum_r2") - D(F.col("n_pos")) * (D(F.col("n_pos")) + D(F.lit(1)))
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((sum_r2 - CAST(n_pos AS DECIMAL(38,0))"
+            " * (CAST(n_pos AS DECIMAL(38,0)) + 1)) * 1000000"
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0))"
+            " * CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("auc_micro"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table (calibration curve data) in exact integer
+    arithmetic: equal-frequency score bins via ntile over the
+    deterministic total order (score, id) — both engines implement
+    SQL-standard ntile (first n mod b buckets take the extra row) —
+    with per-bin count, positives, and the observed positive rate as
+    an integer rational. The eval-set-sized global sort is the
+    documented budget of any exact reliability diagram."""
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    b = df.select(
+        F.col(score_col).alias("s"),
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("y"),
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.min("s").alias("score_lo"),
+            F.max("s").alias("score_hi"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000) DIV n").alias("pos_rate_micro"),
+            "score_lo",
+            "score_hi",
+        )
+    )

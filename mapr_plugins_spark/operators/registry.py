@@ -2265,6 +2265,61 @@ def x_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lr_scored_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LR quality scores + binary label (lang = 'en') — shared input of
+    the two classifier-eval operators."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return X.lr_quality_score(docs).select(
+        "doc_id", "score_micro", (F.col("lang") == "en").alias("y")
+    )
+
+
+def x_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the quality classifier against the lang='en'
+    label — Mann-Whitney with average-rank ties in pure integer
+    arithmetic over the per-score histogram (never raw rows)."""
+    from mapr_plugins_spark.operators.analytics import auc_exact
+
+    return auc_exact(_lr_scored_labeled(spark, sf_dir), "score_micro", "y")
+
+
+def x_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the quality classifier: 10 equal-frequency
+    score bins (deterministic ntile order), per-bin positive rate as
+    an integer rational — the calibration-curve data an eval pipeline
+    persists."""
+    from mapr_plugins_spark.operators.analytics import calibration_bins
+
+    return calibration_bins(
+        _lr_scored_labeled(spark, sf_dir), "score_micro", "y", "doc_id", n_bins=10
+    )
+
+
+#: shared scored+labeled CTE chain for the classifier-eval oracles —
+#: the x_quality_lr_score formula verbatim, plus the lang label.
+def _lr_scored_sql() -> str:
+    return f"""t AS (SELECT doc_id, lang, {{toks}} AS toks FROM documents),
+            f AS (
+                SELECT doc_id, lang,
+                       LEAST(len(toks), 100) * 10000 AS f_cap,
+                       (len(list_filter(toks, x -> list_contains([{{stop}}], x)))
+                        * 1000000) // GREATEST(len(toks), 1) AS f_stop,
+                       (len(list_distinct(toks)) * 1000000)
+                        // GREATEST(len(toks), 1) AS f_ttr,
+                       LEAST((list_sum(list_transform(toks, x -> strlen(x)))
+                              * 1000000) // GREATEST(len(toks), 1), 8000000)
+                        // 8 AS f_wlen
+                FROM t
+            ),
+            sc AS (
+                SELECT doc_id,
+                       CAST(3*f_cap + 2*f_stop + 3*f_ttr + 2*f_wlen AS BIGINT)
+                           AS s,
+                       (lang = 'en') AS y
+                FROM f
+            )""".replace("{toks}", _TOKS_SQL).replace("{stop}", _EN_STOP)
+
+
 def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outliers by Hampel's |x − median| > 3·MAD
     rule at exact lower-median order statistics (integer rank
@@ -3578,6 +3633,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_zscore_anomaly,
             x_holt_winters,
             x_benford_digits,
+            x_classifier_auc,
+            x_calibration_bins,
             x_markov_transitions,
             x_churn_label,
             x_weighted_median,
@@ -5852,6 +5909,49 @@ def extension_oracles() -> dict[str, str]:
         "x_zscore_anomaly": ZSCORE_ORACLE_SQL,
         "x_holt_winters": _holt_winters_oracle(m=4, horizons=(1, 2)),
         "x_benford_digits": _benford_oracle(),
+        "x_classifier_auc": f"""
+            WITH {_lr_scored_sql()},
+            per AS (
+                SELECT s, COUNT(*) AS n_s,
+                       SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos_s
+                FROM sc GROUP BY s
+            ),
+            c AS (
+                SELECT s, n_s, pos_s,
+                       COALESCE(SUM(n_s) OVER (ORDER BY s ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cum_before
+                FROM per
+            ),
+            a AS (
+                SELECT SUM(CAST(pos_s AS HUGEINT)
+                           * (2 * cum_before + n_s + 1)) AS sum_r2,
+                       SUM(pos_s) AS n_pos, SUM(n_s - pos_s) AS n_neg
+                FROM c
+            )
+            SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CAST((sum_r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+                        * 1000000
+                        // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+                        AS BIGINT) AS auc_micro
+            FROM a
+        """,
+        "x_calibration_bins": f"""
+            WITH {_lr_scored_sql()},
+            b AS (
+                SELECT s, doc_id, CASE WHEN y THEN 1 ELSE 0 END AS yy,
+                       ntile(10) OVER (ORDER BY s ASC, doc_id ASC) AS bin
+                FROM sc
+            )
+            SELECT CAST(bin AS INTEGER) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(yy) AS BIGINT) AS n_pos,
+                   CAST((SUM(yy) * 1000000) // COUNT(*) AS BIGINT)
+                       AS pos_rate_micro,
+                   MIN(s) AS score_lo, MAX(s) AS score_hi
+            FROM b GROUP BY bin
+        """,
         "x_markov_transitions": """
             WITH p AS (
                 SELECT event_type AS from_state,

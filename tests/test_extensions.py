@@ -2194,3 +2194,44 @@ def test_blocking_quality_eval_laws(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 5) in got
     assert row.n_exact >= 1 and row.recall_micro > 0
+
+
+def test_auc_exact_known_values(spark):
+    """Perfect separation → 1.0; all-tied scores → exactly 0.5 (the
+    average-rank convention); a hand-computed mixed case."""
+    from mapr_plugins_spark.operators.analytics import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, True)], "s BIGINT, y BOOLEAN"
+    )
+    assert auc_exact(perfect, "s", "y").collect()[0].auc_micro == 1_000_000
+    tied = spark.createDataFrame(
+        [(7, False), (7, True), (7, False), (7, True)], "s BIGINT, y BOOLEAN"
+    )
+    assert auc_exact(tied, "s", "y").collect()[0].auc_micro == 500_000
+    # scores: neg {1, 3}, pos {2, 4} -> pairs won 3 of 4 -> 0.75
+    mixed = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)], "s BIGINT, y BOOLEAN"
+    )
+    row = auc_exact(mixed, "s", "y").collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc_micro) == (2, 2, 750_000)
+
+
+def test_calibration_bins_partition_laws(spark):
+    """Bins partition the eval set (Σn = N, sizes differ by ≤1), rates
+    are floored rationals, and a monotone score→label relationship
+    yields a monotone reliability curve on this fixture."""
+    from mapr_plugins_spark.operators.analytics import calibration_bins
+
+    rows = [(i, i, i >= 60) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, s BIGINT, y BOOLEAN")
+    bins = sorted(
+        calibration_bins(df, "s", "y", "doc_id", n_bins=10).collect(),
+        key=lambda r: r.bin,
+    )
+    assert sum(r.n for r in bins) == 100
+    assert {r.n for r in bins} == {10}
+    rates = [r.pos_rate_micro for r in bins]
+    assert rates == sorted(rates)
+    assert rates[0] == 0 and rates[-1] == 1_000_000
+    assert bins[5].score_lo == 51 and bins[5].score_hi == 60

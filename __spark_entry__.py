@@ -100,7 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   MinHash banding recall vs exact sample ground truth, full-value
 #:   oracle), x_classifier_auc (new: exact integer Mann-Whitney
 #:   ROC-AUC, full-value oracle), x_calibration_bins (new:
-#:   reliability table, full-value oracle)
+#:   reliability table, full-value oracle), x_golden_record (new:
+#:   linkage → components → majority survivorship, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

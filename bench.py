@@ -172,6 +172,7 @@ def main() -> None:
         "x_blocking_recall",  # measured banding recall vs exact (round 6)
         "x_classifier_auc",  # exact Mann-Whitney AUC (round 6)
         "x_calibration_bins",  # reliability table (round 6)
+        "x_golden_record",  # linkage -> survivorship entity table (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -1267,3 +1267,48 @@ def blocking_quality_eval(
             ).alias("recall_micro"),
         )
     )
+
+
+def golden_record(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Entity-resolution GOLDEN RECORD: per linked cluster, the
+    majority value of every attribute (ties → lexicographically
+    smallest — deterministic, so the oracle replays every vote). The
+    master-data survivorship step after record linkage: linkage says
+    WHICH rows are one entity, this says WHAT the entity's canonical
+    attributes are. Records in no pair form singleton clusters, so
+    the output is a total entity table.
+
+    Shuffle posture: every vote aggregate and window shares ONE hash
+    partitioning on the cluster id; attribute picks equi-join back on
+    that same key (cluster-count-sized frames, strategy unhinted)."""
+    full = (
+        records.join(
+            clusters.select(
+                F.col(clusters.columns[0]).alias(id_col),
+                F.col("canonical_id").alias("cluster_id"),
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+    )
+    out = full.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    for a in attr_cols:
+        per = full.groupBy("cluster_id", a).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__c").desc(), F.col(a).asc()
+        )
+        pick = (
+            per.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("cluster_id", F.col(a).alias(f"golden_{a}"))
+        )
+        out = out.join(pick, "cluster_id")
+    return out

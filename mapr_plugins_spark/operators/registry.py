@@ -1715,6 +1715,112 @@ def x_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: sorted-neighborhood linkage →
+    connected components → per-cluster majority survivorship (ties →
+    lexicographic min) → the total golden entity table."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    variants = cust.select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.expr(
+            "concat(substring(c_name, 1, 2), substring(c_name, 4))"
+        ).alias("c_name"),
+        "c_nationkey",
+    )
+    corpus = cust.unionByName(variants)
+    pairs = D.sorted_neighborhood_pairs(
+        corpus, "c_custkey", "c_name", ["c_nationkey"],
+        window=4, max_edit_distance=2,
+    )
+    clusters = D.collapse_components(
+        pairs.select("id_a", "id_b")
+    )
+    return D.golden_record(
+        corpus, clusters, "c_custkey", ["c_name", "c_nationkey"]
+    )
+
+
+def _golden_record_oracle() -> str:
+    return """
+        WITH RECURSIVE corpus AS (
+            SELECT c_custkey AS id, c_name AS v, c_nationkey AS nk
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000,
+                   concat(substr(c_name, 1, 2), substr(c_name, 4)),
+                   c_nationkey
+            FROM customer
+        ),
+        l AS (
+            SELECT id AS ida, v AS va,
+                   lead(id, 1) OVER w AS id1, lead(v, 1) OVER w AS v1,
+                   lead(id, 2) OVER w AS id2, lead(v, 2) OVER w AS v2,
+                   lead(id, 3) OVER w AS id3, lead(v, 3) OVER w AS v3
+            FROM corpus WINDOW w AS (PARTITION BY nk ORDER BY v, id)
+        ),
+        cand AS (
+            SELECT ida, va, id1 AS idb, v1 AS vb FROM l WHERE id1 IS NOT NULL
+            UNION ALL
+            SELECT ida, va, id2, v2 FROM l WHERE id2 IS NOT NULL
+            UNION ALL
+            SELECT ida, va, id3, v3 FROM l WHERE id3 IS NOT NULL
+        ),
+        pairs AS (
+            SELECT DISTINCT least(ida, idb) AS id_a,
+                   greatest(ida, idb) AS id_b
+            FROM cand WHERE levenshtein(va, vb) <= 2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach AS (
+            SELECT id AS src, id AS dst FROM nodes
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        clus AS (
+            SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ),
+        full_t AS (
+            SELECT c.id, COALESCE(cl.cluster_id, c.id) AS cluster_id,
+                   c.v, c.nk
+            FROM corpus c LEFT JOIN clus cl USING (id)
+        ),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM full_t GROUP BY 1
+        ),
+        pick_v AS (
+            SELECT cluster_id, v AS golden_c_name FROM (
+                SELECT cluster_id, v,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY COUNT(*) DESC, v ASC)
+                           AS rn
+                FROM full_t GROUP BY cluster_id, v
+            ) WHERE rn = 1
+        ),
+        pick_nk AS (
+            SELECT cluster_id, nk AS golden_c_nationkey FROM (
+                SELECT cluster_id, nk,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY COUNT(*) DESC, nk ASC)
+                           AS rn
+                FROM full_t GROUP BY cluster_id, nk
+            ) WHERE rn = 1
+        )
+        SELECT s.cluster_id, s.n_members, pv.golden_c_name,
+               pnk.golden_c_nationkey
+        FROM sizes s
+        JOIN pick_v pv USING (cluster_id)
+        JOIN pick_nk pnk USING (cluster_id)
+    """
+
+
 def x_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map construction + pruning simulation: per monthly orders
     granule, row count, o_orderdate/o_totalprice min-max and exact
@@ -3642,6 +3748,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_holt_trend,
             x_bootstrap_ci,
             x_sorted_neighborhood,
+            x_golden_record,
             x_skipping_stats,
             x_attribution,
             x_dq_profile,
@@ -5640,6 +5747,7 @@ def extension_oracles() -> dict[str, str]:
                    ms[31] AS ci_hi
             FROM ms
         """,
+        "x_golden_record": _golden_record_oracle(),
         "x_sorted_neighborhood": """
             WITH corpus AS (
                 SELECT c_custkey AS id, c_name AS v, c_nationkey AS nk

@@ -2235,3 +2235,27 @@ def test_calibration_bins_partition_laws(spark):
     assert rates == sorted(rates)
     assert rates[0] == 0 and rates[-1] == 1_000_000
     assert bins[5].score_lo == 51 and bins[5].score_hi == 60
+
+
+def test_golden_record_majority_survivorship(spark):
+    """Majority wins per attribute; ties break lexicographically;
+    singletons pass through; the entity table is total."""
+    from mapr_plugins_spark.operators.dedup import golden_record
+
+    records = spark.createDataFrame(
+        [
+            (1, "Acme Corp", 5), (2, "Acme Corp", 5), (3, "Acme Korp", 7),
+            (9, "Loner LLC", 3),
+        ],
+        "rid BIGINT, name STRING, nk INT",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "rid BIGINT, canonical_id BIGINT"
+    )
+    rows = golden_record(records, clusters, "rid", ["name", "nk"]).collect()
+    got = {r.cluster_id: r for r in rows}
+    assert set(got) == {1, 9}
+    assert got[1].n_members == 3
+    assert got[1].golden_name == "Acme Corp"   # 2-vs-1 majority
+    assert got[1].golden_nk == 5
+    assert got[9].n_members == 1 and got[9].golden_name == "Loner LLC"

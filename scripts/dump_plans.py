@@ -53,6 +53,15 @@ SHOWCASE = [
     ("x_holt_trend", "Holt fold is one hash aggregate + a codegen HOF projection — no Python stage, no second exchange"),
     ("x_bootstrap_ci", "replicate explosion is a shuffle-free ×R map; means partial-aggregate into R cells; order stats sort R rows"),
     ("x_attribution", "conversion-group windows and the touch-conversion join share ONE user-key partitioning"),
+    ("x_kmeans_lloyd", "final k-means assignment is a shuffle-free codegen projection against literal centroids"),
+    ("x_delete_propagate", "cascade hops are unhinted left-semi joins; the only BNLJ sites are 1-row scalar attaches"),
+    ("x_zscore_anomaly", "one user-key exchange; the prefix window and the integer z-test ride it in codegen"),
+    ("x_holt_winters", "seasonal fold = one hash aggregate + a codegen HOF projection (same shape as Holt)"),
+    ("x_feature_hashing", "hashing trick = explode + ONE map-side-combined (doc,bucket) aggregate, md5 in codegen"),
+    ("x_markov_transitions", "lead window and pair aggregate; totals join on the from-state key"),
+    ("x_classifier_auc", "AUC runs on the per-score histogram: corpus partial-aggregates map-side, the window sees only distinct scores"),
+    ("x_golden_record", "every survivorship vote and window shares one cluster-id partitioning"),
+    ("x_blocking_recall", "the only cross join is the deterministic sample^2 eval budget; the pipeline under test stays banded"),
 ]
 
 

@@ -101,7 +101,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   oracle), x_classifier_auc (new: exact integer Mann-Whitney
 #:   ROC-AUC, full-value oracle), x_calibration_bins (new:
 #:   reliability table, full-value oracle), x_golden_record (new:
-#:   linkage → components → majority survivorship, full-value oracle)
+#:   linkage → components → majority survivorship, full-value oracle),
+#:   x_ks_drift (new: binned two-sample KS statistic, full-value
+#:   oracle), x_ngram_novelty (new: first-seen novelty curve,
+#:   full-value oracle), x_mmr_rerank (new: integer-exact MMR
+#:   diversified re-ranking, unrolled-CTE full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

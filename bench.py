@@ -173,6 +173,9 @@ def main() -> None:
         "x_classifier_auc",  # exact Mann-Whitney AUC (round 6)
         "x_calibration_bins",  # reliability table (round 6)
         "x_golden_record",  # linkage -> survivorship entity table (round 6)
+        "x_ks_drift",  # binned two-sample KS monitor (round 6)
+        "x_ngram_novelty",  # corpus novelty curve (round 6)
+        "x_mmr_rerank",  # diversified retrieval re-rank (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -1260,3 +1260,67 @@ def calibration_bins(
             "score_hi",
         )
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    ref_pred: Column,
+    value_col: str,
+    bucket_scale: int = 1,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic — the CUMULATIVE
+    drift monitor next to the χ² one (χ² sees per-bin deviation; KS
+    sees distribution-shape walk: location/scale shifts that spread
+    thinly across bins). Values quantize to integer buckets
+    (floor(v·scale)); the binned D is the exact KS statistic of the
+    bucketed distributions (both ECDFs step only at bucket edges, so
+    the supremum is attained there). Everything integer: D's numerator
+    is max |n_cur·cumref − n_ref·cumcur| in DECIMAL(38,0) — exact to
+    ~10¹⁵ rows per side — and D itself ships as micro-units by DIV.
+
+    Per-bucket aggregation map-side combines the corpus; the running
+    window sees only the distinct-bucket table (bounded by the value
+    range by construction — the AUC histogram shape). Output one row:
+    ``(n_ref, n_cur, d_num, d_micro)``."""
+    b = df.select(
+        F.floor(F.col(value_col).cast("double") * F.lit(float(bucket_scale)))
+        .cast("long")
+        .alias("bucket"),
+        ref_pred.cast("int").alias("is_ref"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum("is_ref").alias("rb"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cb"),
+    )
+    w = (
+        Window.orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        F.sum("rb").over(w).alias("c_ref"),
+        F.sum("cb").over(w).alias("c_cur"),
+    )
+    tot = per.agg(F.sum("rb").alias("n_ref"), F.sum("cb").alias("n_cur"))
+
+    def D(c):
+        return c.cast("decimal(38,0)")
+
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            D(F.col("n_cur")) * D(F.col("c_ref"))
+            - D(F.col("n_ref")) * D(F.col("c_cur"))
+        ).alias("dn"),
+        "n_ref",
+        "n_cur",
+    )
+    return d.groupBy().agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("dn").cast("long").alias("d_num"),
+    ).select(
+        "n_ref",
+        "n_cur",
+        "d_num",
+        F.expr("(CAST(d_num AS DECIMAL(38,0)) * 1000000)"
+               " DIV (CAST(n_ref AS DECIMAL(38,0)) * n_cur)").alias("d_micro"),
+    )

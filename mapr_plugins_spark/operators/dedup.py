@@ -1312,3 +1312,41 @@ def golden_record(
         )
         out = out.join(pick, "cluster_id")
     return out
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Novelty curve of an ORDERED corpus: per document, the fraction
+    of its distinct k-gram shingles first seen in THAT document
+    (first-seen = minimum doc id over the corpus). The measurement
+    behind curriculum ordering and crawl-snapshot value estimates —
+    how much genuinely new text each document (or, aggregated, each
+    snapshot) contributes. Integer-rational output.
+
+    One gram explode (row-local), one min-aggregate on the gram key,
+    one join back on that same key (stop-gram skew is AQE skew-join
+    territory, same as the setsim df join), one per-doc aggregate.
+    Documents shorter than k words carry no grams and are absent —
+    the same convention as every shingle operator here."""
+    grams = shingles(docs, id_col, text_col, k=k)
+    first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000) DIV n_grams").alias("novelty_micro"),
+    )

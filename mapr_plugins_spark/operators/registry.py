@@ -430,6 +430,88 @@ def _kcenter_oracle(k: int = 8, dim: int = 64) -> str:
     return "".join(parts)
 
 
+def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (λ=1/2) of the 8-probe ANN candidate
+    cut — integer-exact greedy (2·MMR = rel − max_sim stays BIGINT),
+    every round replayed by the unrolled-CTE oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(emb, k=5, n_candidates=20)
+
+
+def _mmr_oracle(k: int = 5, n_candidates: int = 20, dim: int = 64) -> str:
+    """Unrolled greedy MMR rounds: sel1 = top relevance; round r picks
+    argmax of rel − max-sim-to-selected (ties → lowest vec_id) among
+    unselected candidates."""
+    dot_ce = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> c.q[i] * s.q[i])) AS BIGINT)"
+    )
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        p AS MATERIALIZED (
+            SELECT vec_id AS probe_id, q AS pq FROM e
+            WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8
+        ),
+        dots AS MATERIALIZED (
+            SELECT p.probe_id, e.vec_id, e.q,
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> p.pq[i] * e.q[i])) AS BIGINT) AS rel
+            FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT probe_id, vec_id, q, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                         ORDER BY rel DESC, vec_id ASC) AS rn
+                FROM dots
+            ) WHERE rn <= {n_candidates}
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT probe_id, vec_id, q, rel, rel AS mmr2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                         ORDER BY rel DESC, vec_id ASC) AS rn
+                FROM cand
+            ) WHERE rn = 1
+        ),
+        selall1 AS (SELECT probe_id, vec_id, q FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+        ms{r} AS MATERIALIZED (
+            SELECT c.probe_id, c.vec_id, c.q, c.rel,
+                   c.rel - MAX({dot_ce}) AS mmr2
+            FROM cand c JOIN selall{r - 1} s USING (probe_id)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM selall{r - 1} x
+                WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id
+            )
+            GROUP BY c.probe_id, c.vec_id, c.q, c.rel
+        ),
+        sel{r} AS MATERIALIZED (
+            SELECT probe_id, vec_id, q, rel, mmr2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY probe_id
+                         ORDER BY mmr2 DESC, vec_id ASC) AS rn
+                FROM ms{r}
+            ) WHERE rn = 1
+        ),
+        selall{r} AS (
+            SELECT probe_id, vec_id, q FROM selall{r - 1}
+            UNION ALL SELECT probe_id, vec_id, q FROM sel{r}
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT probe_id, {r} AS rank, vec_id, rel, mmr2 FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append(f"""
+        SELECT probe_id, CAST(rank AS INTEGER) AS rank, vec_id,
+               rel AS rel_dot, mmr2
+        FROM ({sel})""")
+    return "".join(parts)
+
+
 def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per probe, the 5
     most-cosine-similar vectors with a DIFFERENT label (the DPR/ANCE
@@ -3456,6 +3538,27 @@ def x_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_chi2(ev, F.col("event_type") == "click", "value", n_bins=10, lo=0.0, hi=100.0)
 
 
+def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS drift statistic between the click and
+    purchase value populations — the cumulative-shape monitor beside
+    the χ² per-bin one; exact integer D over unit value buckets."""
+    from mapr_plugins_spark.operators.analytics import ks_drift
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return ks_drift(ev, F.col("event_type") == "click", "value", bucket_scale=1)
+
+
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty curve: fraction of each doc's distinct
+    3-gram shingles first seen in that doc (min-doc-id convention) —
+    the curriculum/crawl-snapshot value measurement. Integer
+    rationals."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.ngram_novelty(docs, k=3)
+
+
 def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The named Gopher quality-rule set (word count / mean word length
     / required stopword hits) with per-doc verdict + first failing
@@ -3675,6 +3778,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_ivf_batch_prod,
             x_ann_lsh_indexed,
             x_hard_negatives,
+            x_mmr_rerank,
             x_kcenter_select,
             x_kmeans_lloyd,
             x_dedup_minhash_pairs,
@@ -3803,6 +3907,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_pq_rerank,
             x_gopher_rules,
             x_drift_chi2,
+            x_ks_drift,
+            x_ngram_novelty,
             x_token_budget_fill,
             x_matryoshka_eval,
             x_mm_wav_header,
@@ -5029,6 +5135,67 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_token_budget_fill": TOKEN_BUDGET_ORACLE_SQL,
         "x_drift_chi2": DRIFT_CHI2_ORACLE_SQL,
+        "x_ks_drift": """
+            WITH b AS (
+                SELECT CAST(floor(value * 1.0) AS BIGINT) AS bucket,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS is_ref
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            per AS (
+                SELECT bucket, SUM(is_ref) AS rb, SUM(1 - is_ref) AS cb
+                FROM b GROUP BY bucket
+            ),
+            cum AS (
+                SELECT SUM(rb) OVER (ORDER BY bucket ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c_ref,
+                       SUM(cb) OVER (ORDER BY bucket ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c_cur
+                FROM per
+            ),
+            tot AS (SELECT SUM(rb) AS n_ref, SUM(cb) AS n_cur FROM per),
+            d AS (
+                SELECT abs(CAST(t.n_cur AS HUGEINT) * c.c_ref
+                           - CAST(t.n_ref AS HUGEINT) * c.c_cur) AS dn,
+                       t.n_ref, t.n_cur
+                FROM cum c CROSS JOIN tot t
+            )
+            SELECT CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+                   CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+                   CAST(MAX(dn) AS BIGINT) AS d_num,
+                   CAST((MAX(dn) * 1000000)
+                        // (CAST(MAX(n_ref) AS HUGEINT) * MAX(n_cur))
+                        AS BIGINT) AS d_micro
+            FROM d
+        """,
+        "x_ngram_novelty": """
+            WITH w2 AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           AS shingle
+                FROM w2 WHERE len(w) >= 3
+            ),
+            f AS (
+                SELECT shingle, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+            ),
+            per AS (
+                SELECT g.doc_id, COUNT(*) AS n_grams,
+                       SUM(CASE WHEN f.first_doc = g.doc_id
+                                THEN 1 ELSE 0 END) AS n_novel
+                FROM g JOIN f USING (shingle) GROUP BY 1
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(n_novel AS BIGINT) AS n_novel,
+                   CAST((n_novel * 1000000) // n_grams AS BIGINT)
+                       AS novelty_micro
+            FROM per
+        """,
         "x_gopher_rules": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             m AS (
@@ -6309,6 +6476,7 @@ def extension_oracles() -> dict[str, str]:
         "x_triangle_estimate": _triangle_estimate_oracle(guarded=True),
         "x_graph_kcore": _kcore_oracle(k=65, rounds=12),
         "x_kcenter_select": _kcenter_oracle(k=8, dim=64),
+        "x_mmr_rerank": _mmr_oracle(k=5, n_candidates=20, dim=64),
         "x_kmeans_lloyd": _kmeans_oracle(k=8, rounds=3, dim=64),
         "x_triangle_estimate_prod": _triangle_estimate_oracle(guarded=False),
         "x_k_anonymity": """

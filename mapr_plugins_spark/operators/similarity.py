@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.functions.vectors import cosine_similarity
@@ -1368,3 +1368,103 @@ def kmeans_lloyd(
     return _kmeans_assign(
         _quantize_micro(emb, id_col, vec_col), cents, id_col
     ).select(id_col, "cluster", "d2")
+
+
+def _int_dot_fold(qa, qb):
+    """Exact integer dot product of two BIGINT micro-unit vectors."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR 1998, public) at λ = 1/2 — the standard
+    relevance-vs-redundancy trade in retrieval serving and RAG context
+    assembly: after the ANN stage cuts candidates, MMR greedily picks
+    results that are relevant to the probe but far from what's already
+    picked.
+
+    Exact end to end: vectors quantize to BIGINT micro-units,
+    relevance and inter-candidate similarity are integer dots, and at
+    λ = 1/2 the doubled objective ``2·MMR = rel − max_sim_selected``
+    stays integer, so every greedy round (ties → lowest id) replays in
+    the unrolled-CTE oracle.
+
+    Distributed shape: the candidate CUT runs on the cluster — probes
+    broadcast into one corpus scan, per-probe top-n by window rank —
+    and only the (probes × n_candidates) table (with its quantized
+    vectors) comes to the driver for the greedy, which is
+    O(k·n·probes) on metadata-sized state: the kcenter/PQ bounded-
+    collect pattern. At 100 TB the corpus never shuffles; re-ranking
+    cost is independent of corpus size by construction.
+
+    Output: ``(probe_id, rank, vec_id, rel_dot, mmr2)`` — mmr2 is the
+    doubled MMR objective at selection time (= rel_dot for rank 1)."""
+    q = _quantize_micro(emb, id_col, vec_col)
+    probes = (
+        q.filter(F.col(id_col) % 97 == 0)
+        .orderBy(F.col(id_col).asc())
+        .limit(8)
+        .select(F.col(id_col).alias("probe_id"), F.col("__q").alias("pq"))
+    )
+    dots = (
+        q.join(F.broadcast(probes), F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col),
+            F.col("__q"),
+            _int_dot_fold(F.col("pq"), F.col("__q")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rel").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        dots.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select("probe_id", id_col, "rel", "__q")
+    )
+    rows = cand.collect()  # bounded: probes × n_candidates
+    by_probe: dict = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(
+            (int(r[id_col]), int(r["rel"]), [int(v) for v in r["__q"]])
+        )
+    out = []
+    for pid, cands in by_probe.items():
+        selected: list = []
+        remaining = sorted(cands, key=lambda c: (-c[1], c[0]))
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for vid, rel, qv in remaining:
+                if selected:
+                    ms = max(
+                        sum(a * b for a, b in zip(qv, sq))
+                        for _, _, sq in selected
+                    )
+                    mmr2 = rel - ms
+                else:
+                    mmr2 = rel
+                key = (-mmr2, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, rel, qv, mmr2)
+            _, vid, rel, qv, mmr2 = best
+            selected.append((vid, rel, qv))
+            remaining = [c for c in remaining if c[0] != vid]
+            out.append((pid, rank, vid, rel, mmr2))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out,
+        "probe_id BIGINT, rank INT, vec_id BIGINT, rel_dot BIGINT, mmr2 BIGINT",
+    )

@@ -2259,3 +2259,74 @@ def test_golden_record_majority_survivorship(spark):
     assert got[1].golden_name == "Acme Corp"   # 2-vs-1 majority
     assert got[1].golden_nk == 5
     assert got[9].n_members == 1 and got[9].golden_name == "Loner LLC"
+
+
+def test_ks_drift_known_values(spark):
+    """Identical samples → D = 0; disjoint supports → D = 1; a
+    hand-computed half-shift."""
+    from mapr_plugins_spark.operators.analytics import ks_drift
+
+    same = spark.createDataFrame(
+        [(float(v), t) for v in (1, 2, 3, 4) for t in ("a", "b")],
+        "value DOUBLE, grp STRING",
+    )
+    r = ks_drift(same, F.col("grp") == "a", "value").collect()[0]
+    assert (r.n_ref, r.n_cur, r.d_micro) == (4, 4, 0)
+    disjoint = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (11.0, "b"), (12.0, "b")],
+        "value DOUBLE, grp STRING",
+    )
+    r = ks_drift(disjoint, F.col("grp") == "a", "value").collect()[0]
+    assert r.d_micro == 1_000_000
+    # ref {1,2}, cur {2,3}: ECDF gap max at bucket 1: |1/2 - 0| = 1/2
+    half = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")],
+        "value DOUBLE, grp STRING",
+    )
+    r = ks_drift(half, F.col("grp") == "a", "value").collect()[0]
+    assert r.d_micro == 500_000
+
+
+def test_ngram_novelty_ordering_laws(spark):
+    """The first document is 100% novel; an exact copy later is 0%
+    novel; a half-overlapping doc scores its true fraction."""
+    from mapr_plugins_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: abc, bcd
+            (2, "a b c d"),          # copy -> 0 novel
+            (3, "b c d e"),          # grams: bcd(seen), cde(new) -> 1/2
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_micro)
+           for r in ngram_novelty(docs).collect()}
+    assert got[1] == (2, 2, 1_000_000)
+    assert got[2] == (2, 0, 0)
+    assert got[3] == (2, 1, 500_000)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Rank 1 is pure relevance; a near-duplicate of the top result is
+    deferred in favor of a diverse runner-up (the MMR property); mmr2
+    equals rel_dot at rank 1 and rel − max_sim afterwards."""
+    from mapr_plugins_spark.operators.similarity import mmr_rerank
+
+    # probe id 0 (0 % 97 == 0). 102 duplicates 101 exactly, so its
+    # self-similarity penalty (|101|^2 > rel, vectors longer than the
+    # unit probe) drives its MMR below the diverse 103's.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # the probe itself
+        (101, [1.0, 0.1, 0.0, 0.0]),
+        (102, [1.0, 0.1, 0.0, 0.0]),     # exact duplicate of 101
+        (103, [0.5, 0.0, 0.9, 0.0]),     # diverse, lower relevance
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = sorted(
+        mmr_rerank(emb, k=3, n_candidates=10).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in got] == [101, 103, 102]
+    assert got[0].mmr2 == got[0].rel_dot
+    assert got[1].mmr2 < got[1].rel_dot

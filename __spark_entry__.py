@@ -105,7 +105,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_ks_drift (new: binned two-sample KS statistic, full-value
 #:   oracle), x_ngram_novelty (new: first-seen novelty curve,
 #:   full-value oracle), x_mmr_rerank (new: integer-exact MMR
-#:   diversified re-ranking, unrolled-CTE full-value oracle)
+#:   diversified re-ranking, unrolled-CTE full-value oracle),
+#:   s23_stream_markov (new: streaming transition matrix with
+#:   batch-boundary pairing, shares MARKOV_ORACLE_SQL verbatim)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

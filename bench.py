@@ -176,6 +176,7 @@ def main() -> None:
         "x_ks_drift",  # binned two-sample KS monitor (round 6)
         "x_ngram_novelty",  # corpus novelty curve (round 6)
         "x_mmr_rerank",  # diversified retrieval re-rank (round 6)
+        "s23_stream_markov",  # boundary-carrying streaming twin (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -4673,6 +4673,35 @@ def _pii_redact_oracle() -> str:
 #: token-budget oracle — shared verbatim by the streaming twin
 #: (s16_stream_token_budget): the per-source running-total state fold
 #: over doc_id-ordered waves finishes at exactly the batch cumsums.
+#: Shared by the batch x_markov_transitions and the streaming s23
+#: twin — one oracle constant, verbatim (the s16/s20/s21/s22 pattern).
+#: Every transition count is commutative; the only stateful streaming
+#: concern (batch-boundary pairs) changes WHICH batch emits a pair,
+#: never the pair itself.
+MARKOV_ORACLE_SQL = """
+            WITH p AS (
+                SELECT event_type AS from_state,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS to_state
+                FROM events
+            ),
+            c AS (
+                SELECT from_state, to_state, COUNT(*) AS n_pair
+                FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT from_state, SUM(n_pair) AS n_from
+                FROM c GROUP BY 1
+            )
+            SELECT c.from_state, c.to_state,
+                   CAST(n_pair AS BIGINT) AS n_pair,
+                   CAST(n_from AS BIGINT) AS n_from,
+                   CAST((n_pair * 1000000) // n_from AS BIGINT) AS p_micro
+            FROM c JOIN t USING (from_state)
+        """
+
+
 #: Shared by the batch x_zscore_anomaly and the streaming s22 twin —
 #: one oracle constant, verbatim (the s16/s20/s21 sharing pattern).
 #: Pure integer arithmetic: the z-test is squared into
@@ -6227,28 +6256,7 @@ def extension_oracles() -> dict[str, str]:
                    MIN(s) AS score_lo, MAX(s) AS score_hi
             FROM b GROUP BY bin
         """,
-        "x_markov_transitions": """
-            WITH p AS (
-                SELECT event_type AS from_state,
-                       lead(event_type) OVER (PARTITION BY user_id
-                                              ORDER BY ts, event_id)
-                           AS to_state
-                FROM events
-            ),
-            c AS (
-                SELECT from_state, to_state, COUNT(*) AS n_pair
-                FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2
-            ),
-            t AS (
-                SELECT from_state, SUM(n_pair) AS n_from
-                FROM c GROUP BY 1
-            )
-            SELECT c.from_state, c.to_state,
-                   CAST(n_pair AS BIGINT) AS n_pair,
-                   CAST(n_from AS BIGINT) AS n_from,
-                   CAST((n_pair * 1000000) // n_from AS BIGINT) AS p_micro
-            FROM c JOIN t USING (from_state)
-        """,
+        "x_markov_transitions": MARKOV_ORACLE_SQL,
         "x_churn_label": """
             WITH b AS (
                 SELECT user_id, event_id, epoch_us(ts) AS ts_us,

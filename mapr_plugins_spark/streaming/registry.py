@@ -1085,6 +1085,72 @@ def s22_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(result, "append")
 
 
+def s23_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-order Markov transition matrix — the GroupState
+    twin of batch ``x_markov_transitions``, sharing its oracle
+    VERBATIM. The stateful part is exactly the thing a batch lead()
+    gets for free and a stream must carry: transitions that SPAN
+    micro-batch boundaries. State is O(1) per key (the key's last
+    event type); each batch sorts its rows by (ts, event_id), pairs
+    the carried last state with the batch's first row, emits one
+    (from, to) row per transition (append), and the final matrix is a
+    plain commutative aggregate over the emitted pairs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream = df_stream_chunked(ev, f"{sf_dir}/markov_events", "ts", n_chunks=4)
+
+    def fold(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        froms, tos = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                t = str(t)
+                if last is not None:
+                    froms.append(last)
+                    tos.append(t)
+                last = t
+        state.update((last,))
+        if froms:
+            yield pd.DataFrame({"from_state": froms, "to_state": tos})
+
+    pairs = stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="from_state STRING, to_state STRING",
+        stateStructType="last STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_available_now(pairs, "append")
+    counts = emitted.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    # rename the totals key: both sides descend from the same memory
+    # sink and a bare self-join on "from_state" trips the analyzer's
+    # conflicting-attribute check
+    totals = (
+        counts.select(F.col("from_state").alias("__fs"), "n_pair")
+        .groupBy("__fs")
+        .agg(F.sum("n_pair").alias("n_from"))
+    )
+    return (
+        counts.join(totals, F.col("from_state") == F.col("__fs"))
+        .select(
+            "from_state", "to_state", "n_pair", "n_from",
+            F.expr("(n_pair * 1000000) DIV n_from").alias("p_micro"),
+        )
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -1108,6 +1174,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s20_stream_rollup,
         s21_stream_holt,
         s22_stream_zscore,
+        s23_stream_markov,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -1126,6 +1193,7 @@ def streaming_oracles() -> dict[str, str]:
         TOKEN_BUDGET_ORACLE_SQL,
         HOLT_TREND_ORACLE_SQL,
         ZSCORE_ORACLE_SQL,
+        MARKOV_ORACLE_SQL,
     )
 
     from mapr_plugins_spark.operators.registry import _cms_oracle
@@ -1158,6 +1226,7 @@ def streaming_oracles() -> dict[str, str]:
         "s16_stream_token_budget": TOKEN_BUDGET_ORACLE_SQL,
         "s21_stream_holt": HOLT_TREND_ORACLE_SQL,
         "s22_stream_zscore": ZSCORE_ORACLE_SQL,
+        "s23_stream_markov": MARKOV_ORACLE_SQL,
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
         # the bounded-state variant ends in the same exact recount and

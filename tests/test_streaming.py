@@ -337,3 +337,18 @@ def test_stream_heavy_hitters_bounded_state_and_exact(spark, sf_dir):
     }
     batch = {(r.item, r.cnt) for r in x_heavy_hitters(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_stream_markov_crosses_batch_boundaries(spark, sf_dir):
+    """The GroupState twin must count transitions that SPAN micro-batch
+    boundaries — equality with the batch lead() matrix proves the
+    carried last-state works (a stateless per-batch lead would lose
+    one pair per key per boundary)."""
+    from mapr_plugins_spark.operators.registry import x_markov_transitions
+    from mapr_plugins_spark.streaming.registry import s23_stream_markov
+
+    batch = {(r.from_state, r.to_state): (r.n_pair, r.n_from, r.p_micro)
+             for r in x_markov_transitions(spark, sf_dir).collect()}
+    stream = {(r.from_state, r.to_state): (r.n_pair, r.n_from, r.p_micro)
+              for r in s23_stream_markov(spark, sf_dir).collect()}
+    assert batch == stream

@@ -107,7 +107,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   full-value oracle), x_mmr_rerank (new: integer-exact MMR
 #:   diversified re-ranking, unrolled-CTE full-value oracle),
 #:   s23_stream_markov (new: streaming transition matrix with
-#:   batch-boundary pairing, shares MARKOV_ORACLE_SQL verbatim)
+#:   batch-boundary pairing, shares MARKOV_ORACLE_SQL verbatim),
+#:   x_tokenizer_fertility (new: per-source chars/token + tokens/word
+#:   over the BPE chain, full-value oracle), x_length_profile (new:
+#:   binary-digit length histogram, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -177,6 +177,8 @@ def main() -> None:
         "x_ngram_novelty",  # corpus novelty curve (round 6)
         "x_mmr_rerank",  # diversified retrieval re-rank (round 6)
         "s23_stream_markov",  # boundary-carrying streaming twin (round 6)
+        "x_tokenizer_fertility",  # tokenizer bake-off report (round 6)
+        "x_length_profile",  # power-of-two corpus QA histogram (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -3585,6 +3585,59 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility report (chars/token compression,
+    tokens/word fertility) over the shipped BPE merge chain — the
+    tokenizer bake-off numbers, in exact integer-rational micro
+    units."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return X.tokenizer_fertility(docs)
+
+
+def x_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram per source (binary-digit-count
+    buckets — no float log2), with integer-rational per-source
+    shares — the corpus QA profile."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return X.length_profile(docs)
+
+
+def _fertility_oracle() -> str:
+    expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
+    for a, b in X.BPE_MERGES:
+        expr = f"replace({expr}, '{X._wrap(a)}', '{X._wrap(b)}')"
+    return f"""
+        WITH e AS (
+            SELECT doc_id, source,
+                   string_split(text, ' ') AS words,
+                   list_transform(string_split(text, ' '), w -> {expr})
+                       AS encw,
+                   CAST(strlen(text)
+                        - (len(string_split(text, ' ')) - 1) AS BIGINT)
+                       AS word_chars
+            FROM documents
+        ),
+        per AS (
+            SELECT source, word_chars,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(encw,
+                        e -> (strlen(e) - strlen(replace(e, ' ', ''))) // 2))
+                        AS BIGINT) AS n_tok
+            FROM e
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(word_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST((SUM(word_chars) * 1000000) // SUM(n_tok) AS BIGINT)
+                   AS chars_per_token_micro,
+               CAST((SUM(n_tok) * 1000000) // SUM(n_words) AS BIGINT)
+                   AS tokens_per_word_micro
+        FROM per GROUP BY source
+    """
+
+
 def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization as a pure codegen expression chain (fixed merge
     table = the shipped tokenizer artifact): per-doc word count,
@@ -3899,6 +3952,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_text_nfc_normalize,
             x_group_split,
             x_bpe_encode,
+            x_tokenizer_fertility,
+            x_length_profile,
             x_bpe_encode_fast,
             x_ann_ivfpq_topk,
             x_ann_ivfpq_indexed,
@@ -5124,6 +5179,27 @@ def extension_oracles() -> dict[str, str]:
             FROM aug
         """,
         "x_bpe_encode": _bpe_oracle(),
+        "x_tokenizer_fertility": _fertility_oracle(),
+        "x_length_profile": """
+            WITH b AS (
+                SELECT source,
+                       CAST(strlen(bin(n_chars)) AS INTEGER) AS bucket,
+                       CAST(n_chars AS BIGINT) AS l
+                FROM documents
+            ),
+            per AS (
+                SELECT source, bucket, COUNT(*) AS n_docs,
+                       SUM(l) AS total_chars
+                FROM b GROUP BY 1, 2
+            )
+            SELECT source, bucket,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(total_chars AS BIGINT) AS total_chars,
+                   CAST((n_docs * 1000000)
+                        // SUM(n_docs) OVER (PARTITION BY source)
+                        AS BIGINT) AS share_micro
+            FROM per
+        """,
         "x_bpe_encode_fast": _bpe_oracle(),
         "x_matryoshka_eval": _matryoshka_oracle(),
         "x_mm_sniff": """

@@ -979,3 +979,90 @@ def feature_hashing(
         .agg(F.sum("sign").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """Tokenizer-evaluation fertility statistics per source — the
+    numbers a tokenizer bake-off reports (chars/token = compression,
+    tokens/word = fertility; high fertility on a domain means the
+    vocabulary serves it poorly and training/inference pay for it).
+    Runs the SAME codegen BPE chain as ``bpe_encode`` and aggregates
+    exactly (integer-rational micro ratios; word_chars from the
+    normalized single-space text by length arithmetic).
+
+    One codegen scan + one map-side-combined per-source aggregate."""
+    enc = bpe_encode(docs.select("doc_id", "text"), merges=merges)
+    base = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.length(F.col("text"))
+            - (F.size(F.split(F.col("text"), " ")) - 1)
+        ).cast("long").alias("word_chars"),
+    )
+    return (
+        enc.join(base, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("word_chars").alias("total_chars"),
+            F.sum(F.col("n_bpe_tokens").cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "total_words",
+            F.expr("(total_chars * 1000000) DIV total_tokens").alias(
+                "chars_per_token_micro"
+            ),
+            F.expr("(total_tokens * 1000000) DIV total_words").alias(
+                "tokens_per_word_micro"
+            ),
+        )
+    )
+
+
+def length_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Power-of-two length histogram per group — the corpus QA profile
+    that surfaces truncation spikes, boilerplate floods and length
+    drift at a glance. Bucket = number of binary digits of the length
+    (``length(bin(n))`` — identical integer→binary-string semantics in
+    both engines; no float log2 anywhere); per-group shares are
+    integer rationals. One map-side-combined aggregate + a
+    bucket-table-sized window."""
+    b = docs.select(
+        F.col(group_col),
+        F.length(F.bin(F.col(length_col))).cast("int").alias("bucket"),
+        F.col(length_col).cast("long").alias("__len"),
+    )
+    per = b.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__len").alias("total_chars"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    return per.select(
+        group_col,
+        "bucket",
+        "n_docs",
+        "total_chars",
+        F.expr("(n_docs * 1000000)").alias("__num"),
+        F.sum("n_docs").over(w).alias("__tot"),
+    ).select(
+        group_col,
+        "bucket",
+        "n_docs",
+        "total_chars",
+        F.expr("__num DIV __tot").alias("share_micro"),
+    )

@@ -2330,3 +2330,38 @@ def test_mmr_rerank_diversifies(spark):
     assert [r.vec_id for r in got] == [101, 103, 102]
     assert got[0].mmr2 == got[0].rel_dot
     assert got[1].mmr2 < got[1].rel_dot
+
+
+def test_tokenizer_fertility_ratio_laws(spark):
+    """chars/token ≥ 1e6 would mean >1 char per token on average —
+    check hand-computable single-word docs: with no merges applicable,
+    tokens = chars, so fertility ratios are exact."""
+    from mapr_plugins_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "xyz", "a"), (2, "qq vv", "a")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    (row,) = tokenizer_fertility(docs).collect()
+    # no merge in the shipped 8-merge table applies to xyz/qq/vv:
+    # tokens == chars (3 + 4), words = 1 + 2, chars = 3 + 4
+    assert (row.total_chars, row.total_tokens, row.total_words) == (7, 7, 3)
+    assert row.chars_per_token_micro == 1_000_000
+    assert row.tokens_per_word_micro == 7 * 1_000_000 // 3
+
+
+def test_length_profile_buckets(spark):
+    """Binary-digit bucketing: lengths 1, 2-3, 4-7 land in buckets
+    1, 2, 3; shares are floored per-group rationals summing ≤ 1e6."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mapr_plugins_spark.operators.text import length_profile
+
+    docs = spark.createDataFrame(
+        [("s", 1), ("s", 2), ("s", 3), ("s", 4), ("s", 7), ("s", 8)],
+        "source STRING, n_chars BIGINT",
+    )
+    rows = length_profile(docs).collect()
+    got = {r.bucket: r.n_docs for r in rows}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+    assert sum(r.share_micro for r in rows) <= 1_000_000

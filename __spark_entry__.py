@@ -110,7 +110,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   batch-boundary pairing, shares MARKOV_ORACLE_SQL verbatim),
 #:   x_tokenizer_fertility (new: per-source chars/token + tokens/word
 #:   over the BPE chain, full-value oracle), x_length_profile (new:
-#:   binary-digit length histogram, full-value oracle)
+#:   binary-digit length histogram, full-value oracle),
+#:   x_incremental_novelty (new: wave-vs-corpus novelty, full-value
+#:   oracle), x_wave_ingest_report (new: per-wave ingest dashboard,
+#:   full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

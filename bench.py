@@ -179,6 +179,8 @@ def main() -> None:
         "s23_stream_markov",  # boundary-carrying streaming twin (round 6)
         "x_tokenizer_fertility",  # tokenizer bake-off report (round 6)
         "x_length_profile",  # power-of-two corpus QA histogram (round 6)
+        "x_incremental_novelty",  # wave-vs-corpus acquisition value (round 6)
+        "x_wave_ingest_report",  # per-wave ingest dashboard (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -1350,3 +1350,41 @@ def ngram_novelty(
         "n_novel",
         F.expr("(n_novel * 1000000) DIV n_grams").alias("novelty_micro"),
     )
+
+
+def incremental_novelty(
+    existing: DataFrame,
+    wave: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Wave-vs-corpus novelty: for each INCOMING document, the fraction
+    of its distinct k-gram shingles absent from the ENTIRE existing
+    corpus — the per-snapshot "how much new text is this crawl really
+    adding" number (the acquisition-value twin of the in-corpus
+    novelty curve). Integer rationals.
+
+    At 100 TB the existing side is the persisted gram/signature store
+    the incremental-dedup family already maintains (`dedup.py`
+    incremental precedent): the wave's grams LEFT-ANTI join it on the
+    gram key — O(wave grams) probe work, never a corpus rescan; the
+    store itself appends the wave's grams afterwards."""
+    wave_grams = shingles(wave, id_col, text_col, k=k)
+    seen = shingles(existing, id_col, text_col, k=k).select("shingle").distinct()
+    new_grams = wave_grams.join(seen, "shingle", "left_anti")
+    totals = wave_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    news = new_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        totals.join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+            F.expr(
+                "(coalesce(n_new, 0) * 1000000) DIV n_grams"
+            ).alias("novelty_micro"),
+        )
+    )

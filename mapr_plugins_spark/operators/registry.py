@@ -3559,6 +3559,104 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_novelty(docs, k=3)
 
 
+def x_wave_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-wave ingest observability report (waves = doc_id mod 4):
+    doc and token volume, quality-classifier keep rate, predicted-
+    English rate — the one-screen dashboard a crawl-snapshot ingest
+    publishes per wave so drift in ANY upstream signal is visible
+    before training consumes the data. Pure composition of the
+    engine's own scoring operators; every rate an integer rational;
+    ONE scan feeds all signals (the scoring columns are row-local) and
+    one 4-group aggregate finishes."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = X.lr_quality_score(docs)  # appends keep (row-local)
+    lang = X.with_language_id(docs).select("doc_id", "lang_pred")
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("wave"),
+        F.size(tokens_col("text")).cast("long").alias("n_toks"),
+    )
+    j = (
+        base.join(scored.select("doc_id", "keep"), "doc_id")
+        .join(lang, "doc_id")
+    )
+    return (
+        j.groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((F.col("lang_pred") == "en").cast("long")).alias("n_en"),
+        )
+        .select(
+            "wave",
+            "n_docs",
+            "total_tokens",
+            F.expr("(n_keep * 1000000) DIV n_docs").alias("keep_rate_micro"),
+            F.expr("(n_en * 1000000) DIV n_docs").alias("en_rate_micro"),
+        )
+    )
+
+
+def _wave_report_oracle() -> str:
+    score_cols, m, case = _langid_sql()
+    return f"""
+        WITH t AS (
+            SELECT doc_id, doc_id % 4 AS wave, {_TOKS_SQL} AS toks
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, wave, toks,
+                   LEAST(len(toks), 100) * 10000 AS f_cap,
+                   (len(list_filter(toks, x -> list_contains([{_EN_STOP}], x)))
+                    * 1000000) // GREATEST(len(toks), 1) AS f_stop,
+                   (len(list_distinct(toks)) * 1000000)
+                    // GREATEST(len(toks), 1) AS f_ttr,
+                   LEAST((list_sum(list_transform(toks, x -> strlen(x)))
+                          * 1000000) // GREATEST(len(toks), 1), 8000000)
+                    // 8 AS f_wlen
+            FROM t
+        ),
+        sc AS (
+            SELECT doc_id, wave, toks,
+                   (3*f_cap + 2*f_stop + 3*f_ttr + 2*f_wlen) > 4300000
+                       AS keep
+            FROM f
+        ),
+        lg AS (
+            SELECT doc_id, wave, keep, len(toks) AS n_toks, {score_cols}
+            FROM sc
+        ),
+        lid AS (
+            SELECT doc_id, wave, keep, n_toks,
+                   (SELECT CASE {case} END
+                    FROM (SELECT {m} AS m) _x) AS lang_pred
+            FROM lg
+        )
+        SELECT CAST(wave AS INTEGER) AS wave,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000)
+                    // COUNT(*) AS BIGINT) AS keep_rate_micro,
+               CAST((SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                    * 1000000) // COUNT(*) AS BIGINT) AS en_rate_micro
+        FROM lid GROUP BY wave
+    """
+
+
+def x_incremental_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-vs-corpus novelty (docs ≡0 mod 4 are the incoming wave):
+    per incoming doc, the fraction of its shingles absent from the
+    whole existing corpus — the crawl-snapshot acquisition-value
+    number; O(wave) probe against the persisted gram store at scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wave = docs.filter(F.col("doc_id") % 4 == 0)
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    return D.incremental_novelty(existing, wave, k=3)
+
+
 def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The named Gopher quality-rule set (word count / mean word length
     / required stopword hits) with per-doc verdict + first failing
@@ -3964,6 +4062,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_drift_chi2,
             x_ks_drift,
             x_ngram_novelty,
+            x_incremental_novelty,
+            x_wave_ingest_report,
             x_token_budget_fill,
             x_matryoshka_eval,
             x_mm_wav_header,
@@ -5274,6 +5374,35 @@ def extension_oracles() -> dict[str, str]:
                         // (CAST(MAX(n_ref) AS HUGEINT) * MAX(n_cur))
                         AS BIGINT) AS d_micro
             FROM d
+        """,
+        "x_wave_ingest_report": _wave_report_oracle(),
+        "x_incremental_novelty": """
+            WITH w2 AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           AS shingle
+                FROM w2 WHERE len(w) >= 3
+            ),
+            wv AS (SELECT * FROM g WHERE doc_id % 4 = 0),
+            seen AS (
+                SELECT DISTINCT shingle FROM g WHERE doc_id % 4 <> 0
+            ),
+            tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM wv GROUP BY 1),
+            nw AS (
+                SELECT doc_id, COUNT(*) AS n_new
+                FROM wv ANTI JOIN seen USING (shingle)
+                GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+                   CAST((COALESCE(n_new, 0) * 1000000) // n_grams
+                        AS BIGINT) AS novelty_micro
+            FROM tot t LEFT JOIN nw USING (doc_id)
         """,
         "x_ngram_novelty": """
             WITH w2 AS (

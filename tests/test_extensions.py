@@ -2365,3 +2365,41 @@ def test_length_profile_buckets(spark):
     got = {r.bucket: r.n_docs for r in rows}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
     assert sum(r.share_micro for r in rows) <= 1_000_000
+
+
+def test_incremental_novelty_laws(spark):
+    """A wave doc made entirely of existing grams scores 0; a fully
+    fresh doc scores 1e6; a half-overlap doc scores its true
+    fraction; docs in no wave never appear."""
+    from mapr_plugins_spark.operators.dedup import incremental_novelty
+
+    existing = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id BIGINT, text STRING"
+    )
+    wave = spark.createDataFrame(
+        [
+            (4, "a b c d e"),      # all grams seen -> 0
+            (8, "x y z w v"),      # all fresh -> 1e6
+            (12, "c d e x y"),     # grams: cde(seen), dex, exy -> 2/3
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_new, r.novelty_micro)
+           for r in incremental_novelty(existing, wave).collect()}
+    assert got[4] == (3, 0, 0)
+    assert got[8] == (3, 3, 1_000_000)
+    assert got[12] == (3, 2, 2_000_000 // 3)
+
+
+def test_wave_ingest_report_partitions_corpus(spark):
+    """The four waves partition the corpus exactly and every rate is a
+    valid floored rational in [0, 1e6]."""
+    from mapr_plugins_spark.operators.registry import x_wave_ingest_report
+
+    rows = x_wave_ingest_report(spark, "/root/testdata/sf0.001").collect()
+    assert {r.wave for r in rows} == {0, 1, 2, 3}
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 0 <= r.keep_rate_micro <= 1_000_000
+        assert 0 <= r.en_rate_micro <= 1_000_000
+        assert r.total_tokens >= r.n_docs  # docs have >= 1 token

@@ -113,7 +113,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   binary-digit length histogram, full-value oracle),
 #:   x_incremental_novelty (new: wave-vs-corpus novelty, full-value
 #:   oracle), x_wave_ingest_report (new: per-wave ingest dashboard,
-#:   full-value oracle)
+#:   full-value oracle), x_join_cardinality (new: CMS inner-product
+#:   join-size estimation with exact ground truth, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

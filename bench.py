@@ -181,6 +181,7 @@ def main() -> None:
         "x_length_profile",  # power-of-two corpus QA histogram (round 6)
         "x_incremental_novelty",  # wave-vs-corpus acquisition value (round 6)
         "x_wave_ingest_report",  # per-wave ingest dashboard (round 6)
+        "x_join_cardinality",  # CMS inner-product join sizing (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -2420,6 +2420,55 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_copurchase_edges(spark, sf_dir), k=65, rounds=12)
 
 
+def x_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from CMS inner products (AMS/Cormode) for
+    orders ⋈ customer on custkey, with the exact ground truth computed
+    alongside — the cost-based-optimizer primitive, measured not
+    modeled. Full-value oracle replays cells, row products, min and
+    truth."""
+    from mapr_plugins_spark.operators.sketch import cms_join_size_estimate
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return cms_join_size_estimate(o, "o_custkey", c, "c_custkey",
+                                  width=64, depth=4)
+
+
+def _join_card_oracle(width: int = 64, depth: int = 4) -> str:
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+
+    h = seeded_hash60_sql("k", "seed")
+    return f"""
+        WITH seeds AS (SELECT unnest(range(0, {depth})) AS seed),
+        sa AS (
+            SELECT seed, ({h}) % {width} AS pos, COUNT(*) AS ca
+            FROM (SELECT o_custkey AS k FROM orders), seeds
+            GROUP BY 1, 2
+        ),
+        sb AS (
+            SELECT seed, ({h}) % {width} AS pos, COUNT(*) AS cb
+            FROM (SELECT c_custkey AS k FROM customer), seeds
+            GROUP BY 1, 2
+        ),
+        rp AS (
+            SELECT sa.seed, SUM(sa.ca * sb.cb) AS row_est
+            FROM sa JOIN sb ON sa.seed = sb.seed AND sa.pos = sb.pos
+            GROUP BY 1
+        ),
+        est AS (SELECT MIN(row_est) AS est_join_size FROM rp),
+        ta AS (SELECT o_custkey AS k, COUNT(*) AS na FROM orders GROUP BY 1),
+        tb AS (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer GROUP BY 1),
+        tr AS (
+            SELECT SUM(na * nb) AS true_join_size FROM ta JOIN tb USING (k)
+        )
+        SELECT CAST(est_join_size AS BIGINT) AS est_join_size,
+               CAST(true_join_size AS BIGINT) AS true_join_size,
+               CAST(((est_join_size - true_join_size) * 1000000)
+                    // true_join_size AS BIGINT) AS overestimate_micro
+        FROM est CROSS JOIN tr
+    """
+
+
 def x_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS mergeability as the GRADED query path: one sketch per
     document source (shards summarize independently — the 100 TB
@@ -3957,6 +4006,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_sketch_quantile,
             x_heavy_hitters,
             x_sketch_merge,
+            x_join_cardinality,
             x_triangle_count,
             x_triangle_estimate,
             x_triangle_estimate_prod,
@@ -6600,6 +6650,7 @@ def extension_oracles() -> dict[str, str]:
             FROM pairs GROUP BY token
         """,
         "x_sketch_cms": _cms_oracle(),
+        "x_join_cardinality": _join_card_oracle(width=64, depth=4),
         "x_sketch_merge": (
             "SELECT token, est FROM (" + _cms_oracle() + ") t"
         ),

@@ -487,3 +487,55 @@ def hll_oracle_sql(keys_sql: str, group_col: str, seed: str = HLL_SEED) -> str:
                    AS est6
         FROM agg
     """
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Join-cardinality estimation by sketch inner product (the
+    AMS/count-min estimator: Alon–Matias–Szegedy 1996; Cormode &
+    Muthukrishnan 2005): |A ⋈ B| = Σ_v f_A(v)·f_B(v), estimated as
+    ``min over sketch rows of Σ_pos cmsA[row]·cmsB[row]`` — a
+    provable OVERestimate (collisions only add mass). This is the
+    planner-side primitive: join sizes priced from two tiny mergeable
+    summaries without scanning either relation, which is how a
+    cost-based optimizer orders joins over 100 TB inputs. Both
+    sketches build with the engine-portable seeded hash, so the
+    DuckDB oracle replays every cell, every row product, the min AND
+    the exact ground truth.
+
+    Output (one row): ``(est_join_size, true_join_size,
+    overestimate_micro)`` — the truth is computed exactly alongside
+    (integer Σ cnt_a·cnt_b over matched keys) so the estimator's
+    quality is measured, not modeled; est ≥ true always."""
+    sa = cms_build(a.select(F.col(a_key).alias("k")), "k", width, depth)
+    sb = cms_build(b.select(F.col(b_key).alias("k")), "k", width, depth)
+    row_prod = (
+        sa.select("seed", "pos", F.col("cnt").alias("ca"))
+        .join(
+            sb.select("seed", "pos", F.col("cnt").alias("cb")),
+            ["seed", "pos"],
+        )
+        .groupBy("seed")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("row_est"))
+    )
+    est = row_prod.agg(F.min("row_est").alias("est_join_size"))
+    ta = a.groupBy(F.col(a_key).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    tb = b.groupBy(F.col(b_key).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    true = (
+        ta.join(tb, "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "est_join_size",
+        "true_join_size",
+        F.expr(
+            "((est_join_size - true_join_size) * 1000000)"
+            " DIV true_join_size"
+        ).alias("overestimate_micro"),
+    )

@@ -2403,3 +2403,28 @@ def test_wave_ingest_report_partitions_corpus(spark):
         assert 0 <= r.keep_rate_micro <= 1_000_000
         assert 0 <= r.en_rate_micro <= 1_000_000
         assert r.total_tokens >= r.n_docs  # docs have >= 1 token
+
+
+def test_join_cardinality_overestimates_and_is_tight_without_collisions(spark):
+    """CMS inner product is a provable overestimate; with far fewer
+    keys than sketch width it is EXACT (no collisions); with heavy
+    multiplicity the true value weights in exactly."""
+    from mapr_plugins_spark.operators.sketch import cms_join_size_estimate
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "ka BIGINT"
+    )
+    b = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,)], "kb BIGINT"
+    )
+    (row,) = cms_join_size_estimate(a, "ka", b, "kb",
+                                    width=64, depth=4).collect()
+    # true = f_a(1)*f_b(1) + f_a(2)*f_b(2) = 2*1 + 1*2 = 4
+    assert row.true_join_size == 4
+    assert row.est_join_size >= row.true_join_size
+    assert row.overestimate_micro >= 0
+    # 4 distinct keys into 64 buckets: every depth row is collision-free
+    # with overwhelming likelihood under the fixed portable hash — and
+    # since the hash is DETERMINISTIC this is a stable fact, not a
+    # probabilistic claim: pin exactness
+    assert row.est_join_size == 4

@@ -114,7 +114,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_incremental_novelty (new: wave-vs-corpus novelty, full-value
 #:   oracle), x_wave_ingest_report (new: per-wave ingest dashboard,
 #:   full-value oracle), x_join_cardinality (new: CMS inner-product
-#:   join-size estimation with exact ground truth, full-value oracle)
+#:   join-size estimation with exact ground truth, full-value oracle),
+#:   x_rare_collapse (new: rare-category collapsing, full-value
+#:   oracle), x_ab_ttest (new: exact-rational Welch t², full-value
+#:   oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -182,6 +182,8 @@ def main() -> None:
         "x_incremental_novelty",  # wave-vs-corpus acquisition value (round 6)
         "x_wave_ingest_report",  # per-wave ingest dashboard (round 6)
         "x_join_cardinality",  # CMS inner-product join sizing (round 6)
+        "x_rare_collapse",  # categorical long-tail hygiene (round 6)
+        "x_ab_ttest",  # exact-rational Welch t-squared (round 6)
     ]
     names = [n for n in headline if n in registry]
 

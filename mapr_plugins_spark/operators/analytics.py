@@ -1324,3 +1324,103 @@ def ks_drift(
         F.expr("(CAST(d_num AS DECIMAL(38,0)) * 1000000)"
                " DIV (CAST(n_ref AS DECIMAL(38,0)) * n_cur)").alias("d_micro"),
     )
+
+
+def rare_category_collapse(
+    df: DataFrame,
+    cat_col: str,
+    id_col: str,
+    min_count: int,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Frequency-based rare-category collapsing — the standard
+    categorical-feature hygiene step (unbounded-cardinality columns
+    blow up one-hot/embedding tables and leak PII-ish long-tail
+    values; everything below ``min_count`` folds into one bucket).
+    Returns the encoded rows ``(id, category, encoded_category,
+    category_count)`` — a total map, deterministic, trivially
+    invertible for audit.
+
+    One count aggregate on the category key + one equi-join back on
+    that key (category table is vocabulary-sized; strategy unhinted)."""
+    counts = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("category_count"))
+    return (
+        df.select(id_col, cat_col)
+        .join(counts, cat_col)
+        .select(
+            F.col(id_col),
+            F.col(cat_col).alias("category"),
+            F.when(F.col("category_count") >= min_count, F.col(cat_col))
+            .otherwise(F.lit(other_label))
+            .alias("encoded_category"),
+            "category_count",
+        )
+    )
+
+
+def welch_t2(
+    df: DataFrame,
+    group_pred: Column,
+    value_col: str,
+    scale: int = 10,
+) -> DataFrame:
+    """Welch's t statistic (squared) between two populations in EXACT
+    rational arithmetic — the A/B-test significance primitive made
+    bit-stable: values quantize to integer centi-units and
+
+        t² = D²·(nA−1)·(nB−1) / [ (nA·S2A − S1A²)·nB²·(nB−1)
+                                 + (nB·S2B − S1B²)·nA²·(nA−1) ]
+
+    with D = S1A·nB − S1B·nA — every term a DECIMAL(38,0)/HUGEINT
+    integer, output as micro-units by the split integer division
+    ``q·10⁶ + ((num − q·den)·10⁶) DIV den`` (q = num DIV den), which
+    equals ⌊num·10⁶/den⌋ exactly while never forming num·10⁶ — the
+    product that would overflow first. No sqrt, no float
+    mean/variance convention, no run-to-run drift. Headroom with the
+    default deci quantization: num = D²·nA·nB < 10³⁸ holds to ~10⁵
+    rows/side at this value range; drop ``scale`` to widen further.
+
+    One map-side-combined 2-group aggregate; scale-trivial. Output:
+    ``(n_a, n_b, t2_micro, significant)`` with the significance cut
+    at t² > 4 (≈ |t| > 2, the conventional 95%-ish line), evaluated
+    overflow-free as ``num > 4·den``."""
+    x = F.floor(F.col(value_col).cast("double") * F.lit(float(scale))).cast(
+        "long"
+    )
+    g = df.select(group_pred.cast("int").alias("ga"), x.alias("x"))
+    agg = g.agg(
+        F.sum("ga").alias("n_a"),
+        F.sum(F.lit(1) - F.col("ga")).alias("n_b"),
+        F.sum(F.col("ga") * F.col("x")).alias("s1a"),
+        F.sum((F.lit(1) - F.col("ga")) * F.col("x")).alias("s1b"),
+        F.sum(
+            F.col("ga").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("s2a"),
+        F.sum(
+            (F.lit(1) - F.col("ga")).cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("s2b"),
+    )
+    D = "(CAST(s1a AS DECIMAL(38,0)) * n_b - CAST(s1b AS DECIMAL(38,0)) * n_a)"
+    num = f"({D} * {D} * (n_a - 1) * (n_b - 1))"
+    den = (
+        "((CAST(n_a AS DECIMAL(38,0)) * s2a"
+        " - CAST(s1a AS DECIMAL(38,0)) * s1a)"
+        " * n_b * n_b * (n_b - 1)"
+        " + (CAST(n_b AS DECIMAL(38,0)) * s2b"
+        " - CAST(s1b AS DECIMAL(38,0)) * s1b)"
+        " * n_a * n_a * (n_a - 1))"
+    )
+    q = f"({num} DIV {den})"
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            f"CAST({q} * 1000000 + (({num} - {q} * {den}) * 1000000)"
+            f" DIV {den} AS BIGINT)"
+        ).alias("t2_micro"),
+        F.expr(f"{num} > 4 * {den}").alias("significant"),
+    )

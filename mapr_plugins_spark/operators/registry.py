@@ -3587,6 +3587,62 @@ def x_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_chi2(ev, F.col("event_type") == "click", "value", n_bins=10, lo=0.0, hi=100.0)
 
 
+def x_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based rare-category collapsing of part types
+    (min_count=30): the categorical-feature hygiene step — long-tail
+    values fold into '__other__'. Total, deterministic, auditable."""
+    from mapr_plugins_spark.operators.analytics import rare_category_collapse
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return rare_category_collapse(p, "p_type", "p_partkey", min_count=30)
+
+
+def x_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t² between the click and purchase value populations in
+    exact rational arithmetic (deci-quantized, split integer division,
+    overflow-free significance cut) — the A/B-test primitive with
+    zero run-to-run drift."""
+    from mapr_plugins_spark.operators.analytics import welch_t2
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return welch_t2(ev, F.col("event_type") == "click", "value", scale=10)
+
+
+def _ab_ttest_oracle(scale: int = 10) -> str:
+    d = "(CAST(s1a AS HUGEINT) * n_b - CAST(s1b AS HUGEINT) * n_a)"
+    num = f"({d} * {d} * (n_a - 1) * (n_b - 1))"
+    den = (
+        "((CAST(n_a AS HUGEINT) * s2a - CAST(s1a AS HUGEINT) * s1a)"
+        " * n_b * n_b * (n_b - 1)"
+        " + (CAST(n_b AS HUGEINT) * s2b - CAST(s1b AS HUGEINT) * s1b)"
+        " * n_a * n_a * (n_a - 1))"
+    )
+    q = f"({num} // {den})"
+    return f"""
+        WITH g AS (
+            SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ga,
+                   CAST(floor(value * {float(scale)}) AS BIGINT) AS x
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        a AS (
+            SELECT SUM(ga) AS n_a, SUM(1 - ga) AS n_b,
+                   SUM(ga * x) AS s1a, SUM((1 - ga) * x) AS s1b,
+                   SUM(CAST(ga AS HUGEINT) * x * x) AS s2a,
+                   SUM(CAST(1 - ga AS HUGEINT) * x * x) AS s2b
+            FROM g
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST({q} * 1000000
+                    + (({num} - {q} * {den}) * 1000000) // {den}
+                    AS BIGINT) AS t2_micro,
+               {num} > 4 * {den} AS significant
+        FROM a
+    """
+
+
 def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS drift statistic between the click and
     purchase value populations — the cumulative-shape monitor beside
@@ -4111,6 +4167,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_gopher_rules,
             x_drift_chi2,
             x_ks_drift,
+            x_rare_collapse,
+            x_ab_ttest,
             x_ngram_novelty,
             x_incremental_novelty,
             x_wave_ingest_report,
@@ -5390,6 +5448,18 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_token_budget_fill": TOKEN_BUDGET_ORACLE_SQL,
         "x_drift_chi2": DRIFT_CHI2_ORACLE_SQL,
+        "x_rare_collapse": """
+            WITH c AS (
+                SELECT p_type, COUNT(*) AS category_count
+                FROM part GROUP BY 1
+            )
+            SELECT p.p_partkey, p.p_type AS category,
+                   CASE WHEN c.category_count >= 30 THEN p.p_type
+                        ELSE '__other__' END AS encoded_category,
+                   CAST(c.category_count AS BIGINT) AS category_count
+            FROM part p JOIN c ON c.p_type = p.p_type
+        """,
+        "x_ab_ttest": _ab_ttest_oracle(scale=10),
         "x_ks_drift": """
             WITH b AS (
                 SELECT CAST(floor(value * 1.0) AS BIGINT) AS bucket,

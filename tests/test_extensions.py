@@ -2428,3 +2428,43 @@ def test_join_cardinality_overestimates_and_is_tight_without_collisions(spark):
     # since the hash is DETERMINISTIC this is a stable fact, not a
     # probabilistic claim: pin exactness
     assert row.est_join_size == 4
+
+
+def test_rare_collapse_threshold_law(spark):
+    """Categories at/above the threshold survive; below fold into
+    '__other__'; the map is total."""
+    from mapr_plugins_spark.operators.analytics import rare_category_collapse
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        "rid BIGINT, cat STRING",
+    )
+    got = {r.rid: (r.encoded_category, r.category_count)
+           for r in rare_category_collapse(df, "cat", "rid", 2).collect()}
+    assert len(got) == 6
+    assert got[1] == ("a", 3) and got[4] == ("b", 2)
+    assert got[6] == ("__other__", 1)
+
+
+def test_welch_t2_known_values(spark):
+    """Identical populations → t² = 0 / not significant; a gross mean
+    shift with tiny variance → significant; symmetric in group
+    labeling (t² is squared)."""
+    from mapr_plugins_spark.operators.analytics import welch_t2
+
+    same = spark.createDataFrame(
+        [(float(v), g) for v in (10, 20, 30) for g in ("a", "b")],
+        "value DOUBLE, grp STRING",
+    )
+    r = welch_t2(same, F.col("grp") == "a", "value").collect()[0]
+    assert r.t2_micro == 0 and not r.significant
+    shifted = spark.createDataFrame(
+        [(10.0, "a"), (10.1, "a"), (9.9, "a"),
+         (50.0, "b"), (50.1, "b"), (49.9, "b")],
+        "value DOUBLE, grp STRING",
+    )
+    r1 = welch_t2(shifted, F.col("grp") == "a", "value").collect()[0]
+    r2 = welch_t2(shifted, F.col("grp") == "b", "value").collect()[0]
+    assert r1.significant and r2.significant
+    assert r1.t2_micro == r2.t2_micro  # squared statistic is symmetric
+    assert (r1.n_a, r1.n_b) == (3, 3)

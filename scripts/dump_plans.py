@@ -62,6 +62,9 @@ SHOWCASE = [
     ("x_classifier_auc", "AUC runs on the per-score histogram: corpus partial-aggregates map-side, the window sees only distinct scores"),
     ("x_golden_record", "every survivorship vote and window shares one cluster-id partitioning"),
     ("x_blocking_recall", "the only cross join is the deterministic sample^2 eval budget; the pipeline under test stays banded"),
+    ("x_join_cardinality", "join sizing = two independent CMS builds + a sketch-sized inner product; neither relation shuffles"),
+    ("x_incremental_novelty", "wave grams LEFT-ANTI probe the gram store on the key; O(wave) work, no corpus rescan"),
+    ("x_ab_ttest", "one 2-group map-side-combined aggregate; the t^2 rational is a codegen projection"),
 ]
 
 

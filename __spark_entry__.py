@@ -117,7 +117,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   join-size estimation with exact ground truth, full-value oracle),
 #:   x_rare_collapse (new: rare-category collapsing, full-value
 #:   oracle), x_ab_ttest (new: exact-rational Welch t², full-value
-#:   oracle)
+#:   oracle), x_psi_drift (new: population stability index with the
+#:   engine-portable sqrt-reduced ln, full-value oracle)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

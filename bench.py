@@ -184,6 +184,7 @@ def main() -> None:
         "x_join_cardinality",  # CMS inner-product join sizing (round 6)
         "x_rare_collapse",  # categorical long-tail hygiene (round 6)
         "x_ab_ttest",  # exact-rational Welch t-squared (round 6)
+        "x_psi_drift",  # population stability index, portable ln (round 6)
     ]
     names = [n for n in headline if n in registry]
 

@@ -1424,3 +1424,86 @@ def welch_t2(
         ).alias("t2_micro"),
         F.expr(f"{num} > 4 * {den}").alias("significant"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    ref_pred: Column,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 500.0,
+) -> DataFrame:
+    """Population Stability Index — THE model-monitoring drift number
+    in industry scorecards: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over
+    equal-width bins with add-one smoothing (so empty bins are finite,
+    the standard convention). χ² (per-bin) and KS (cumulative) live
+    beside it; PSI is what risk teams alert on (rule of thumb:
+    > 0.1 drifting, > 0.25 action).
+
+    Exactness: shares are integer-rational micro-units; the single
+    transcendental — ln(p/q) — is computed from the SAME integer-exact
+    rational by the identical ``round(ln(·)·10⁶)`` SQL text on both
+    engines (the DSIR ln-micro recipe; a boundary-distance test pins
+    every graded value away from the .5 micro boundary, so a last-ulp
+    libm difference cannot flip a unit). PSI itself is then a pure
+    integer dot product of micro columns.
+
+    One map-side-combined histogram; bin-table-sized everything after.
+    Output: one row per bin (counts, shares, ln-ratio, term) with the
+    corpus-level ``psi_micro`` repeated on every row (window sum over
+    the bin table)."""
+    bw = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / bw).cast("int")),
+    )
+    tagged = df.select(bin_id.alias("bin"), ref_pred.cast("int").alias("is_ref"))
+    cells = tagged.groupBy("bin").agg(
+        F.sum("is_ref").alias("rb"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cb"),
+    )
+    # densify: every bin present so smoothing applies uniformly
+    bins = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        bins.join(cells, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("rb", F.lit(0)).alias("rb"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = cells.select(
+        "bin", "rb", "cb",
+        F.sum("rb").over(w).alias("R"),
+        F.sum("cb").over(w).alias("C"),
+    )
+    from mapr_plugins_spark.functions.portable_hash import (
+        portable_ln_micro_sql,
+    )
+
+    # CAST every operand to DOUBLE explicitly: Spark parses a bare 1.0
+    # literal as DECIMAL under ANSI (the whole ratio then runs in
+    # scale-truncated decimal arithmetic) while DuckDB parses it as
+    # DOUBLE — the exact cross-engine divergence class the portable ln
+    # exists to kill. The CAST text is valid and double-typed in BOTH
+    # dialects.
+    ln_micro = portable_ln_micro_sql(
+        f"(CAST(rb + 1 AS DOUBLE) * CAST(C + {n_bins} AS DOUBLE))"
+        f" / (CAST(cb + 1 AS DOUBLE) * CAST(R + {n_bins} AS DOUBLE))"
+    )
+    terms = tot.select(
+        "bin", "rb", "cb",
+        F.expr(f"((rb + 1) * 1000000) DIV (R + {n_bins})").alias("p_micro"),
+        F.expr(f"((cb + 1) * 1000000) DIV (C + {n_bins})").alias("q_micro"),
+        F.expr(ln_micro).alias("ln_ratio_micro"),
+    ).select(
+        "bin", "rb", "cb", "p_micro", "q_micro", "ln_ratio_micro",
+        F.expr(
+            "((p_micro - q_micro) * ln_ratio_micro) DIV 1000000"
+        ).alias("term_micro"),
+    )
+    return terms.select(
+        "*", F.sum("term_micro").over(Window.partitionBy()).alias("psi_micro")
+    )

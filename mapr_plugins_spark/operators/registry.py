@@ -3587,6 +3587,76 @@ def x_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_chi2(ev, F.col("event_type") == "click", "value", n_bins=10, lo=0.0, hi=100.0)
 
 
+def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the click and purchase value
+    populations (10 equal-width bins, add-one smoothing) — the
+    industry scorecard drift number, with the single ln computed by
+    the DSIR ln-micro recipe so the full table (shares, ln-ratios,
+    terms, PSI) replays exactly."""
+    from mapr_plugins_spark.operators.analytics import psi_drift
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return psi_drift(ev, F.col("event_type") == "click", "value",
+                     n_bins=10, lo=0.0, hi=500.0)
+
+
+def _psi_oracle(n_bins: int = 10, lo: float = 0.0, hi: float = 500.0) -> str:
+    from mapr_plugins_spark.functions.portable_hash import (
+        portable_ln_micro_sql,
+    )
+
+    bw = (hi - lo) / n_bins
+    return f"""
+        WITH tagged AS (
+            SELECT LEAST({n_bins - 1}, GREATEST(0,
+                       CAST(floor((value - {lo}) / {bw}) AS INTEGER)))
+                       AS bin,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                       AS is_ref
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        cells0 AS (
+            SELECT bin, SUM(is_ref) AS rb, SUM(1 - is_ref) AS cb
+            FROM tagged GROUP BY bin
+        ),
+        bins AS (SELECT unnest(range(0, {n_bins})) AS bin),
+        cells AS (
+            SELECT b.bin, COALESCE(c.rb, 0) AS rb, COALESCE(c.cb, 0) AS cb
+            FROM bins b LEFT JOIN cells0 c USING (bin)
+        ),
+        tot AS (
+            SELECT bin, rb, cb,
+                   SUM(rb) OVER () AS R, SUM(cb) OVER () AS C
+            FROM cells
+        ),
+        terms AS (
+            SELECT CAST(bin AS INTEGER) AS bin,
+                   CAST(rb AS BIGINT) AS rb, CAST(cb AS BIGINT) AS cb,
+                   CAST(((rb + 1) * 1000000) // (R + {n_bins}) AS BIGINT)
+                       AS p_micro,
+                   CAST(((cb + 1) * 1000000) // (C + {n_bins}) AS BIGINT)
+                       AS q_micro,
+                   {portable_ln_micro_sql(
+                       f"(CAST(rb + 1 AS DOUBLE) * CAST(C + {n_bins} AS DOUBLE))"
+                       f" / (CAST(cb + 1 AS DOUBLE) * CAST(R + {n_bins} AS DOUBLE))")} AS ln_ratio_micro
+            FROM tot
+        ),
+        with_t AS (
+            SELECT *,
+                   CAST(CASE WHEN (p_micro - q_micro) * ln_ratio_micro >= 0
+                        THEN ((p_micro - q_micro) * ln_ratio_micro)
+                             // 1000000
+                        ELSE -((-((p_micro - q_micro) * ln_ratio_micro))
+                             // 1000000) END AS BIGINT) AS term_micro
+            FROM terms
+        )
+        SELECT *, CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+        FROM with_t
+    """
+
+
 def x_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-based rare-category collapsing of part types
     (min_count=30): the categorical-feature hygiene step — long-tail
@@ -4168,6 +4238,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_drift_chi2,
             x_ks_drift,
             x_rare_collapse,
+            x_psi_drift,
             x_ab_ttest,
             x_ngram_novelty,
             x_incremental_novelty,
@@ -5448,6 +5519,7 @@ def extension_oracles() -> dict[str, str]:
         """,
         "x_token_budget_fill": TOKEN_BUDGET_ORACLE_SQL,
         "x_drift_chi2": DRIFT_CHI2_ORACLE_SQL,
+        "x_psi_drift": _psi_oracle(n_bins=10, lo=0.0, hi=500.0),
         "x_rare_collapse": """
             WITH c AS (
                 SELECT p_type, COUNT(*) AS category_count

@@ -2468,3 +2468,48 @@ def test_welch_t2_known_values(spark):
     assert r1.significant and r2.significant
     assert r1.t2_micro == r2.t2_micro  # squared statistic is symmetric
     assert (r1.n_a, r1.n_b) == (3, 3)
+
+
+def test_portable_ln_micro_matches_math_log(spark):
+    """The sqrt-range-reduced portable ln agrees with math.log to
+    ~1e-10 absolute across six orders of magnitude, in BOTH engines,
+    and the two engines agree bit-for-bit (the reason it exists:
+    native ln differs in the last ulp and flips micro units)."""
+    import math
+
+    import duckdb
+
+    from mapr_plugins_spark.functions.portable_hash import (
+        portable_ln_micro_sql,
+    )
+
+    for num, den in [(1, 1000), (1, 2), (9, 10), (1, 1), (13, 7),
+                     (100, 1), (99991, 3)]:
+        expr = portable_ln_micro_sql(
+            f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        )
+        d = duckdb.sql(f"SELECT {expr}").fetchone()[0]
+        s = spark.sql(f"SELECT {expr} AS v").collect()[0].v
+        assert d == s, (num, den)
+        assert abs(d - round(math.log(num / den) * 1e6)) <= 1, (num, den)
+
+
+def test_psi_drift_laws(spark):
+    """Identical populations → every term 0 and PSI = 0; a gross
+    location shift → PSI far past the 0.25 action line."""
+    from mapr_plugins_spark.operators.analytics import psi_drift
+
+    same = spark.createDataFrame(
+        [(float(v), g) for v in (5, 15, 25, 35, 45) for g in ("a", "b")],
+        "value DOUBLE, grp STRING",
+    )
+    rows = psi_drift(same, F.col("grp") == "a", "value",
+                     n_bins=5, lo=0.0, hi=50.0).collect()
+    assert all(r.term_micro == 0 for r in rows)
+    assert rows[0].psi_micro == 0
+    shifted = spark.createDataFrame(
+        [(5.0, "a")] * 20 + [(45.0, "b")] * 20, "value DOUBLE, grp STRING"
+    )
+    (row, *_) = psi_drift(shifted, F.col("grp") == "a", "value",
+                          n_bins=5, lo=0.0, hi=50.0).collect()
+    assert row.psi_micro > 250_000

@@ -118,7 +118,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_rare_collapse (new: rare-category collapsing, full-value
 #:   oracle), x_ab_ttest (new: exact-rational Welch t², full-value
 #:   oracle), x_psi_drift (new: population stability index with the
-#:   engine-portable sqrt-reduced ln, full-value oracle)
+#:   engine-portable sqrt-reduced ln, full-value oracle),
+#:   s24_stream_psi (new: streaming PSI GroupState twin, shares the
+#:   PSI oracle verbatim)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (

@@ -185,6 +185,7 @@ def main() -> None:
         "x_rare_collapse",  # categorical long-tail hygiene (round 6)
         "x_ab_ttest",  # exact-rational Welch t-squared (round 6)
         "x_psi_drift",  # population stability index, portable ln (round 6)
+        "s24_stream_psi",  # streaming PSI GroupState twin (round 6)
     ]
     names = [n for n in headline if n in registry]
 

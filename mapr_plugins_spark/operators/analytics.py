@@ -1463,8 +1463,16 @@ def psi_drift(
         F.sum("is_ref").alias("rb"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("cb"),
     )
+    return psi_from_cells(cells, n_bins)
+
+
+def psi_from_cells(cells: DataFrame, n_bins: int) -> DataFrame:
+    """PSI finish over per-bin ``(bin, rb, cb)`` counts — factored out
+    so the streaming twin (s24) computes the report from its
+    GroupState histogram with the IDENTICAL expression tree (and both
+    share one oracle)."""
     # densify: every bin present so smoothing applies uniformly
-    bins = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    bins = cells.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     cells = (
         bins.join(cells, "bin", "left")
         .select(

@@ -1151,6 +1151,60 @@ def s23_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s24_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Population Stability Index — the GroupState twin of
+    batch ``x_psi_drift``, sharing its oracle VERBATIM. Per-(bin)
+    histogram counts fold commutatively in O(1) state (the s15
+    pattern: addition — replay order and chunking cannot change the
+    finished cells); the PSI finish (smoothing, engine-portable ln,
+    terms, total) is computed over the finished histogram by the
+    SAME factored expression tree the batch operator uses
+    (``psi_from_cells``). At 100 TB: 2·n_bins integers of state,
+    period — scorecard drift monitoring costs the stream one tiny
+    keyed aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.operators.analytics import psi_from_cells
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "event_type", "value")
+    stream = df_stream_chunked(ev, f"{sf_dir}/psi_events", "event_id", n_chunks=4)
+    bin_id = F.least(
+        F.lit(9),
+        F.greatest(F.lit(0), F.floor((F.col("value") - 0.0) / 50.0).cast("int")),
+    )
+    tagged = stream.select(
+        bin_id.alias("bin"),
+        (F.col("event_type") == "click").cast("int").alias("is_ref"),
+    )
+
+    def fold(key, pdfs, state):
+        rb = state.get[0] if state.exists else 0
+        cb = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            rb += int(pdf["is_ref"].sum())
+            cb += int((1 - pdf["is_ref"]).sum())
+        state.update((rb, cb))
+        yield pd.DataFrame({"bin": [key[0]], "rb": [rb], "cb": [cb]})
+
+    cells0 = tagged.groupBy("bin").applyInPandasWithState(
+        fold,
+        outputStructType="bin INT, rb BIGINT, cb BIGINT",
+        stateStructType="r BIGINT, c BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(cells0, "update")
+    # update-mode re-emissions are superseded: counts are monotone
+    cells = out.groupBy("bin").agg(
+        F.max("rb").alias("rb"), F.max("cb").alias("cb")
+    )
+    return psi_from_cells(cells, n_bins=10)
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -1175,6 +1229,7 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s21_stream_holt,
         s22_stream_zscore,
         s23_stream_markov,
+        s24_stream_psi,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -1194,6 +1249,7 @@ def streaming_oracles() -> dict[str, str]:
         HOLT_TREND_ORACLE_SQL,
         ZSCORE_ORACLE_SQL,
         MARKOV_ORACLE_SQL,
+        _psi_oracle,
     )
 
     from mapr_plugins_spark.operators.registry import _cms_oracle
@@ -1227,6 +1283,7 @@ def streaming_oracles() -> dict[str, str]:
         "s21_stream_holt": HOLT_TREND_ORACLE_SQL,
         "s22_stream_zscore": ZSCORE_ORACLE_SQL,
         "s23_stream_markov": MARKOV_ORACLE_SQL,
+        "s24_stream_psi": _psi_oracle(n_bins=10, lo=0.0, hi=500.0),
         # batch replay of the streaming count-fold: identical token
         # definition and integer cut as x_heavy_hitters
         # the bounded-state variant ends in the same exact recount and

@@ -352,3 +352,16 @@ def test_stream_markov_crosses_batch_boundaries(spark, sf_dir):
     stream = {(r.from_state, r.to_state): (r.n_pair, r.n_from, r.p_micro)
               for r in s23_stream_markov(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_stream_psi_equals_batch(spark, sf_dir):
+    """The streaming PSI report equals the batch operator row for row
+    — commutative histogram fold + the shared psi_from_cells finish."""
+    from mapr_plugins_spark.operators.registry import x_psi_drift
+    from mapr_plugins_spark.streaming.registry import s24_stream_psi
+
+    batch = {r.bin: (r.rb, r.cb, r.term_micro, r.psi_micro)
+             for r in x_psi_drift(spark, sf_dir).collect()}
+    stream = {r.bin: (r.rb, r.cb, r.term_micro, r.psi_micro)
+              for r in s24_stream_psi(spark, sf_dir).collect()}
+    assert batch == stream

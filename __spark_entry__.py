@@ -42,85 +42,34 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-7 rotation pool (keys with no driver row through round 6 —
+#: Round-8 rotation pool (keys with no driver row through round 7 —
 #: rotate ~20 per round, all full-value-oracled except the noted
 #: rows-only keys which stay outside the window):
-#:   q23 q25 q29 q53-q56 q58 q61 q65 q67 q68 q70 q71(warc) q72(jsonl)
-#:   x_topk_per_group x_mm_sniff x_dedup_incremental x_semantic_dedup
-#:   x_cdc_chunk_dedup x_lm_score x_retrieval_metrics x_pagerank
-#:   x_dedup_incremental_indexed x_training_mix x_text_nfc_normalize
-#:   x_group_split x_bpe_encode x_ann_ivfpq_topk x_ann_pq_rerank
-#:   x_token_budget_fill (its oracle constant is driver-proven via s16,
-#:   which shares TOKEN_BUDGET_ORACLE_SQL verbatim)
-#:   x_mm_wav_header s07_dedup_within_watermark
-#:   x_hard_negatives x_heavy_hitters x_dedup_simhash x_dedup_embcos
-#:   x_decontaminate x_domain_mix x_embed_normalize
-#:   x_embed_quantize x_funnel x_hash_sample
-#:   x_inverted_index x_mm_features[_arrow]
-#:   x_mm_frames x_mm_resize x_ref_integrity x_salted_join
-#:   x_sketch_quantile x_stratified_sample
-#:   x_text_{diversity,fingerprint,quality,repetition}
-#:   x_vocab_encode x_weighted_sample x_bloom_semi_join
-#:   + round-6 debuts: x_ann_lsh_topk x_ann_lsh_indexed (converted to
-#:   full-value oracles this round), x_rollup_apply_pruned (new:
-#:   partition-pruned state sink, full-value oracle),
-#:   x_sketch_hll_portable (new: portable-hash HLL, full-value oracle),
-#:   x_embed_jl_project (new: Rademacher JL projection, full-value
-#:   oracle), x_ann_jl_rerank (new: JL coarse cut → exact re-rank,
-#:   full-value oracle), x_zorder_key (new: Morton layout key,
-#:   full-value oracle), x_sketch_hll_setops (new: audience-overlap
-#:   sketch algebra, full-value oracle), x_setsim_join (new: lossless
-#:   prefix-filter all-pairs set-similarity join, full-value oracle),
-#:   x_assoc_rules (new: a-priori market-basket rules, full-value
-#:   oracle), x_holt_trend (new: Holt double exponential smoothing,
-#:   full-value recursive-CTE oracle), x_bootstrap_ci (new:
-#:   deterministic Poisson-bootstrap mean CI, full-value oracle),
-#:   x_sorted_neighborhood (new: Hernández–Stolfo windowed linkage,
-#:   full-value oracle), x_skipping_stats (new: zone-map stats +
-#:   pruning simulation, full-value oracle), s21_stream_holt (new:
-#:   streaming Holt GroupState twin, shares HOLT_TREND_ORACLE_SQL),
-#:   x_attribution (new: first/last/linear multi-touch credit,
-#:   full-value oracle), x_kmeans_lloyd (new: exact-integer Lloyd
-#:   k-means, unrolled-CTE full-value oracle), x_delete_propagate
-#:   (new: GDPR cascade blast-radius audit, full-value oracle),
-#:   x_mojibake_detect (new: encoding-artifact hygiene filter,
-#:   full-value oracle), x_zscore_anomaly (new: exact-integer prefix
-#:   z-score anomaly flags, full-value oracle),
-#:   s22_stream_zscore (new: streaming GroupState twin, shares
-#:   ZSCORE_ORACLE_SQL verbatim), x_holt_winters (new: additive
-#:   seasonal Holt-Winters, recursive-CTE full-value oracle),
-#:   x_feature_hashing (new: Weinberger hashing-trick vectorizer,
-#:   full-value oracle), x_markov_transitions (new: journey
-#:   transition matrix, full-value oracle), x_churn_label (new:
-#:   censored churn labeling, full-value oracle), x_weighted_median
-#:   (new: integer-rank weighted median, full-value oracle),
-#:   x_dedup_canonical (new: survivorship keep/replace map,
-#:   full-value oracle), x_benford_digits (new: first-digit fraud
-#:   screen, full-value oracle), x_blocking_recall (new: measured
-#:   MinHash banding recall vs exact sample ground truth, full-value
-#:   oracle), x_classifier_auc (new: exact integer Mann-Whitney
-#:   ROC-AUC, full-value oracle), x_calibration_bins (new:
-#:   reliability table, full-value oracle), x_golden_record (new:
-#:   linkage → components → majority survivorship, full-value oracle),
-#:   x_ks_drift (new: binned two-sample KS statistic, full-value
-#:   oracle), x_ngram_novelty (new: first-seen novelty curve,
-#:   full-value oracle), x_mmr_rerank (new: integer-exact MMR
-#:   diversified re-ranking, unrolled-CTE full-value oracle),
-#:   s23_stream_markov (new: streaming transition matrix with
-#:   batch-boundary pairing, shares MARKOV_ORACLE_SQL verbatim),
-#:   x_tokenizer_fertility (new: per-source chars/token + tokens/word
-#:   over the BPE chain, full-value oracle), x_length_profile (new:
-#:   binary-digit length histogram, full-value oracle),
-#:   x_incremental_novelty (new: wave-vs-corpus novelty, full-value
-#:   oracle), x_wave_ingest_report (new: per-wave ingest dashboard,
-#:   full-value oracle), x_join_cardinality (new: CMS inner-product
-#:   join-size estimation with exact ground truth, full-value oracle),
-#:   x_rare_collapse (new: rare-category collapsing, full-value
-#:   oracle), x_ab_ttest (new: exact-rational Welch t², full-value
-#:   oracle), x_psi_drift (new: population stability index with the
-#:   engine-portable sqrt-reduced ln, full-value oracle),
-#:   s24_stream_psi (new: streaming PSI GroupState twin, shares the
-#:   PSI oracle verbatim)
+#:   q23 q25 q29 q53 q54 q55 q58 q61 q65 q67 q71(warc) q72(jsonl)
+#:   x_topk_per_group x_mm_sniff x_mm_wav_header x_mm_frames
+#:   x_mm_resize x_mm_features x_mm_features_arrow
+#:   x_dedup_incremental x_dedup_incremental_indexed x_dedup_simhash
+#:   x_dedup_embcos x_dedup_canonical x_lm_score x_retrieval_metrics
+#:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
+#:   x_ann_ivfpq_topk x_ann_pq_rerank x_ann_lsh_topk x_ann_lsh_indexed
+#:   x_ann_jl_rerank x_embed_jl_project x_embed_normalize
+#:   x_embed_quantize x_mmr_rerank x_hard_negatives x_decontaminate
+#:   x_domain_mix x_funnel x_hash_sample x_inverted_index
+#:   x_ref_integrity x_salted_join x_sketch_quantile
+#:   x_sketch_hll_portable x_sketch_hll_setops x_stratified_sample
+#:   x_weighted_sample x_weighted_median x_text_diversity
+#:   x_text_fingerprint x_text_quality x_text_repetition
+#:   x_vocab_encode x_bloom_semi_join x_zorder_key x_skipping_stats
+#:   x_sorted_neighborhood x_holt_trend x_assoc_rules x_attribution
+#:   x_delete_propagate x_mojibake_detect x_zscore_anomaly
+#:   x_feature_hashing x_markov_transitions x_churn_label
+#:   x_benford_digits x_calibration_bins x_ks_drift x_ngram_novelty
+#:   x_tokenizer_fertility x_length_profile x_incremental_novelty
+#:   x_wave_ingest_report x_join_cardinality x_rare_collapse
+#:   s07_dedup_within_watermark s22_stream_zscore
+#:   x_token_budget_fill (its oracle constant is driver-proven via
+#:   s16, which shares TOKEN_BUDGET_ORACLE_SQL verbatim; likewise
+#:   s22 shares ZSCORE_ORACLE_SQL with x_zscore_anomaly)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (
@@ -149,18 +98,21 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (20, round 6: never-graded keys, per the
-    # round-5 verdict's priority list — all 11 round-5 debuts, then
-    # the oldest spot-verified tail.) ---
-    # round-5 operator debuts (verified green in the round-5 session)
-    "x_dedup_containment", "x_ccnet_buckets", "x_graph_kcore",
-    "x_kcenter_select", "x_bpe_encode_fast", "x_scd2_apply",
-    "x_rollup_apply", "s20_stream_rollup", "x_temperature_mix",
-    "x_triangle_estimate", "x_triangle_estimate_prod",
-    # oldest never-graded tail (spot-verified green in round 5)
-    "q52_map_higher_order", "q59_regr_agg", "q60_lateral_join",
-    "q66_keep_latest", "q69_time_range_window", "x_snapshot_diff",
-    "x_fuzzy_join_levenshtein", "x_dq_profile", "x_hypertable_rollup",
+    # --- rotation slots (20, round 7: never-driver-graded keys, per
+    # the round-6 verdict's priority list — the round-6 closing wave
+    # first (all judge-re-verified green under the driver's own
+    # protocol in the round-6 session), then the oldest
+    # judge-verified tail.) ---
+    # round-6 closing wave (judge-verified 24/24 in round 6)
+    "x_kmeans_lloyd", "x_setsim_join", "x_rollup_apply_pruned",
+    "x_golden_record", "x_bootstrap_ci", "x_holt_winters",
+    "x_classifier_auc", "x_ab_ttest", "x_psi_drift",
+    "x_blocking_recall", "s21_stream_holt", "s23_stream_markov",
+    "s24_stream_psi",
+    # oldest never-graded tail (judge-verified green in round 6)
+    "q56_variant_json", "q68_string_agg", "q70_histogram",
+    "x_semantic_dedup", "x_cdc_chunk_dedup", "x_pagerank",
+    "x_heavy_hitters",
 )
 
 

@@ -29,6 +29,33 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _streaming_floor(spark, sf_dir: str) -> float:
+    """Fixed cost of the 4-chunk micro-batch replay harness itself
+    (round-6 verdict #5): the same chunked file-source replay every
+    ``s*`` key pays, driving the CHEAPEST possible stateful query (a
+    global count). Per-key marginal operator cost = timing - floor.
+    Best of 2, like the per-query timings."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.streaming.replay import (
+        events_stream_chunked,
+        run_available_now,
+    )
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = run_available_now(
+            events_stream_chunked(spark, sf_dir).groupBy().agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "complete",
+        )
+        _run(out)
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -186,6 +213,18 @@ def main() -> None:
         "x_ab_ttest",  # exact-rational Welch t-squared (round 6)
         "x_psi_drift",  # population stability index, portable ln (round 6)
         "s24_stream_psi",  # streaming PSI GroupState twin (round 6)
+        # round-7 additions: the unbenched stateful tail (round-6
+        # verdict #2) — every family's heaviest representative now has
+        # a timing row.
+        "x_minhash_clusters",  # banded pairs -> union-find collapse
+        "s01_tumbling_window",  # canonical watermark+window twin
+        "s10_cdc_merge_upsert",  # streaming CDC last-writer-wins
+        "x_fuzzy_join_levenshtein",  # edit-distance linkage
+        "x_graph_components",  # distributed min-label propagation
+        "x_hypertable_rollup",  # multi-grain time rollup
+        "x_dq_profile",  # one-pass column profiler
+        "x_doc_sink_roundtrip",  # A5/A6 document sink two-phase commit
+        "x_tfidf",  # one-shuffle TF-IDF
     ]
     names = [n for n in headline if n in registry]
 
@@ -211,12 +250,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Streaming replay floor: every s* key pays a fixed ~4 s harness
+    # cost (4 micro-batch cycles of the file-source replay) regardless
+    # of operator — expose it plus the per-key MARGINAL operator cost
+    # so the headline number stays interpretable as the streaming
+    # share of the registry grows (round-6 verdict #5).
+    spark.catalog.clearCache()
+    floor = _streaming_floor(spark, sf_dir)
     full = {
         "metric": "suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "streaming": {
+            "replay_floor_sec": floor,
+            "marginal_sec": {
+                k: round(max(0.0, v - floor), 3)
+                for k, v in timings.items()
+                if k.startswith("s")
+            },
+        },
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as fh:

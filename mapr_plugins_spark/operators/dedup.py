@@ -1240,25 +1240,40 @@ def blocking_quality_eval(
     tau_num: int = 1,
     tau_den: int = 2,
     k: int = 3,
+    sample_cap: int = 500,
 ) -> DataFrame:
     """Measured (not modeled) MinHash blocking quality: EXACT all-pairs
     shingle-Jaccard ground truth on a DETERMINISTIC corpus sample
-    (id ≡ 0 mod ``sample_mod``) vs the banded pipeline's verified
-    pairs restricted to the same sample → precision / recall as
-    integer rationals. This is the production eval shape at 100 TB:
-    exact ground truth is only computable on a bounded sample by
-    definition, and a hash-deterministic sample makes the measurement
-    reproducible run to run. The round-5 verdict's standing demand —
-    blocking-quality claims must be measured — as a first-class
-    graded operator.
+    (id ≡ 0 mod ``sample_mod``, then the ``sample_cap`` lowest by
+    portable hash of the id — a spread, FIXED-SIZE sample) vs the
+    banded pipeline's verified pairs restricted to the same sample →
+    precision / recall as integer rationals. This is the production
+    eval shape at 100 TB: exact ground truth is only computable on a
+    bounded sample by definition, and a hash-deterministic sample
+    makes the measurement reproducible run to run. The round-5
+    verdict's standing demand — blocking-quality claims must be
+    measured — as a first-class graded operator.
 
     The sample×sample cross join is DELIBERATE and bounded
-    (sample-sized², the documented eval budget); everything corpus-
-    sized stays in the banded pipeline under evaluation. Precision is
-    1.0 by construction for a verify-stage pipeline (asserting it
-    here guards the verify stage itself). Threshold is the rational
+    (sample_cap², the documented eval budget); everything corpus-
+    sized stays in the banded pipeline under evaluation. The cap was
+    added after the round-7 sf1 probe measured the mod-only sample's
+    quadratic growth (67× wall for 10× data): a proportional sample
+    makes the EVAL the corpus's most expensive operator exactly when
+    the corpus gets big — the fixed cap makes the ground-truth budget
+    scale-free while the hash ordering keeps it spread across the
+    id space (TakeOrdered, one scan, no shuffle). Precision is 1.0
+    by construction for a verify-stage pipeline (asserting it here
+    guards the verify stage itself). Threshold is the rational
     ``tau_num/tau_den`` evaluated in integers."""
+    from mapr_plugins_spark.functions.portable_hash import seeded_hash60
+
     sample = corpus.filter(F.col(id_col) % sample_mod == 0)
+    if sample_cap:
+        sample = sample.orderBy(
+            seeded_hash60(f"CAST({id_col} AS STRING)", "7").asc(),
+            F.col(id_col).asc(),
+        ).limit(sample_cap)
     arrs = shingle_arrays(sample, id_col, text_col, k=k)
     a = arrs.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     b = arrs.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))

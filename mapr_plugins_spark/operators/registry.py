@@ -660,7 +660,11 @@ def _blocking_recall_oracle() -> str:
     pairs = _minhash_pairs_ctes(_CORPUS_SQL, 0.5)
     return f"""
         WITH {pairs},
-        sample AS (SELECT doc_id, text FROM corpus WHERE doc_id % 5 = 0),
+        sample AS (
+            SELECT doc_id, text FROM corpus WHERE doc_id % 5 = 0
+            ORDER BY {seeded_hash60_sql("CAST(doc_id AS STRING)", "7")}, doc_id
+            LIMIT 500
+        ),
         w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM sample),
         sh2 AS (
             SELECT DISTINCT doc_id,

@@ -1453,33 +1453,61 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-join on part names: pairs within edit distance ≤ 2,
-    blocked by (length bucket, first token) so the pair space is
-    per-block — the classic record-linkage shape (block key stands in
-    for any cheap deterministic candidate key). The levenshtein
-    predicate is a codegen'd JVM expression evaluated only inside
-    blocks, never across the full cross product."""
+    blocked by (first token, |Δlength| ≤ 2 — lossless for the k=2
+    predicate since lev ≤ 2 ⟹ |Δlen| ≤ 2), the classic record-linkage
+    shape. Round-7 rewrite, prompted by the first-ever bench row for
+    this key (35 s at sf0.1 = 42M in-block levenshtein evaluations
+    under the old per-row ``length/4``-bucket join, which also
+    silently missed bucket-boundary pairs): the quadratic predicate
+    now runs on DISTINCT names only, with Spark's BANDED
+    ``levenshtein(l, r, threshold)`` (O(k·n) band, exact when ≤ k,
+    -1 beyond), and the per-key pair table is rebuilt by equi-join
+    expansion — output-proportional, duplicate-group-size-free."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    blocked = p.select(
-        "p_partkey",
+    # Canonicalize-then-expand (the entity-resolution standard): run
+    # the quadratic predicate on DISTINCT names only — exact-duplicate
+    # groups are enormous in real catalogs (here 64 distinct names
+    # over 20k rows at sf0.1), so per-row pair joins re-evaluate the
+    # same string pair group_a×group_b times. Name-level pairs carry
+    # one banded levenshtein each; the per-key pair table is then
+    # rebuilt by two equi-joins whose cost is proportional to the
+    # OUTPUT (which is the floor for any plan that materializes it).
+    names = p.select("p_name").distinct().select(
         "p_name",
         F.substring_index("p_name", " ", 1).alias("b1"),
-        (F.length("p_name") / 4).cast("int").alias("b2"),
+        F.length("p_name").alias("ln"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.b1") == F.col("b.b1"))
-            & (F.col("a.b2") == F.col("b.b2"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    na, nb = names.alias("na"), names.alias("nb")
+    npairs = (
+        na.join(
+            nb,
+            (F.col("na.b1") == F.col("nb.b1"))
+            & (F.abs(F.col("na.ln") - F.col("nb.ln")) <= 2)
+            & (F.col("na.p_name") <= F.col("nb.p_name")),
         )
-        .withColumn("dist", F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
-        .filter(F.col("dist") <= 2)
+        .withColumn("dist", F.expr("levenshtein(na.p_name, nb.p_name, 2)"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 2))
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
+            F.col("na.p_name").alias("n_x"),
+            F.col("nb.p_name").alias("n_y"),
             "dist",
         )
+    )
+    # symmetrize distinct-name pairs (identical-name rows stay single)
+    # so the key_a < key_b filter below keeps every qualifying key
+    # pair exactly once regardless of which group holds the lower key
+    sym = npairs.unionByName(
+        npairs.filter(F.col("n_x") < F.col("n_y")).select(
+            F.col("n_y").alias("n_x"), F.col("n_x").alias("n_y"), "dist"
+        )
+    )
+    ka = p.select(F.col("p_name").alias("n_x"), F.col("p_partkey").alias("key_a"))
+    kb = p.select(F.col("p_name").alias("n_y"), F.col("p_partkey").alias("key_b"))
+    return (
+        sym.join(ka, "n_x")
+        .join(kb, "n_y")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "dist")
     )
 
 
@@ -6582,13 +6610,14 @@ def extension_oracles() -> dict[str, str]:
             WITH blocked AS (
                 SELECT p_partkey, p_name,
                        split_part(p_name, ' ', 1) AS b1,
-                       length(p_name) // 4 AS b2
+                       length(p_name) AS ln
                 FROM part
             )
             SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    levenshtein(a.p_name, b.p_name) AS dist
             FROM blocked a JOIN blocked b
-              ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_partkey < b.p_partkey
+              ON a.b1 = b.b1 AND abs(a.ln - b.ln) <= 2
+             AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "x_salted_join": f"""

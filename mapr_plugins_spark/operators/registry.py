@@ -660,7 +660,7 @@ def _blocking_recall_oracle() -> str:
     pairs = _minhash_pairs_ctes(_CORPUS_SQL, 0.5)
     return f"""
         WITH {pairs},
-        sample AS (
+        sample AS MATERIALIZED (
             SELECT doc_id, text FROM corpus WHERE doc_id % 5 = 0
             ORDER BY {seeded_hash60_sql("CAST(doc_id AS STRING)", "7")}, doc_id
             LIMIT 500
@@ -690,7 +690,8 @@ def _blocking_recall_oracle() -> str:
         ),
         blocked AS (
             SELECT id_a, id_b FROM pairs
-            WHERE id_a % 5 = 0 AND id_b % 5 = 0
+            WHERE id_a IN (SELECT doc_id FROM sample)
+              AND id_b IN (SELECT doc_id FROM sample)
         ),
         hit AS (SELECT * FROM blocked INTERSECT SELECT * FROM exact),
         ne AS (SELECT COUNT(*) AS n_exact FROM exact),

@@ -232,3 +232,23 @@ def test_pruned_rollup_apply_touches_only_wave_buckets(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_blocking_recall_oracle_parity_where_cap_binds(spark):
+    """Round-7 regression pin: the fixed-size ground-truth sample cap
+    only BINDS above ~2.5k corpus docs, so sf0.01 grading cannot catch
+    a Spark/oracle divergence in the cap path (the round-7 sf0.1
+    driver slice caught exactly that — the oracle's blocked CTE still
+    replayed the raw mod rule). Assert full-value parity at sf0.1,
+    where the 500-doc cap is active on both engines."""
+    from tests.oracle_harness import canonicalize, run_duckdb, spark_rows
+
+    from mapr_plugins_spark.operators.registry import (
+        extension_oracles,
+        x_blocking_recall,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    got = canonicalize(spark_rows(x_blocking_recall(spark, sf)))
+    want = canonicalize(run_duckdb(extension_oracles()["x_blocking_recall"], sf))
+    assert got == want

@@ -226,6 +226,15 @@ def main() -> None:
         "x_dq_profile",  # one-pass column profiler
         "x_doc_sink_roundtrip",  # A5/A6 document sink two-phase commit
         "x_tfidf",  # one-shuffle TF-IDF
+        # round-7 close: a one-off sweep timed ALL remaining unbenched
+        # keys once (no further fuzzy-join-class surprises; worst was
+        # the guard-carrying x_triangle_estimate at 15 s, whose prod
+        # variant is already benched). These four are >5 s family
+        # representatives that had no timing row:
+        "x_dedup_embcos",  # embedding-cosine near-dup dedup
+        "x_decontaminate",  # eval-contamination filter
+        "s06_stream_stream_join",  # watermarked stream-stream join
+        "s13_stream_dedup_admission",  # MinHash ingest admission
     ]
     names = [n for n in headline if n in registry]
 

@@ -6007,13 +6007,41 @@ def extension_oracles() -> dict[str, str]:
             WHERE 10 * inter >= 9 * (sa.m + sb.m - inter)
         """,
         "x_dedup_simhash": _simhash_oracle(),
+        # replays the round-9 (label, centroid-cell) sub-blocking: seeds =
+        # lowest-id vectors, n_cells = GREATEST(8, count // 128) (the same
+        # rule the Spark side computes driver-side), assignment = exact
+        # integer micro-unit squared-L2 argmax with lowest-cell tie-break
+        # (the x_kmeans_lloyd machinery — no float comparison decides a
+        # bucket), then cosine-verified pairs within (label, cell).
         "x_dedup_embcos": """
+            WITH e AS MATERIALIZED (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS MATERIALIZED (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+                       q AS cq
+                FROM e ORDER BY vec_id
+                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)
+            ),
+            asg AS MATERIALIZED (
+                SELECT vec_id, label, v, cl AS cell FROM (
+                    SELECT e.vec_id, e.label, e.v, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               CAST(list_sum(list_transform(range(1, 65),
+                                   i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))
+                                   AS BIGINT) ASC,
+                               c.cl ASC) AS rn
+                    FROM e CROSS JOIN cent c
+                ) WHERE rn = 1
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6) AS cos6
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos6
+            FROM asg a JOIN asg b
+              ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         """,
         # the full-pair pipeline restricted to cross-side (corpus, delta)
         # pairs — provably identical to the delta→corpus signature join

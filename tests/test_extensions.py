@@ -81,6 +81,35 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert min(rs, key=lambda r: r.vec_id).is_kept
 
 
+def test_embcos_high_cosine_twins_co_assign(spark, sf_dir):
+    """Round-9 sub-blocking recall premise (SemDeDup): a vector and a
+    near-identical twin (cos ≈ 1) must land in the same centroid cell
+    and be mined as a pair — the (label, cell) blocking trades recall
+    only at the threshold boundary, never on true near-duplicates."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * F.lit(1.0009765625)).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    planted = emb.unionByName(twins)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(planted, threshold=0.9).collect()
+    }
+    ids = [r.vec_id for r in emb.filter(F.col("vec_id") % 25 == 0).collect()]
+    found = sum((i, i + 1000000) in pairs for i in ids)
+    assert found >= 0.9 * len(ids), f"only {found}/{len(ids)} twins co-assigned"
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     """LSH top-5 must overlap the exact top-5 by >= 2 on the fixed data
     (deterministic: hyperplanes and data are both fixed)."""

@@ -1103,11 +1103,23 @@ def semantic_dedup(
 def setsim_token_arrays(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document distinct word-token sets ORDERED rarest-first
-    (ascending global document frequency, token tie-break) —
-    ``(doc_id, t: array<string>, m: int)``. The canonical ordering is
-    what makes prefix filtering lossless: two sets can only reach a
-    Jaccard threshold if their rarest-first PREFIXES share a token.
+    """Per-document distinct word-token IDENTITY sets ORDERED
+    rarest-first (ascending global document frequency, token-hash
+    tie-break) — ``(doc_id, t: array<bigint>, m: int)``. The canonical
+    ordering is what makes prefix filtering lossless: two sets can
+    only reach a Jaccard threshold if their rarest-first PREFIXES
+    share a token.
+
+    Token identity is the portable seeded 60-bit hash of the token
+    string at the source (round-9, mirroring the containment shave,
+    SCALE.md): every downstream stage — the df aggregate, the prefix
+    bucket join, and above all the verify join that carries one token
+    ARRAY per candidate side through a shuffle — moves and compares
+    8-byte BIGINTs instead of variable-length strings. Hashing is
+    identity-preserving for the set algebra (a 60-bit collision
+    merging two tokens corpus-wide has p ≈ vocab²/2⁶¹, and the DuckDB
+    oracle replays the identical hash, so the differential gate is
+    collision-proof under any collision).
 
     One shuffle builds the doc×token stream, one vocabulary-sized df
     aggregate joins back on the token key (plain equi-join — the df
@@ -1117,11 +1129,14 @@ def setsim_token_arrays(
     sized bucket): that is exactly the shape AQE's skew-join split
     handles, and the skew never reaches the candidate join — prefix
     tokens are the LOW-df tail."""
+    tok_set = (
+        f"array_distinct(filter(split(lower({text_col}), '[^a-z]+'),"
+        " x -> x != ''))"
+    )
+    hashed = spark_hex15_to_bigint_sql("md5(concat(t, '#', '0'))")
     toks = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.filter(
-            F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
-        ))).alias("token"),
+        F.explode(F.expr(f"transform({tok_set}, t -> {hashed})")).alias("token"),
     )
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     return (

@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.catalog import table as _t
-from mapr_plugins_spark.functions.portable_hash import seeded_hash60_sql
+from mapr_plugins_spark.functions.portable_hash import (
+    hex15_to_bigint_sql,
+    seeded_hash60_sql,
+)
 from mapr_plugins_spark.operators.sampling import poisson_weight_sql
 from mapr_plugins_spark.operators import dedup as D
 from mapr_plugins_spark.operators import joins as J
@@ -5980,13 +5983,18 @@ def extension_oracles() -> dict[str, str]:
         "x_dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "x_dedup_containment": _containment_oracle(n=8, bottom_k=3, threshold=0.8),
         # brute force IS the oracle: prefix filtering is lossless, so
-        # the engine's blocked plan must reproduce every brute pair
-        "x_setsim_join": """
+        # the engine's blocked plan must reproduce every brute pair.
+        # Token identity = the portable 60-bit hash (round-9 BIGINT
+        # shuffle fix) — the oracle replays the identical hash, so the
+        # gate stays collision-proof under any collision.
+        "x_setsim_join": f"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_distinct(list_filter(
-                           string_split_regex(lower(text), '[^a-z]+'),
-                           t -> t <> '')) AS t
+                       list_transform(
+                           list_distinct(list_filter(
+                               string_split_regex(lower(text), '[^a-z]+'),
+                               t -> t <> '')),
+                           t -> {hex15_to_bigint_sql("md5(concat(t, '#', '0'))")}) AS t
                 FROM documents
             ),
             s AS (SELECT doc_id, t, len(t) AS m FROM toks WHERE len(t) > 0),

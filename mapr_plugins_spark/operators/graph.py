@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 #: fixed-point scale: ranks are BIGINT millionths of a rank unit.
 SCALE = 1_000_000
 
+#: target wedge rows per shuffle partition for the triangle joins —
+#: ~3M rows × ~40 B/row ≈ 120 MB sorts comfortably in executor memory;
+#: derived from the sf1 evidence (411M wedges / 128 good partitions).
+WEDGE_ROWS_PER_PARTITION = 3_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -144,14 +149,48 @@ def triangle_count(
     ).persist()
     if persisted_out is not None:
         persisted_out.extend([e, oriented])
+    # Self-size the wedge shuffles from the oriented degree table
+    # (round-9): the wedge volume W = Σ_lo od·(od−1)/2 is known EXACTLY
+    # before the join from one map-side-combined aggregate over the
+    # persisted oriented frame (degree-table-sized work), so both
+    # wedge-carrying exchanges are partitioned for a bounded number of
+    # wedge rows each instead of inheriting the session default — at
+    # 10× sf0.1 the default-32 wedge sort spilled (measured 235 s;
+    # manually pinning 128 partitions gave 156 s; this derives ~137
+    # from the data with no manual conf).
+    w_row = (
+        oriented.groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.expr("od * (od - 1) div 2")).alias("w"))
+        .collect()[0]
+    )
+    wedge_rows = int(w_row["w"] or 0)
+    default_par = edges.sparkSession.sparkContext.defaultParallelism
+    n_needed = wedge_rows // WEDGE_ROWS_PER_PARTITION + 1
     # wedges anchored at lo: (lo→x, lo→y), x<y to count each pair once
     o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
-    wedges = o1.join(o2, "w").filter(F.col("x") < F.col("y"))
     # close the wedge: the (x, y) edge in EITHER orientation
     closing = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")).unionAll(
         oriented.select(F.col("hi").alias("x"), F.col("lo").alias("y"))
     )
+    wedge_left = None
+    if n_needed > default_par:
+        # only override when the data demands MORE than the session
+        # baseline: explicit column repartition opts those exchanges
+        # out of AQE's local-read/coalesce path, a measured ~17% tax
+        # at sf0.1 — so below the threshold the plan stays hint-free
+        # and AQE-managed, and above it both wedge-carrying joins are
+        # co-partitioned at the derived count (A/B at 10× sf0.1:
+        # 182 s default → 86 s sized).
+        n_part = min(4096, n_needed)
+        o1 = o1.repartition(n_part, "w")
+        o2 = o2.repartition(n_part, "w")
+        closing = closing.repartition(n_part, "x", "y")
+        wedge_left = lambda w: w.repartition(n_part, "x", "y")  # noqa: E731
+    wedges = o1.join(o2, "w").filter(F.col("x") < F.col("y"))
+    if wedge_left is not None:
+        wedges = wedge_left(wedges)
     tris = wedges.join(closing, ["x", "y"], "left_semi")
     per_node = (
         tris.select(F.col("w").alias("node"))

@@ -35,7 +35,13 @@ from mapr_plugins_spark.functions.portable_hash import (
     with_seeded_hash60,
 )
 from mapr_plugins_spark.functions.vectors import cosine_similarity
-from mapr_plugins_spark.plans.partitioning import fan_out
+from mapr_plugins_spark.plans.partitioning import bounded_broadcast, fan_out
+
+#: Loud bound on the hinted candidate-id broadcast (round-9 verdict
+#: #8): the semi-join filter assumes blocking produced a corpus-small
+#: candidate set; a blocking failure past ~10M ids (≈ hundreds of MB
+#: broadcast) raises a named error instead of OOMing every executor.
+CANDIDATE_BROADCAST_BOUND = 10_000_000
 
 # ---------------------------------------------------------------------------
 # exact
@@ -212,10 +218,19 @@ def _candidate_docs(docs: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
     buckets), so it is BROADCAST into a semi-join that filters the
     corpus BEFORE any shingling/explode — verify-phase work is
     proportional to the candidate set, not the corpus, and full-corpus
-    sizes (not broadcastable at scale) are never built."""
+    sizes (not broadcastable at scale) are never built. The hint is
+    size-guarded (round-9 verdict #8): a blocking failure that makes
+    the candidate set corpus-scale raises a named error at
+    ``CANDIDATE_BROADCAST_BOUND`` instead of OOMing executors."""
     cand_ids = cand.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     return docs.join(
-        F.broadcast(cand_ids.withColumnRenamed("doc_id", id_col)), id_col, "left_semi"
+        bounded_broadcast(
+            cand_ids.withColumnRenamed("doc_id", id_col),
+            CANDIDATE_BROADCAST_BOUND,
+            "near-dup candidate ids",
+        ),
+        id_col,
+        "left_semi",
     )
 
 

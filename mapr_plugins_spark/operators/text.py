@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapr_plugins_spark.functions.portable_hash import with_seeded_hash60
-from mapr_plugins_spark.plans.partitioning import fan_out
+from mapr_plugins_spark.plans.partitioning import bounded_broadcast, fan_out
 
 #: Tiny per-language stopword lists (engine-agnostic constants). The
 #: language-ID heuristic scores a document by the fraction of its tokens
@@ -32,6 +32,16 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 #: Token definition shared with the oracles: lowercase, split on any
 #: non-letter run, drop empties.
 TOKEN_SPLIT_RE = "[^a-z]+"
+
+#: Loud bounds for the hinted broadcasts whose side is NOT structurally
+#: bounded (round-9 verdict #8): an eval/benchmark gram set and a
+#: vocabulary both grow with their inputs, and a silently corpus-scale
+#: hinted broadcast OOMs every executor — past these bounds the plan
+#: raises a named error instead (see plans.partitioning.bounded_broadcast).
+#: ~5M 8-to-40-byte rows ≈ low hundreds of MB broadcast, the practical
+#: executor ceiling.
+EVAL_GRAM_BROADCAST_BOUND = 5_000_000
+VOCAB_BROADCAST_BOUND = 5_000_000
 
 
 def tokens_col(text: Column | str = "text") -> Column:
@@ -267,7 +277,10 @@ def decontaminate(
 
     Scale shape: the eval side collapses to a distinct-gram set that is
     tiny relative to the corpus and is broadcast — the training side
-    stays a single explode + broadcast-hash semi pass, no big shuffle."""
+    stays a single explode + broadcast-hash semi pass, no big shuffle.
+    The hint carries a loud size guard (``EVAL_GRAM_BROADCAST_BOUND``):
+    an eval set that silently grew to corpus scale raises a named error
+    instead of OOMing every executor (round-9 verdict #8)."""
     tg = train.select(
         F.col(id_col), F.explode(word_ngrams_col(tokens_col(text_col), n)).alias("gram")
     )
@@ -276,7 +289,7 @@ def decontaminate(
         .distinct()
     )
     return (
-        tg.join(F.broadcast(eg), "gram")
+        tg.join(bounded_broadcast(eg, EVAL_GRAM_BROADCAST_BOUND, "eval n-grams"), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -307,11 +320,15 @@ def encode_tokens(
     """Encode each document to its vocabulary-id sequence (OOV → -1),
     preserving token order. posexplode → broadcast vocab join → re-
     assemble sorted by position: one shuffle (the groupBy), vocab stays
-    broadcast."""
+    broadcast (size-guarded: a vocabulary past
+    ``VOCAB_BROADCAST_BOUND`` raises a named error — de-hint to a
+    shuffle join for open vocabularies)."""
     tp = df.select(
         F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "token")
     )
-    enc = tp.join(F.broadcast(vocab), "token", "left").select(
+    enc = tp.join(
+        bounded_broadcast(vocab, VOCAB_BROADCAST_BOUND, "vocabulary"), "token", "left"
+    ).select(
         id_col, "pos", F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid")
     )
     return enc.groupBy(id_col).agg(
@@ -328,7 +345,10 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     bit-identical across engines — libm log() is not).
 
     One shuffle builds (doc, token) counts; document frequencies and the
-    corpus size are metadata-sized aggregates that broadcast back."""
+    corpus size are metadata-sized aggregates that broadcast back (the
+    df side grows with the corpus VOCABULARY — its hint is size-guarded
+    at ``VOCAB_BROADCAST_BOUND``; past that, de-hint: the join key is
+    already co-partitioned with the counts shuffle)."""
     tok_counts = (
         df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
         .groupBy(id_col, "token")
@@ -339,7 +359,7 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tok_counts.join(doc_len, id_col)
-        .join(F.broadcast(df_counts), "token")
+        .join(bounded_broadcast(df_counts, VOCAB_BROADCAST_BOUND, "document frequencies"), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,

@@ -53,6 +53,42 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def bounded_broadcast(df: DataFrame, max_rows: int, what: str) -> DataFrame:
+    """``F.broadcast`` with a LOUD in-plan size guard (round-9 verdict
+    #8, the JL norm-guard pattern): a hinted broadcast side that has
+    silently grown past its design bound must become a NAMED error,
+    not an executor OOM after the plan ships corpus-scale bytes to
+    every node.
+
+    The guard folds into a RETAINED column — the first column is
+    rewrapped as ``when(n ≤ max_rows, col).otherwise(raise_error)``
+    with ``n`` a global count window — so column pruning can never
+    optimize it away (the in-plan-guard lesson from the IVF recall
+    floors). The single-partition window pass runs on the (small)
+    broadcast side only, BEFORE the exchange that would ship it.
+    """
+    from pyspark.sql import Window
+
+    first = df.columns[0]
+    dtype = dict(df.dtypes)[first]
+    # partitionBy(lit) not the empty spec: identical single-partition
+    # semantics without WindowExec's no-partition warning per batch
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(0)))
+    msg = F.concat(
+        F.lit(f"broadcast side '{what}' has "),
+        n.cast("string"),
+        F.lit(f" rows, over its documented bound of {max_rows} — refusing to "
+              "broadcast a corpus-scale side (de-hint the join or raise the bound)"),
+    )
+    guarded = df.withColumn(
+        first,
+        F.when(n <= F.lit(max_rows), F.col(first)).otherwise(
+            F.raise_error(msg).cast(dtype)
+        ),
+    )
+    return F.broadcast(guarded)
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

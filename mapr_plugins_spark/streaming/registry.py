@@ -25,6 +25,12 @@ from mapr_plugins_spark.streaming.replay import (
 
 _US_5MIN = 300_000_000
 
+#: Loud bound on hinted stream-static dimension broadcasts (round-9
+#: verdict #8): the broadcast re-ships per micro-batch, so a dimension
+#: past ~10M rows must raise a named error, not OOM executors batch
+#: after batch.
+DIM_BROADCAST_BOUND = 10_000_000
+
 
 def s01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window count by event_type, with watermark."""
@@ -81,10 +87,20 @@ def s04_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s05_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream ⋈ static dimension (customer) + windowless aggregation."""
+    """Stream ⋈ static dimension (customer) + windowless aggregation.
+    The dimension hint is size-guarded (round-9 verdict #8): a
+    dimension that outgrows ``DIM_BROADCAST_BOUND`` raises a named
+    error instead of re-shipping a corpus-scale side every
+    micro-batch."""
+    from mapr_plugins_spark.plans.partitioning import bounded_broadcast
+
     ev = events_stream(spark, sf_dir)
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    cust = bounded_broadcast(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        DIM_BROADCAST_BOUND,
+        "customer dimension",
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
     out = run_available_now(agg, "complete")
     return out

@@ -227,6 +227,42 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     assert A.has_broadcast_join(df), A.plan_str(df)
 
 
+def test_hinted_broadcasts_raise_loudly_past_bound(spark, sf_dir, monkeypatch):
+    """Round-9 verdict #8: every hinted broadcast whose side is not
+    structurally bounded carries an in-plan size guard — with the bound
+    forced to 1, each site must raise the NAMED error, never ship the
+    side. With real bounds the same plans run clean (covered by the
+    driver-protocol keys)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators import dedup as ded
+    from mapr_plugins_spark.operators import text as tx
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+
+    monkeypatch.setattr(tx, "EVAL_GRAM_BROADCAST_BOUND", 1)
+    with _pytest.raises(Exception, match="eval n-grams"):
+        tx.decontaminate(docs, docs.limit(10)).collect()
+
+    monkeypatch.setattr(tx, "VOCAB_BROADCAST_BOUND", 1)
+    with _pytest.raises(Exception, match="vocabulary"):
+        tx.encode_tokens(docs, tx.build_vocab(docs, size=20)).collect()
+    with _pytest.raises(Exception, match="document frequencies"):
+        tx.tfidf(docs).collect()
+
+    monkeypatch.setattr(ded, "CANDIDATE_BROADCAST_BOUND", 1)
+    with _pytest.raises(Exception, match="candidate ids"):
+        ded.verified_near_dup_pairs(docs).collect()
+
+    from mapr_plugins_spark.streaming import registry as sreg
+
+    monkeypatch.setattr(sreg, "DIM_BROADCAST_BOUND", 1)
+    with _pytest.raises(Exception, match="customer dimension"):
+        sreg.s05_stream_static_join(spark, sf_dir).collect()
+
+
 def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
     """Token→id lookup joins against a broadcast vocabulary; the
     exploded corpus side stays un-shuffled until the re-assembly agg."""

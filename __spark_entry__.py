@@ -42,23 +42,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-8 rotation pool (keys with no driver row through round 7 —
+#: Round-10 rotation pool (keys with no driver row through round 9 —
 #: rotate ~20 per round, all full-value-oracled except the noted
 #: rows-only keys which stay outside the window):
-#:   q23 q25 q29 q53 q54 q55 q58 q61 q65 q67 q71(warc) q72(jsonl)
-#:   x_heavy_hitters x_topk_per_group x_mm_sniff x_mm_wav_header x_mm_frames
-#:   x_mm_resize x_mm_features x_mm_features_arrow
-#:   x_dedup_incremental x_dedup_incremental_indexed x_dedup_simhash
-#:   x_dedup_embcos x_dedup_canonical x_lm_score x_retrieval_metrics
+#:   q23 q25 q29 q53 q54 q58 q61 q67 q71(warc)
+#:   x_heavy_hitters x_mm_sniff
+#:   x_dedup_incremental x_dedup_simhash
+#:   x_dedup_canonical x_lm_score
 #:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
 #:   x_ann_ivfpq_topk x_ann_pq_rerank x_ann_lsh_topk x_ann_lsh_indexed
-#:   x_ann_jl_rerank x_embed_jl_project x_embed_normalize
-#:   x_embed_quantize x_mmr_rerank x_hard_negatives x_decontaminate
-#:   x_domain_mix x_funnel x_hash_sample x_inverted_index
-#:   x_ref_integrity x_salted_join x_sketch_quantile
-#:   x_sketch_hll_portable x_sketch_hll_setops x_stratified_sample
-#:   x_weighted_sample x_weighted_median x_text_diversity
-#:   x_text_fingerprint x_text_quality x_text_repetition
+#:   x_ann_jl_rerank x_embed_jl_project
+#:   x_mmr_rerank x_hard_negatives
+#:   x_funnel x_hash_sample x_inverted_index
+#:   x_salted_join x_sketch_quantile
+#:   x_sketch_hll_portable x_sketch_hll_setops
+#:   x_weighted_median
+#:   x_text_quality x_text_repetition
 #:   x_vocab_encode x_bloom_semi_join x_zorder_key x_skipping_stats
 #:   x_sorted_neighborhood x_holt_trend x_assoc_rules x_attribution
 #:   x_delete_propagate x_mojibake_detect x_zscore_anomaly
@@ -84,8 +83,11 @@ PRIORITY: tuple[str, ...] = (
     "x_asof_join", "x_merge_upsert",
     # format parse + document sink round-trip (reference A4/A5/A6/A6⁻¹)
     "q26_clf_parse", "x_doc_sink_roundtrip",
-    # dedup family
-    "q22_exact_dedup", "x_dedup_minhash_pairs", "x_minhash_clusters",
+    # dedup family (round-9: x_dedup_embcos takes the cluster-collapse
+    # slot for one round — its blocking changed this round (centroid-
+    # cell sub-blocking) and the changed values deserve a driver row;
+    # x_minhash_clusters has r1–r8 rows and returns next round)
+    "q22_exact_dedup", "x_dedup_minhash_pairs", "x_dedup_embcos",
     # similarity search (x_ann_ivf_topk: index-backed exhaustive probe,
     # full cosine oracle — replaces the round-2 rows-only slot)
     "q24_ann_topk", "x_ann_ivf_topk",
@@ -98,23 +100,20 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (20, round 7: never-driver-graded keys, per
-    # the round-6 verdict's priority list — the round-6 closing wave
-    # first (all judge-re-verified green under the driver's own
-    # protocol in the round-6 session), then the oldest
-    # judge-verified tail.) ---
-    # round-6 closing wave (judge-verified 24/24 in round 6)
-    "x_kmeans_lloyd", "x_setsim_join", "x_rollup_apply_pruned",
-    "x_golden_record", "x_bootstrap_ci", "x_holt_winters",
-    "x_classifier_auc", "x_ab_ttest", "x_psi_drift",
-    "x_blocking_recall", "s21_stream_holt", "s23_stream_markov",
-    "s24_stream_psi",
-    # oldest never-graded tail (judge-verified green in round 6)
-    "q56_variant_json", "q68_string_agg", "q70_histogram",
-    "x_semantic_dedup", "x_cdc_chunk_dedup", "x_pagerank",
-    # round-7 debut: hostile-csv corrupt-record accounting (round-6
-    # verdict #6) — the one new-key slot this round, graded on arrival.
-    "q74_csv_corrupt",
+    # --- rotation slots (20, round 9: never-driver-graded keys per
+    # the round-8 verdict #4 — the 17 keys the round-8 judge re-graded
+    # green under the driver's own protocol, plus 3 more from the pool
+    # (incremental-indexed dedup, retrieval metrics, decontamination);
+    # ALL 264 registry keys passed a full driver_sim replication at
+    # sf0.01 in this round's session before this rotation.) ---
+    "q55_inline_structs", "q65_trig_funcs", "q72_jsonl_parse",
+    "x_domain_mix", "x_embed_normalize", "x_embed_quantize",
+    "x_mm_features", "x_mm_features_arrow", "x_mm_frames",
+    "x_mm_resize", "x_mm_wav_header", "x_ref_integrity",
+    "x_stratified_sample", "x_text_diversity", "x_text_fingerprint",
+    "x_topk_per_group", "x_weighted_sample",
+    "x_dedup_incremental_indexed", "x_retrieval_metrics",
+    "x_decontaminate",
 )
 
 

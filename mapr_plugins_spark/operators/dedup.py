@@ -170,9 +170,13 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
     ``bands`` feeds both sides of the self-join, so it is persisted:
     one signature pass over the corpus instead of two (signatures are
-    n_bands rows/doc — a sliver of the corpus)."""
+    n_bands rows/doc — a sliver of the corpus). Merge hint: the band
+    stream is corpus-proportional, and the planner's estimate of a
+    computed/persisted frame cannot be trusted to keep it out of a
+    hash build (round-9 auto-broadcast finding on the containment
+    path)."""
     bands = bands.persist()
-    a = bands.alias("a")
+    a = bands.alias("a").hint("merge")
     b = bands.alias("b")
     return (
         a.join(
@@ -243,9 +247,14 @@ def _jaccard_verify(garr: DataFrame, cand: DataFrame, threshold: float) -> DataF
     intersection is a codegen'd ``array_intersect``/``array_union`` —
     no aggregation stage at all. ``garr`` feeds both sides of the pair
     join, so it is persisted (it only covers candidate docs — the tiny
-    intermediate one would materialize at 100 TB anyway)."""
+    intermediate one would materialize at 100 TB anyway). Merge hints
+    on both array sides (round-9): computed-array widths defeat the
+    planner's size estimate, and an auto-broadcast of an array frame
+    that turned out candidate- or corpus-sized OOMs the driver — the
+    shuffle-sort strategy is the scale posture at every size."""
     garr = garr.persist()
-    ga, gb = garr.alias("ga"), garr.alias("gb")
+    ga = garr.alias("ga").hint("merge")
+    gb = garr.alias("gb").hint("merge")
     inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
     union = F.size(F.array_union(F.col("ga.g"), F.col("gb.g")))
     return (
@@ -284,7 +293,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.expr(f"right({text_col}, {block_chars})").alias("bkey"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    # merge hint: corpus-sized self-join sides never hash-build
+    a, b = blocks.alias("a").hint("merge"), blocks.alias("b")
     cand = (
         a.join(
             b,
@@ -347,7 +357,7 @@ def rarest_gram_candidates(garr: DataFrame, bottom_k: int = 3) -> DataFrame:
     measured, not modeled. Output: distinct ``(id_a, id_b)``,
     id_a < id_b."""
     stream = garr.select(F.col("doc_id").alias("sid"), F.explode("g").alias("sg"))
-    dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
+    dfreq = stream.groupBy("sg").agg(F.count(F.lit(1)).alias("__df")).hint("merge")
     # Bottom-k per doc as ONE hash aggregate (array_sort over the
     # collected (df, gram) structs, then slice) instead of a
     # row_number window: same selection — (df, gram) is a total order
@@ -367,15 +377,20 @@ def rarest_gram_candidates(garr: DataFrame, bottom_k: int = 3) -> DataFrame:
             F.explode(F.expr("transform(__bk, x -> x.sg)")).alias("pg"),
         )
     )
-    # NO broadcast hint on the probe side: probes is bottom_k rows PER
-    # DOCUMENT, i.e. corpus-proportional — at 10⁹ docs a forced
-    # broadcast is a guaranteed executor OOM (round-5 verdict finding
-    # #2). A plain equi-join on the gram key lets both sides
-    # shuffle-partition by gram (and AQE pick broadcast itself when the
-    # probe side really is small); the df aggregate already computed
-    # makes skewed grams visible for salting if ever needed.
+    # NO broadcast on the probe side: probes is bottom_k rows PER
+    # DOCUMENT, i.e. corpus-proportional — at 10⁹ docs a broadcast is a
+    # guaranteed executor OOM (round-5 verdict finding #2). Round-9
+    # hardening: a missing hint is NOT enough — the static planner
+    # underestimates computed-array/exploded frames (fixed per-element
+    # width guesses) and was observed AUTO-broadcasting this
+    # corpus-sized stream at 10× sf0.1, OOMing an 8g driver
+    # nondeterministically. Both corpus-proportional joins in this
+    # operator therefore carry an explicit merge hint: shuffle-sort
+    # strategy at every scale, skew still handled by AQE's SMJ skew
+    # split, and a wrong size estimate can no longer pick a
+    # corpus-sized hash build.
     return (
-        probes.join(
+        probes.hint("merge").join(
             stream, (F.col("pg") == F.col("sg")) & (F.col("pid") != F.col("sid"))
         )
         .select(
@@ -430,7 +445,13 @@ def ngram_containment_pairs(
     if persisted_out is not None:
         persisted_out.append(garr)
     cand = rarest_gram_candidates(garr, bottom_k)
-    ga, gb = garr.alias("ga"), garr.alias("gb")
+    # merge hints: the gram-array frame is CORPUS-sized and its
+    # computed-array width defeats the planner's size estimate — left
+    # unhinted the static plan auto-broadcast both verify sides at 10×
+    # sf0.1 and OOM'd the driver (round-9 finding; the round-6
+    # de-broadcast intent, now enforced as a plan pin).
+    ga = garr.alias("ga").hint("merge")
+    gb = garr.alias("gb").hint("merge")
     inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
     mins = F.least(F.size(F.col("ga.g")), F.size(F.col("gb.g")))
     return (
@@ -1010,7 +1031,8 @@ def cdc_chunk_dedup_pairs(
     Jaccard."""
     garr = cdc_chunk_arrays(docs, id_col, text_col, window=window, mod=mod).persist()
     cg = garr.select("doc_id", F.explode("g").alias("ch"))
-    a, b = cg.alias("a"), cg.alias("b")
+    # merge hint: corpus-sized self-join sides never hash-build
+    a, b = cg.alias("a").hint("merge"), cg.alias("b")
     cand = (
         a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
@@ -1153,7 +1175,9 @@ def setsim_token_arrays(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(f"transform({tok_set}, t -> {hashed})")).alias("token"),
     )
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    # merge hint: the planner's width guess underestimates the exploded
+    # corpus stream and was observed hash-building it (round-9 finding)
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df")).hint("merge")
     return (
         toks.join(dfreq, "token")
         .groupBy("doc_id")
@@ -1209,7 +1233,8 @@ def setsim_join_pairs(
     pref = arr.select(
         "doc_id", "m", F.explode(F.slice(F.col("t"), F.lit(1), p)).alias("token")
     )
-    a, b = pref.alias("pa"), pref.alias("pb")
+    # merge hint: corpus-sized self-join sides never hash-build
+    a, b = pref.alias("pa").hint("merge"), pref.alias("pb")
     cand = (
         a.join(
             b,
@@ -1225,10 +1250,13 @@ def setsim_join_pairs(
         )
         .distinct()
     )
+    # merge hints: corpus-sized token-array sides must never become a
+    # hash build off an (underestimated) computed-array width — the
+    # round-9 auto-broadcast finding on the containment twin
     ga = arr.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"),
-                    F.col("m").alias("ma"))
+                    F.col("m").alias("ma")).hint("merge")
     gb = arr.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"),
-                    F.col("m").alias("mb"))
+                    F.col("m").alias("mb")).hint("merge")
     inter = F.size(F.array_intersect("ta", "tb"))
     verified = (
         cand.join(ga, "id_a")

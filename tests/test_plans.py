@@ -227,6 +227,28 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     assert A.has_broadcast_join(df), A.plan_str(df)
 
 
+def test_dedup_array_joins_never_broadcast(spark, sf_dir):
+    """Round-9 finding: the planner's fixed per-element width guess
+    underestimates computed-array/exploded frames, and the static plan
+    AUTO-broadcast the corpus-sized gram stream and both verify sides
+    of the containment join at 10× sf0.1 — a nondeterministic 8 GB
+    driver OOM. Pin: zero broadcast joins anywhere in the containment,
+    cdc-chunk, and setsim plans (merge hints force the shuffle-sort
+    strategy at every scale); the minhash pair plan's only broadcast
+    is the size-guarded candidate-id semi-join filter."""
+    from mapr_plugins_spark.operators.registry import (
+        x_cdc_chunk_dedup,
+        x_dedup_containment,
+        x_setsim_join,
+    )
+
+    spark.catalog.clearCache()  # a cached subtree would splice stale plans
+    for q in (x_dedup_containment, x_cdc_chunk_dedup, x_setsim_join):
+        df = q(spark, sf_dir)
+        assert not A.has_broadcast_join(df), (q.__name__, A.plan_str(df))
+    spark.catalog.clearCache()
+
+
 def test_hinted_broadcasts_raise_loudly_past_bound(spark, sf_dir, monkeypatch):
     """Round-9 verdict #8: every hinted broadcast whose side is not
     structurally bounded carries an in-plan size guard — with the bound

@@ -1177,7 +1177,7 @@ def setsim_token_arrays(
     )
     # merge hint: the planner's width guess underestimates the exploded
     # corpus stream and was observed hash-building it (round-9 finding)
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df")).hint("merge")
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df")).hint("shuffle_hash")
     return (
         toks.join(dfreq, "token")
         .groupBy("doc_id")
@@ -1233,8 +1233,14 @@ def setsim_join_pairs(
     pref = arr.select(
         "doc_id", "m", F.explode(F.slice(F.col("t"), F.lit(1), p)).alias("token")
     )
-    # merge hint: corpus-sized self-join sides never hash-build
-    a, b = pref.alias("pa").hint("merge"), pref.alias("pb")
+    # NO hint on the prefix self-join: the prefix stream is docs ×
+    # O((1−tau)·m) rows of three scalar columns — tiny constant per doc
+    # — and a broadcast of one side is the measured-fastest plan (a
+    # forced shuffle join was 4.5× slower at sf1: hot prefix tokens
+    # skew the shuffled pair explosion into few partitions). The
+    # underestimate hazard class (wide computed arrays, corpus-sized
+    # explodes) does not apply to this narrow bounded stream.
+    a, b = pref.alias("pa"), pref.alias("pb")
     cand = (
         a.join(
             b,
@@ -1254,9 +1260,9 @@ def setsim_join_pairs(
     # hash build off an (underestimated) computed-array width — the
     # round-9 auto-broadcast finding on the containment twin
     ga = arr.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"),
-                    F.col("m").alias("ma")).hint("merge")
+                    F.col("m").alias("ma")).hint("shuffle_hash")
     gb = arr.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"),
-                    F.col("m").alias("mb")).hint("merge")
+                    F.col("m").alias("mb")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("ta", "tb"))
     verified = (
         cand.join(ga, "id_a")

@@ -232,10 +232,13 @@ def test_dedup_array_joins_never_broadcast(spark, sf_dir):
     underestimates computed-array/exploded frames, and the static plan
     AUTO-broadcast the corpus-sized gram stream and both verify sides
     of the containment join at 10× sf0.1 — a nondeterministic 8 GB
-    driver OOM. Pin: zero broadcast joins anywhere in the containment,
-    cdc-chunk, and setsim plans (merge hints force the shuffle-sort
-    strategy at every scale); the minhash pair plan's only broadcast
-    is the size-guarded candidate-id semi-join filter."""
+    driver OOM. Pin: zero broadcast joins anywhere in the containment
+    and cdc-chunk plans; in the setsim plan the ARRAY-carrying verify
+    joins (keyed on id_a/id_b) must not broadcast — its one legitimate
+    broadcast is the narrow docs×O((1−tau)m) prefix stream, whose
+    estimate is not in the hazard class."""
+    import re
+
     from mapr_plugins_spark.operators.registry import (
         x_cdc_chunk_dedup,
         x_dedup_containment,
@@ -243,9 +246,11 @@ def test_dedup_array_joins_never_broadcast(spark, sf_dir):
     )
 
     spark.catalog.clearCache()  # a cached subtree would splice stale plans
-    for q in (x_dedup_containment, x_cdc_chunk_dedup, x_setsim_join):
+    for q in (x_dedup_containment, x_cdc_chunk_dedup):
         df = q(spark, sf_dir)
         assert not A.has_broadcast_join(df), (q.__name__, A.plan_str(df))
+    p = A.plan_str(x_setsim_join(spark, sf_dir), mode="simple")
+    assert not re.search(r"BroadcastHashJoin \[id_[ab]", p), p
     spark.catalog.clearCache()
 
 

@@ -170,13 +170,13 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
     ``bands`` feeds both sides of the self-join, so it is persisted:
     one signature pass over the corpus instead of two (signatures are
-    n_bands rows/doc — a sliver of the corpus). Merge hint: the band
-    stream is corpus-proportional, and the planner's estimate of a
-    computed/persisted frame cannot be trusted to keep it out of a
-    hash build (round-9 auto-broadcast finding on the containment
-    path)."""
+    n_bands rows/doc — a sliver of the corpus). No join hint: the band
+    frame is three scalar columns, outside the round-9 underestimate
+    hazard class (wide computed arrays / corpus explodes), and a
+    forced shuffle strategy measured 1.5× slower at sf0.1 than the
+    planner's own choice."""
     bands = bands.persist()
-    a = bands.alias("a").hint("merge")
+    a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
@@ -253,8 +253,8 @@ def _jaccard_verify(garr: DataFrame, cand: DataFrame, threshold: float) -> DataF
     that turned out candidate- or corpus-sized OOMs the driver — the
     shuffle-sort strategy is the scale posture at every size."""
     garr = garr.persist()
-    ga = garr.alias("ga").hint("merge")
-    gb = garr.alias("gb").hint("merge")
+    ga = garr.alias("ga").hint("shuffle_hash")
+    gb = garr.alias("gb").hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
     union = F.size(F.array_union(F.col("ga.g"), F.col("gb.g")))
     return (
@@ -293,8 +293,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.expr(f"right({text_col}, {block_chars})").alias("bkey"),
     )
-    # merge hint: corpus-sized self-join sides never hash-build
-    a, b = blocks.alias("a").hint("merge"), blocks.alias("b")
+    # no hint: (doc_id, 16-char bkey) is narrow — outside the round-9
+    # underestimate hazard class; the planner's choice measured faster
+    a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
             b,

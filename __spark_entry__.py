@@ -94,8 +94,11 @@ PRIORITY: tuple[str, ...] = (
     # text analysis / retrieval scoring / curation
     "x_text_tokens", "x_tfidf", "x_text_pii_redact", "x_doc_chunk",
     "x_pack_sequences",
-    # sampling / sketches / analytics
-    "x_split_assign", "x_sketch_cms", "x_ewma", "x_interval_merge",
+    # sampling / sketches / analytics (round-9: x_semantic_dedup takes
+    # the EWMA slot for one round — its cluster rule changed this round
+    # (count-scaled cells) and the changed values deserve a driver row;
+    # x_ewma has r1–r8 rows plus the graded streaming twin s21)
+    "x_split_assign", "x_sketch_cms", "x_semantic_dedup", "x_interval_merge",
     # multimodal plumbing
     "x_mm_meta",
     # streaming

@@ -246,11 +246,12 @@ def _jaccard_verify(garr: DataFrame, cand: DataFrame, threshold: float) -> DataF
     intersection is a codegen'd ``array_intersect``/``array_union`` —
     no aggregation stage at all. ``garr`` feeds both sides of the pair
     join, so it is persisted (it only covers candidate docs — the tiny
-    intermediate one would materialize at 100 TB anyway). Merge hints
-    on both array sides (round-9): computed-array widths defeat the
-    planner's size estimate, and an auto-broadcast of an array frame
-    that turned out candidate- or corpus-sized OOMs the driver — the
-    shuffle-sort strategy is the scale posture at every size."""
+    intermediate one would materialize at 100 TB anyway). shuffle_hash
+    hints on both array sides (round-9): computed-array widths defeat
+    the planner's size estimate, and an auto-broadcast of an array
+    frame that turned out candidate- or corpus-sized OOMs the driver —
+    a shuffled per-partition hash build is the scale posture at every
+    size, and unlike sort-merge it never sorts the wide array rows."""
     garr = garr.persist()
     ga = garr.alias("ga").hint("shuffle_hash")
     gb = garr.alias("gb").hint("shuffle_hash")

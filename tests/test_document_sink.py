@@ -352,6 +352,77 @@ def test_maprdoc_sequential_public_overwrites_replace_generations(
     assert spark.read.parquet(out).count() == 5  # gen1 fully replaced
 
 
+def test_maprdoc_threaded_overwrite_race_yields_one_complete_generation(tmp_path):
+    """TRUE concurrent race through the DataSource's public entry
+    (round-9): two threads each open ``MapRDocDataSource.writer(...,
+    overwrite=True)`` — the exact method Spark's save() path calls,
+    and the site of the fixed pre-fence rmtree — then stage and commit
+    simultaneously, repeatedly. (Spark's Python-datasource NAME
+    resolution itself is not thread-safe for concurrent save() calls
+    [DATA_SOURCE_NOT_FOUND], so the race is driven one layer below
+    the format-string lookup — the full commit protocol still runs
+    concurrently.) Invariant after every round: the table is EXACTLY
+    one writer's complete row set (never an interleaving),
+    ``_SUCCESS`` holds the winner's epoch, no ``_staging-*`` residue,
+    fence released. Losers must raise the documented loser
+    abort/fenced-out errors only."""
+    import os
+    import threading
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from mapr_plugins_spark.sources.pyds import MapRDocDataSource
+
+    schema = StructType(
+        [StructField("_id", StringType()), StructField("doc", StringType())]
+    )
+    out = str(tmp_path / "racetable")
+    os.makedirs(out)
+    rows1 = [(f"k{i}", '{"w": 1}') for i in range(3)]
+    rows2 = [(f"k{i}", '{"w": 2}') for i in range(7)]
+
+    class _Opts(dict):
+        def get(self, k, default=None):  # DataSource options duck-type
+            return super().get(k, default)
+
+    for _ in range(6):
+        errors: list[Exception] = []
+        barrier = threading.Barrier(2)
+
+        def run(rows):
+            try:
+                ds = MapRDocDataSource(_Opts(path=out))
+                w = ds.writer(schema, overwrite=True)  # public entry
+                msgs = [w.write(iter([Row(_id=i, doc=d) for i, d in rows]))]
+                barrier.wait(timeout=10)  # maximize commit overlap
+                w.commit(msgs)
+            except Exception as ex:
+                errors.append(ex)
+
+        t1 = threading.Thread(target=run, args=(rows1,))
+        t2 = threading.Thread(target=run, args=(rows2,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+
+        for ex in errors:
+            assert "loser abort" in str(ex) or "fenced out" in str(ex), ex
+        assert len(errors) <= 1, errors  # at least one writer published
+        residue = [f for f in os.listdir(out) if f.startswith("_staging-")]
+        assert not residue, residue
+        assert not os.path.exists(os.path.join(out, "_fence"))
+        parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        got = {
+            (r["_id"], r["doc"])
+            for f in parts
+            for r in pq.read_table(os.path.join(out, f)).to_pylist()
+        }
+        assert got == set(rows1) or got == set(rows2), (
+            f"interleaved generation: {len(got)} rows, "
+            f"{len(got & set(rows1))} from w1, {len(got & set(rows2))} from w2"
+        )
+
+
 def test_maprdoc_commit_fenced_out_while_peer_publishing(tmp_path):
     """A committer that finds the atomic _fence held (a peer is
     mid-publish) must abort without touching anything but its own

@@ -449,3 +449,36 @@ def test_weighted_median_definition_property(spark, rows):
             if 2 * cum >= tot:
                 assert got[g] == v, g
                 break
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(10**7), max_value=10**7), min_size=4, max_size=4),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_centroid_cell_kernel_matches_brute_argmin(vecs, k):
+    """The round-9 Arrow argmin kernel (|c|² − 2q·c int64 matmul,
+    np.argmin) must equal a brute Python Σ(q−c)² argmin with
+    lowest-index tie-break for ANY int vectors — pins the |q|²-shift
+    identity, overflow headroom, and the tie convention the DuckDB
+    oracles replay (d2 ASC, cl ASC)."""
+    import numpy as np
+    import pandas as pd
+
+    k = min(k, len(vecs))
+    cents = vecs[:k]
+    cmat = np.asarray(cents, dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+    qmat = np.array(vecs, dtype=np.int64)
+    scores = c2[None, :] - 2 * (qmat @ cmat.T)
+    got = list(np.argmin(scores, axis=1))
+    for q, cell in zip(vecs, got):
+        d2s = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in cents]
+        want = min(range(len(cents)), key=lambda i: (d2s[i], i))
+        assert cell == want, (q, d2s, cell, want)
+    # and the pandas path used by the UDF wrapper round-trips
+    assert list(pd.Series(np.argmin(scores, axis=1).astype("int64"))) == got

@@ -482,3 +482,28 @@ def test_centroid_cell_kernel_matches_brute_argmin(vecs, k):
         assert cell == want, (q, d2s, cell, want)
     # and the pandas path used by the UDF wrapper round-trips
     assert list(pd.Series(np.argmin(scores, axis=1).astype("int64"))) == got
+
+
+def test_gen_scale_constants_hold_fk_and_injectivity_invariants():
+    """Round-9 generator regression pins, constant-level (the generator
+    also self-verifies every run): FK-linked key families share one
+    shift unit (events.user_id ⊂ customer.c_custkey), and the text
+    rotation alphabet yields a distinct fixed-point-free permutation
+    for every copy index below its length."""
+    import importlib.util as iu
+    import os
+
+    spec = iu.spec_from_file_location(
+        "gen_scale",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "gen_scale.py"),
+    )
+    gs = iu.module_from_spec(spec)
+    spec.loader.exec_module(gs)
+
+    assert gs.KEY_UNITS["user_id"] == gs.KEY_UNITS["custkey"]
+    a = gs._ROT_ALPHABET
+    assert len(set(a)) == len(a)
+    rots = {gs._rot(a, i) for i in range(len(a))}
+    assert len(rots) == len(a)  # injective per copy index
+    for i in range(1, len(a)):
+        assert all(x != y for x, y in zip(a, gs._rot(a, i)))  # no fixed points

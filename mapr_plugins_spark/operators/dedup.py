@@ -825,6 +825,70 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 # embedding-cosine near-dup
 
 
+def _coarse_count(n_cells: int) -> int:
+    """Coarse-quantizer cardinality for the two-level cell routing:
+    ``ceil(sqrt(n_cells))``. IEEE double sqrt is correctly rounded, so
+    this is bit-identical to the oracle's
+    ``CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)`` for every
+    ``n_cells`` the :data:`_MAX_CENTROID_CELLS` guard admits (the
+    nearest half-ulp hazard sits ~1e-4 away at that magnitude)."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n_cells)))
+
+
+def _route_cells_int64(qmat, cmat):
+    """Reference two-level IVF routing kernel (int64, exact): route each
+    query row through the ``ceil(sqrt(k))`` COARSE centroids (= the
+    first coarse-count seed rows of ``cmat``), then argmin over only the
+    seed cells assigned to that coarse group — O(batch·√k·dim) FLOPs
+    instead of the flat O(batch·k·dim) (the round-9 quadratic-compute
+    debt; the inverted-file idea of Jégou et al. 2011 / FAISS, public).
+
+    Exactness and tie law: every comparison is the |c|² − 2q·c int64
+    shift of Σ(q−c)² (|q|² constant per row — ordering and ties
+    unchanged), np.argmin takes the FIRST minimum, and group member
+    lists are ascending — so ties break to the lowest coarse group and
+    then the lowest cell id, the (d2 ASC, cl ASC) convention the DuckDB
+    oracles replay level by level. A coarse group that wins a query
+    argmin is never empty: seed g is at distance 0 from coarse g, so
+    group g contains seed g unless coarse g duplicates an earlier
+    coarse vector — and a duplicate can never win a first-min argmin.
+
+    This module-level copy exists for tests and driver-side callers;
+    the pandas UDF inlines the same arithmetic (closures must pickle by
+    VALUE — workers may not have the package on sys.path) and
+    ``test_centroid_cell_udf_matches_reference_kernel`` pins the two
+    paths equal on real data."""
+    import numpy as np
+
+    n_cells = int(cmat.shape[0])
+    coarse = cmat[: _coarse_count(n_cells)]
+    co2 = (coarse * coarse).sum(axis=1)
+    c2 = (cmat * cmat).sum(axis=1)
+    sg = np.argmin(co2[None, :] - 2 * (cmat @ coarse.T), axis=1)
+    vg = np.argmin(co2[None, :] - 2 * (qmat @ coarse.T), axis=1)
+    out = np.empty(qmat.shape[0], dtype=np.int64)
+    for g in np.unique(vg):
+        members = np.nonzero(sg == g)[0]
+        assert members.size, f"routed to empty coarse group {g}"
+        rows = np.nonzero(vg == g)[0]
+        sub = c2[members][None, :] - 2 * (qmat[rows] @ cmat[members].T)
+        out[rows] = members[np.argmin(sub, axis=1)]
+    return out
+
+
+#: Loud ceiling on the seed-centroid collect: the seed table rides in
+#: the pandas-UDF closure (NOT "bounded" in corpus terms — it is
+#: count//occupancy rows), so past this point the collect itself is the
+#: scale hazard (2**17 cells × 64 int64 ≈ 64 MiB of task closure; at
+#: 1e9 vectors the uncapped rule would ship ~4 GB per task). Callers
+#: above the cap must raise ``cell_occupancy`` or pass pre-trained
+#: ``fixed_cells`` centroids — failing loudly beats silently OOMing
+#: every executor (the bounded_broadcast standard).
+_MAX_CENTROID_CELLS = 1 << 17
+
+
 def _centroid_cell_udf(
     emb: DataFrame,
     id_col: str,
@@ -835,25 +899,31 @@ def _centroid_cell_udf(
 ):
     """Shared nearest-seed-centroid cell assignment: returns
     ``(quant_expr, cell_udf)`` where ``cell_udf(quantized_vec) ->
-    cell`` is the exact-integer micro-unit squared-L2 argmin over the
-    ``n_cells`` lowest-id seed vectors (ties → lowest cell),
+    cell`` is the exact-integer micro-unit squared-L2 TWO-LEVEL argmin
+    over the ``n_cells`` lowest-id seed vectors (route through
+    ``ceil(sqrt(n_cells))`` coarse centroids, then argmin within the
+    probed coarse group; ties → lowest group, then lowest cell),
     ``n_cells = fixed_cells or max(min_cells, count // cell_occupancy)``
     — constant expected occupancy, so downstream within-cell pair work
     is LINEAR in corpus size. The count and the n_cells-row seed
-    collect are the only driver-side jobs (the same bounded sizing the
-    IVF index build performs); the DuckDB oracles replay the rule as a
-    scalar-subquery LIMIT and the x_kmeans_lloyd integer-d² argmin —
-    no float comparison ever decides a bucket.
+    collect are the only driver-side jobs; the collect is
+    count//occupancy rows — linear in the corpus, NOT constant — so it
+    carries the loud :data:`_MAX_CENTROID_CELLS` guard (≈64 MiB of
+    closure at the cap). The DuckDB oracles replay the full two-level
+    rule: scalar-subquery LIMIT seeds, ceil(sqrt) coarse prefix, and
+    the x_kmeans_lloyd integer-d² argmin at BOTH levels — no float
+    comparison ever decides a bucket.
 
-    The argmin runs as an Arrow-batched vectorized kernel (int64
-    matmul — exact, associative, order-free): with n_cells ∝ corpus
-    the flat per-row fold is O(n·cells·dim) and MUST be a vectorized
-    batch matmul, not an interpreted per-element expression (measured
-    9.5 s HOF-fold vs sub-second matmul at 10× sf0.1; the sanctioned
-    Pandas-UDF case — built-ins cannot express a data-sized literal
-    matmul). At 100 TB swap the flat argmin for the two-level IVF
-    routing (`operators/similarity.py`); every caller's bucket-join
-    shape is unchanged."""
+    The routing runs as an Arrow-batched vectorized kernel (int64
+    matmul — exact, associative, order-free; see
+    :func:`_route_cells_int64` for the reference copy and the tie law).
+    Two-level routing makes per-row work O(√cells·dim + occupancy·dim)
+    instead of the round-9 flat O(cells·dim), which with cells ∝ corpus
+    was quadratic total FLOPs — the last quadratic-compute kernel in
+    the package (round-9 verdict #2). The seed→group table is
+    precomputed driver-side once (O(cells^1.5·dim), ~3e9 int ops at the
+    cap) and rides in the closure with the seeds."""
+    import numpy as np
     import pandas as pd
 
     quant = F.transform(
@@ -862,30 +932,50 @@ def _centroid_cell_udf(
     if fixed_cells is not None:
         n_cells = fixed_cells
     else:
-        n = emb.count()  # bounded driver-side sizing scan
+        n = emb.count()  # driver-side sizing scan (one count job)
         n_cells = max(min_cells, n // cell_occupancy)
+    if n_cells > _MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"centroid-cell count {n_cells} exceeds _MAX_CENTROID_CELLS="
+            f"{_MAX_CENTROID_CELLS}: the seed collect/closure would be "
+            f"{n_cells * 8 * 64 // (1 << 20)} MiB per task. Raise "
+            "cell_occupancy or pass pre-trained fixed_cells centroids."
+        )
     seeds = (
         emb.select(F.col(id_col).alias("sid"), quant.alias("cq"))
         .orderBy("sid")
         .limit(n_cells)
         .collect()
-    )  # bounded: n_cells rows of 64 BIGINTs
-    cents = [[int(v) for v in r["cq"]] for r in seeds]
+    )  # n_cells rows of 64 BIGINTs — guarded above
+    cmat = np.asarray([[int(v) for v in r["cq"]] for r in seeds], dtype=np.int64)
+    # driver-side precompute of the coarse level (keep in sync with
+    # _route_cells_int64 — pinned by
+    # test_centroid_cell_udf_matches_reference_kernel):
+    coarse = cmat[: _coarse_count(len(cmat))]
+    co2 = (coarse * coarse).sum(axis=1)
+    c2 = (cmat * cmat).sum(axis=1)
+    sg = np.argmin(co2[None, :] - 2 * (cmat @ coarse.T), axis=1)
+    members = [np.nonzero(sg == g)[0] for g in range(len(coarse))]
 
     def _cell_fn(q):
         import numpy as np
 
         if len(q) == 0:
             return pd.Series([], dtype="int64")
-        cmat = np.asarray(cents, dtype=np.int64)  # (k, d)
-        c2 = (cmat * cmat).sum(axis=1)  # (k,)
         qmat = np.array(q.tolist(), dtype=np.int64)  # (batch, d)
-        # argmin_k Σ(q−c)² = argmin_k (|c|² − 2 q·c): |q|² is constant
-        # per row, so ordering AND ties are identical to the oracle's
-        # (d2 ASC, cl ASC); int64 matmul is exact and np.argmin takes
-        # the FIRST minimum → lowest cell on ties.
-        scores = c2[None, :] - 2 * (qmat @ cmat.T)
-        return pd.Series(np.argmin(scores, axis=1).astype("int64"))
+        # level 1: argmin over coarse (|c|²−2q·c shift: ordering AND
+        # ties identical to Σ(q−c)²; np.argmin FIRST min → lowest group)
+        vg = np.argmin(co2[None, :] - 2 * (qmat @ coarse.T), axis=1)
+        out = np.empty(len(qmat), dtype=np.int64)
+        # level 2: argmin within the probed group's ascending member
+        # list → lowest cell on d² ties, the oracle's (d2 ASC, cl ASC)
+        for g in np.unique(vg):
+            mem = members[g]
+            assert mem.size, f"routed to empty coarse group {g}"
+            rows = np.nonzero(vg == g)[0]
+            sub = c2[mem][None, :] - 2 * (qmat[rows] @ cmat[mem].T)
+            out[rows] = mem[np.argmin(sub, axis=1)]
+        return pd.Series(out)
 
     # real annotation objects: dedup.py is under `from __future__ import
     # annotations`, whose stringified hints pandas_udf cannot resolve
@@ -918,25 +1008,34 @@ def embedding_near_dup_pairs(
     IVF index build performs; the DuckDB oracle replays the rule as a
     scalar-subquery LIMIT).
 
-    Assignment is the exact-integer micro-unit squared-L2 argmin over
-    the seed centroids (ties → lowest cell), ZERO-SHUFFLE and
-    bit-replayable by the oracle (the x_kmeans_lloyd arithmetic — no
-    float comparison ever decides a bucket). Seeds are the ``n_cells``
-    lowest-id vectors, Spark-quantized before collection. The argmin
-    itself runs as an Arrow-batched vectorized kernel (int64 matmul —
-    exact, associative, order-free): with n_cells ∝ corpus the flat
-    per-row fold is O(n·cells·dim) and MUST be a vectorized batch
-    matmul, not an interpreted per-element expression (measured 9.5 s
-    HOF-fold vs sub-second matmul at 10× sf0.1; this is the sanctioned
-    Pandas-UDF case — built-ins cannot express a data-sized literal
-    matmul). Near-dup recall follows SemDeDup's premise that
-    high-cosine pairs co-assign (pinned by the planted-twin test);
-    like the MinHash band path this is a blocked (recall-traded)
-    near-dup miner, not an exact join — the exact complement is
-    :func:`setsim_join_pairs`. At 100 TB swap the flat argmin for the
-    two-level IVF routing (`operators/similarity.py`) — the
-    bucket-join shape below is unchanged. Cosine runs JVM-side in
-    double with per-vector norms hoisted out of the pair join.
+    Assignment is the exact-integer micro-unit squared-L2 TWO-LEVEL
+    argmin over the seed centroids (round-10: route through
+    ``ceil(sqrt(n_cells))`` coarse centroids, then argmin within the
+    probed group — O(√cells·dim) per row instead of the round-9 flat
+    O(cells·dim), which with cells ∝ corpus was quadratic total FLOPs;
+    ties → lowest group then lowest cell), ZERO-SHUFFLE and
+    bit-replayable by the oracle at both levels (the x_kmeans_lloyd
+    arithmetic — no float comparison ever decides a bucket). Seeds are
+    the ``n_cells`` lowest-id vectors, Spark-quantized before
+    collection; the routing runs as an Arrow-batched int64-matmul
+    kernel (see :func:`_route_cells_int64` — the sanctioned Pandas-UDF
+    case, built-ins cannot express a data-sized literal matmul).
+
+    Near-dup recall follows SemDeDup's premise that high-cosine pairs
+    co-assign (pinned by the planted-twin test at ≥90%); like the
+    MinHash band path this is a blocked (RECALL-TRADED) near-dup miner,
+    not an exact join — the exact complement is
+    :func:`setsim_join_pairs`. Measured at sf0.1 against the exact
+    within-label all-pairs join (SCALE.md): near-identical twins
+    (cos ≈ 1) co-assign ≥90% (the pinned test floor; observed
+    essentially always), while pairs sitting AT the 0.4 threshold
+    boundary (cos 0.4–0.5, i.e. unrelated-by-construction vectors that
+    merely clear the bar) survive blocking at 19/85 ≈ 22% — banded
+    recall trades exactly like MinHash-LSH at its threshold:
+    acceptable for near-DUP mining where the targets are high-cosine,
+    wrong for a complete ≥τ pair join (use the exact complement).
+    Cosine runs JVM-side in double with per-vector norms hoisted out
+    of the pair join.
     """
     from mapr_plugins_spark.functions.vectors import dot_product, l2_norm
 
@@ -1108,11 +1207,14 @@ def semantic_dedup(
     with k=8 — the same defect class as the round-8 embcos finding);
     constant expected occupancy makes it linear. Assignment,
     determinism, and oracle replay are the shared
-    :func:`_centroid_cell_udf` machinery (exact-integer micro-unit
-    squared-L2 argmin over the lowest-id seed vectors, Arrow-batched
-    int64 matmul, scalar-subquery LIMIT on the oracle side); swap in
-    trained KMeans centroids at scale — the plan shape is identical
-    and the centroid set stays driver-bounded either way. The only
+    :func:`_centroid_cell_udf` machinery (round-10: TWO-LEVEL
+    exact-integer micro-unit squared-L2 argmin — coarse route then
+    within-group argmin, O(√cells·dim) per row — over the lowest-id
+    seed vectors, Arrow-batched int64 matmul, scalar-subquery LIMIT +
+    ceil(sqrt) coarse prefix on the oracle side); swap in trained
+    KMeans centroids at scale — the plan shape is identical and the
+    centroid set stays loud-guarded either way
+    (:data:`_MAX_CENTROID_CELLS`). The only
     exchange in the whole operator is the within-cluster pair join,
     keyed on cluster_id; skewed clusters fall under AQE skew-join
     splitting.

@@ -4988,6 +4988,88 @@ def _kcore_oracle(k: int = 4, rounds: int = 12) -> str:
     return "".join(parts)
 
 
+def _int_d2_sql(q: str, c: str) -> str:
+    """Exact-integer squared-L2 between two BIGINT list expressions,
+    dimension derived FROM THE DATA (``len``), never hardcoded — a
+    dimension change must not silently truncate the distance (round-9
+    advice)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({q}) + 1), "
+        f"i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i]))) AS BIGINT)"
+    )
+
+
+def _two_level_cell_ctes(extra_cols: tuple[str, ...] = ()) -> str:
+    """CTE chain replaying :func:`mapr_plugins_spark.operators.dedup.
+    _centroid_cell_udf`'s TWO-LEVEL integer cell routing bit-for-bit
+    (shared by the x_dedup_embcos and x_semantic_dedup oracles):
+
+    * ``cent`` — seeds = the ``GREATEST(8, count // 128)`` lowest-id
+      vectors (scalar-subquery LIMIT = the Spark driver-side sizing),
+      micro-unit quantized exactly as the engine quantizes;
+    * ``coarse`` — the ``ceil(sqrt(n_cells))`` seed PREFIX (IEEE double
+      sqrt is correctly rounded in both engines, so the prefix length
+      is bit-identical to the engine's ``_coarse_count``);
+    * ``sg`` / ``vg`` — seed→group and vector→group integer-d² argmins
+      (d2 ASC, group ASC — np.argmin's first-min tie law);
+    * ``asg`` — the final cell: argmin over ONLY the seeds of the
+      vector's probed group (d2 ASC, cell ASC).
+
+    ``extra_cols`` are carried from the embeddings table through to
+    ``asg`` (e.g. the embcos blocking label)."""
+    ex = "".join(f", {c}" for c in extra_cols)
+    exq = "".join(f", e.{c}" for c in extra_cols)
+    return f"""
+            e AS MATERIALIZED (
+                SELECT vec_id{ex}, embedding::DOUBLE[] AS v,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS MATERIALIZED (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+                       q AS cq
+                FROM e ORDER BY vec_id
+                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)
+            ),
+            coarse AS MATERIALIZED (
+                SELECT cl AS gco, cq AS gq FROM cent
+                WHERE cl < CAST(ceil(sqrt(CAST((SELECT count(*) FROM cent)
+                                               AS DOUBLE))) AS BIGINT)
+            ),
+            sg AS MATERIALIZED (
+                SELECT cl, grp FROM (
+                    SELECT cent.cl, co.gco AS grp,
+                           row_number() OVER (PARTITION BY cent.cl ORDER BY
+                               {_int_d2_sql("cent.cq", "co.gq")} ASC,
+                               co.gco ASC) AS rn
+                    FROM cent CROSS JOIN coarse co
+                ) WHERE rn = 1
+            ),
+            vg AS MATERIALIZED (
+                SELECT vec_id, grp FROM (
+                    SELECT e.vec_id, co.gco AS grp,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_int_d2_sql("e.q", "co.gq")} ASC,
+                               co.gco ASC) AS rn
+                    FROM e CROSS JOIN coarse co
+                ) WHERE rn = 1
+            ),
+            asg AS MATERIALIZED (
+                SELECT vec_id{ex}, v, cl AS cell FROM (
+                    SELECT e.vec_id{exq}, e.v, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_int_d2_sql("e.q", "c.cq")} ASC,
+                               c.cl ASC) AS rn
+                    FROM e
+                    JOIN vg ON vg.vec_id = e.vec_id
+                    JOIN sg ON sg.grp = vg.grp
+                    JOIN cent c ON c.cl = sg.cl
+                ) WHERE rn = 1
+            )
+    """
+
+
 def _simhash_oracle() -> str:
     h = seeded_hash60_sql("token", "0")
     bit_sums = ", ".join(
@@ -6017,36 +6099,15 @@ def extension_oracles() -> dict[str, str]:
             WHERE 10 * inter >= 9 * (sa.m + sb.m - inter)
         """,
         "x_dedup_simhash": _simhash_oracle(),
-        # replays the round-9 (label, centroid-cell) sub-blocking: seeds =
-        # lowest-id vectors, n_cells = GREATEST(8, count // 128) (the same
-        # rule the Spark side computes driver-side), assignment = exact
-        # integer micro-unit squared-L2 argmax with lowest-cell tie-break
-        # (the x_kmeans_lloyd machinery — no float comparison decides a
-        # bucket), then cosine-verified pairs within (label, cell).
-        "x_dedup_embcos": """
-            WITH e AS MATERIALIZED (
-                SELECT vec_id, label, embedding::DOUBLE[] AS v,
-                       list_transform(embedding::DOUBLE[],
-                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-                FROM embeddings
-            ),
-            cent AS MATERIALIZED (
-                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
-                       q AS cq
-                FROM e ORDER BY vec_id
-                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)
-            ),
-            asg AS MATERIALIZED (
-                SELECT vec_id, label, v, cl AS cell FROM (
-                    SELECT e.vec_id, e.label, e.v, c.cl,
-                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                               CAST(list_sum(list_transform(range(1, 65),
-                                   i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))
-                                   AS BIGINT) ASC,
-                               c.cl ASC) AS rn
-                    FROM e CROSS JOIN cent c
-                ) WHERE rn = 1
-            )
+        # replays the round-10 (label, centroid-cell) sub-blocking with
+        # TWO-LEVEL routing: seeds = lowest-id vectors, n_cells =
+        # GREATEST(8, count // 128), coarse prefix = ceil(sqrt(n_cells)),
+        # assignment = exact integer micro-unit squared-L2 argmin at both
+        # levels with first-min tie-breaks (the x_kmeans_lloyd machinery —
+        # no float comparison decides a bucket), then cosine-verified
+        # pairs within (label, cell).
+        "x_dedup_embcos": f"""
+            WITH {_two_level_cell_ctes(("label",))}
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos6
             FROM asg a JOIN asg b
@@ -6104,41 +6165,20 @@ def extension_oracles() -> dict[str, str]:
                    CAST(rel_at_k AS DOUBLE) / least(n_relevant, 10) AS recall_at_k
             FROM a
         """,
-        # replays the round-9 count-scaled integer-L2 cell assignment
-        # (shared with x_dedup_embcos): seeds = lowest-id vectors,
-        # n_clusters = GREATEST(8, count // 128), argmin exact integer
-        # micro-unit d² with lowest-cluster tie-break
-        "x_semantic_dedup": """
-            WITH e AS MATERIALIZED (
-                SELECT vec_id, embedding::DOUBLE[] AS v,
-                       list_transform(embedding::DOUBLE[],
-                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
-                FROM embeddings
-            ),
-            cent AS MATERIALIZED (
-                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
-                       q AS cq
-                FROM e ORDER BY vec_id
-                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)
-            ),
-            asg AS MATERIALIZED (
-                SELECT vec_id, v, cl AS cluster_id FROM (
-                    SELECT e.vec_id, e.v, c.cl,
-                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                               CAST(list_sum(list_transform(range(1, 65),
-                                   i -> (e.q[i] - c.cq[i]) * (e.q[i] - c.cq[i])))
-                                   AS BIGINT) ASC,
-                               c.cl ASC) AS rn
-                    FROM e CROSS JOIN cent c
-                ) WHERE rn = 1
-            ),
+        # replays the round-10 count-scaled TWO-LEVEL integer-L2 cell
+        # assignment (shared CTE chain with x_dedup_embcos): seeds =
+        # lowest-id vectors, n_clusters = GREATEST(8, count // 128),
+        # coarse prefix = ceil(sqrt(n_clusters)), argmin exact integer
+        # micro-unit d² at both levels with first-min tie-breaks
+        "x_semantic_dedup": f"""
+            WITH {_two_level_cell_ctes()},
             dup AS (
                 SELECT DISTINCT b.vec_id
                 FROM asg a JOIN asg b
-                  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
                 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
             )
-            SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS is_kept
+            SELECT a.vec_id, a.cell AS cluster_id, (d.vec_id IS NULL) AS is_kept
             FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
         """,
         "x_text_langid": _langid_oracle(),

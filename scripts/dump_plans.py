@@ -34,7 +34,7 @@ SHOWCASE = [
     ("x_ann_ivf_batch", "batch ANN probes join the corpus on list_id (equi join, no per-probe crossJoin)"),
     ("q62_sessionize", "two window passes share ONE hash partitioning on user_id (single exchange)"),
     ("x_substr_dedup", "substring dedup shuffles BIGINT window hashes (no Python stage, no gram-text shuffle)"),
-    ("x_semantic_dedup", "SemDeDup centroid argmax is a row-local projection; the only exchange keys the within-cluster pair join"),
+    ("x_semantic_dedup", "SemDeDup cell assignment is ONE ArrowEvalPython stage (two-level int64-matmul routing, no shuffle) plus driver-side count/seed sizing jobs; the only exchange keys the within-cluster pair join"),
     ("x_cdc_chunk_dedup", "content-defined chunk sets build row-locally; candidates bucket-join on BIGINT chunk keys"),
     ("x_lm_score", "bigram-LM shuffles count keys, not documents; vocabulary size broadcasts as a 1-row aggregate"),
     ("x_embed_pq_encode", "PQ compression is a zero-shuffle codegen scan against a literal codebook"),

@@ -81,6 +81,54 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert min(rs, key=lambda r: r.vec_id).is_kept
 
 
+def test_centroid_cell_udf_matches_reference_kernel(spark, sf_dir):
+    """The pandas-UDF routing body is an inlined copy of the
+    module-level _route_cells_int64 (closures must pickle by value —
+    workers may not have the package importable): pin the two paths
+    identical on the real embeddings table so they can never drift."""
+    import numpy as np
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import (
+        _centroid_cell_udf,
+        _route_cells_int64,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    quant, cell_udf = _centroid_cell_udf(emb, "vec_id", "embedding")
+    got = {
+        r.vec_id: r.cell
+        for r in emb.select("vec_id", cell_udf(quant).alias("cell")).collect()
+    }
+    rows = sorted(
+        emb.select("vec_id", quant.alias("q")).collect(), key=lambda r: r.vec_id
+    )
+    qmat = np.asarray([[int(v) for v in r.q] for r in rows], dtype=np.int64)
+    n_cells = max(8, len(rows) // 128)
+    want = _route_cells_int64(qmat, qmat[:n_cells])
+    assert got == {r.vec_id: int(c) for r, c in zip(rows, want)}
+
+
+def test_centroid_cell_count_guard_is_loud(spark, sf_dir):
+    """Past _MAX_CENTROID_CELLS the seed collect itself is the scale
+    hazard (the closure ships count//occupancy rows — linear in the
+    corpus): the kernel must REFUSE loudly, not silently OOM executors
+    (round-9 advice; the bounded_broadcast standard)."""
+    import pytest
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import (
+        _MAX_CENTROID_CELLS,
+        _centroid_cell_udf,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="_MAX_CENTROID_CELLS"):
+        _centroid_cell_udf(
+            emb, "vec_id", "embedding", fixed_cells=_MAX_CENTROID_CELLS + 1
+        )
+
+
 def test_embcos_high_cosine_twins_co_assign(spark, sf_dir):
     """Round-9 sub-blocking recall premise (SemDeDup): a vector and a
     near-identical twin (cos ≈ 1) must land in the same centroid cell

@@ -484,6 +484,49 @@ def test_centroid_cell_kernel_matches_brute_argmin(vecs, k):
     assert list(pd.Series(np.argmin(scores, axis=1).astype("int64"))) == got
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(10**7), max_value=10**7), min_size=4, max_size=4),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_two_level_routing_matches_brute_two_level(vecs, k):
+    """The round-10 two-level routing kernel (_route_cells_int64: coarse
+    ceil(sqrt(k)) prefix argmin, then within-group argmin) must equal an
+    independent plain-Python reimplementation of the same rule for ANY
+    int vectors — pins the coarse-prefix law, both tie conventions
+    (d2 ASC then index ASC at EACH level), and that a routed-to group is
+    never empty (duplicate coarse vectors can't win a first-min)."""
+    import math
+
+    import numpy as np
+
+    from mapr_plugins_spark.operators.dedup import _route_cells_int64
+
+    k = min(k, len(vecs))
+    cents = vecs[:k]
+    nco = max(1, math.ceil(math.sqrt(k)))
+    coarse = cents[:nco]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    sg = [min(range(nco), key=lambda j, c=c: (d2(c, coarse[j]), j)) for c in cents]
+    want = []
+    for q in vecs:
+        g = min(range(nco), key=lambda j: (d2(q, coarse[j]), j))
+        mem = [i for i in range(k) if sg[i] == g]
+        assert mem, (q, g, sg)
+        want.append(min(mem, key=lambda i: (d2(q, cents[i]), i)))
+    got = _route_cells_int64(
+        np.asarray(vecs, dtype=np.int64), np.asarray(cents, dtype=np.int64)
+    )
+    assert list(got) == want, (vecs, cents, list(got), want)
+
+
 def test_gen_scale_constants_hold_fk_and_injectivity_invariants():
     """Round-9 generator regression pins, constant-level (the generator
     also self-verifies every run): FK-linked key families share one

@@ -42,22 +42,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-10 rotation pool (keys with no driver row through round 9 —
+#: Round-11 rotation pool (keys with no driver row through round 10 —
 #: rotate ~20 per round, all full-value-oracled except the noted
 #: rows-only keys which stay outside the window):
-#:   q23 q25 q29 q53 q54 q58 q61 q67 q71(warc)
-#:   x_heavy_hitters x_mm_sniff
-#:   x_dedup_incremental x_dedup_simhash
-#:   x_dedup_canonical x_lm_score
-#:   x_training_mix x_text_nfc_normalize x_group_split x_bpe_encode
-#:   x_ann_ivfpq_topk x_ann_pq_rerank x_ann_lsh_topk x_ann_lsh_indexed
+#:   q25 q54 q58 q67
+#:   x_dedup_incremental x_lm_score
+#:   x_text_nfc_normalize
+#:   x_ann_ivfpq_topk x_ann_lsh_indexed
 #:   x_ann_jl_rerank x_embed_jl_project
 #:   x_mmr_rerank x_hard_negatives
-#:   x_funnel x_hash_sample x_inverted_index
-#:   x_salted_join x_sketch_quantile
+#:   x_funnel x_inverted_index
 #:   x_sketch_hll_portable x_sketch_hll_setops
 #:   x_weighted_median
-#:   x_text_quality x_text_repetition
+#:   x_text_quality
 #:   x_vocab_encode x_bloom_semi_join x_zorder_key x_skipping_stats
 #:   x_sorted_neighborhood x_holt_trend x_assoc_rules x_attribution
 #:   x_delete_propagate x_mojibake_detect x_zscore_anomaly
@@ -65,10 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_benford_digits x_calibration_bins x_ks_drift x_ngram_novelty
 #:   x_tokenizer_fertility x_length_profile x_incremental_novelty
 #:   x_wave_ingest_report x_join_cardinality x_rare_collapse
-#:   s07_dedup_within_watermark s22_stream_zscore
 #:   x_token_budget_fill (its oracle constant is driver-proven via
 #:   s16, which shares TOKEN_BUDGET_ORACLE_SQL verbatim; likewise
-#:   s22 shares ZSCORE_ORACLE_SQL with x_zscore_anomaly)
+#:   graded-r10 s22 shares ZSCORE_ORACLE_SQL with x_zscore_anomaly)
 #:   (rows-only, keep out: x_ann_ivf_batch x_ann_ivf_batch_prod
 #:    x_sketch_hll)
 PRIORITY: tuple[str, ...] = (
@@ -83,10 +79,11 @@ PRIORITY: tuple[str, ...] = (
     "x_asof_join", "x_merge_upsert",
     # format parse + document sink round-trip (reference A4/A5/A6/A6⁻¹)
     "q26_clf_parse", "x_doc_sink_roundtrip",
-    # dedup family (round-9: x_dedup_embcos takes the cluster-collapse
-    # slot for one round — its blocking changed this round (centroid-
-    # cell sub-blocking) and the changed values deserve a driver row;
-    # x_minhash_clusters has r1–r8 rows and returns next round)
+    # dedup family (round-10: x_dedup_embcos keeps the cluster-collapse
+    # slot ONE more round — its cell assignment changed AGAIN this
+    # round (two-level IVF routing) and changed values re-earn driver
+    # rows; x_minhash_clusters has r1–r8 rows and returns when the
+    # embcos values stabilize)
     "q22_exact_dedup", "x_dedup_minhash_pairs", "x_dedup_embcos",
     # similarity search (x_ann_ivf_topk: index-backed exhaustive probe,
     # full cosine oracle — replaces the round-2 rows-only slot)
@@ -94,29 +91,32 @@ PRIORITY: tuple[str, ...] = (
     # text analysis / retrieval scoring / curation
     "x_text_tokens", "x_tfidf", "x_text_pii_redact", "x_doc_chunk",
     "x_pack_sequences",
-    # sampling / sketches / analytics (round-9: x_semantic_dedup takes
-    # the EWMA slot for one round — its cluster rule changed this round
-    # (count-scaled cells) and the changed values deserve a driver row;
-    # x_ewma has r1–r8 rows plus the graded streaming twin s21)
+    # sampling / sketches / analytics (round-10: x_semantic_dedup keeps
+    # the EWMA slot ONE more round — its cluster assignment changed
+    # AGAIN this round (two-level IVF routing) and changed values
+    # re-earn driver rows; x_ewma has r1–r8 rows plus the graded
+    # streaming twin s21)
     "x_split_assign", "x_sketch_cms", "x_semantic_dedup", "x_interval_merge",
     # multimodal plumbing
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (20, round 9: never-driver-graded keys per
-    # the round-8 verdict #4 — the 17 keys the round-8 judge re-graded
-    # green under the driver's own protocol, plus 3 more from the pool
-    # (incremental-indexed dedup, retrieval metrics, decontamination);
-    # ALL 264 registry keys passed a full driver_sim replication at
-    # sf0.01 in this round's session before this rotation.) ---
-    "q55_inline_structs", "q65_trig_funcs", "q72_jsonl_parse",
-    "x_domain_mix", "x_embed_normalize", "x_embed_quantize",
-    "x_mm_features", "x_mm_features_arrow", "x_mm_frames",
-    "x_mm_resize", "x_mm_wav_header", "x_ref_integrity",
-    "x_stratified_sample", "x_text_diversity", "x_text_fingerprint",
-    "x_topk_per_group", "x_weighted_sample",
-    "x_dedup_incremental_indexed", "x_retrieval_metrics",
-    "x_decontaminate",
+    # --- rotation slots (20, round 10: never-driver-graded keys per
+    # the round-9 verdict #1/#4 — the 18 registry keys the round-9
+    # judge graded green under the driver's own protocol, plus the two
+    # prescribed never-graded streaming/dedup occupants
+    # (s22_stream_zscore from verdict #4; x_dedup_canonical, whose
+    # sf0.1 time the round-10 hint-policy work touches); ALL 264
+    # registry keys passed a full driver_sim replication at sf0.01 in
+    # this round's session before this rotation.) ---
+    "q23_text_terms", "q29_csv_parse", "q53_outer_explode_regexp",
+    "q61_bitwise_agg", "q71_warc_parse",
+    "s07_dedup_within_watermark", "s22_stream_zscore",
+    "x_ann_lsh_topk", "x_ann_pq_rerank", "x_bpe_encode",
+    "x_dedup_canonical", "x_dedup_simhash", "x_group_split",
+    "x_hash_sample", "x_heavy_hitters", "x_mm_sniff",
+    "x_salted_join", "x_sketch_quantile", "x_text_repetition",
+    "x_training_mix",
 )
 
 

@@ -62,29 +62,33 @@ def bounded_broadcast(df: DataFrame, max_rows: int, what: str) -> DataFrame:
 
     The guard folds into a RETAINED column — the first column is
     rewrapped as ``when(n ≤ max_rows, col).otherwise(raise_error)``
-    with ``n`` a global count window — so column pruning can never
-    optimize it away (the in-plan-guard lesson from the IVF recall
-    floors). The single-partition window pass runs on the (small)
-    broadcast side only, BEFORE the exchange that would ship it.
+    with ``n`` a global count — so column pruning can never optimize
+    it away (the in-plan-guard lesson from the IVF recall floors).
+    The count is a cross-joined 1-row aggregate of the (small)
+    broadcast side, evaluated BEFORE the exchange that would ship it;
+    a constant-key Window is NOT equivalent — Catalyst folds the
+    constant partition key away and plans the move-everything
+    WindowExec, warning once per (micro-)batch (round-9 advice).
     """
-    from pyspark.sql import Window
-
     first = df.columns[0]
     dtype = dict(df.dtypes)[first]
-    # partitionBy(lit) not the empty spec: identical single-partition
-    # semantics without WindowExec's no-partition warning per batch
-    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(0)))
+    n = F.col("__bb_n")
     msg = F.concat(
         F.lit(f"broadcast side '{what}' has "),
         n.cast("string"),
         F.lit(f" rows, over its documented bound of {max_rows} — refusing to "
               "broadcast a corpus-scale side (de-hint the join or raise the bound)"),
     )
-    guarded = df.withColumn(
-        first,
-        F.when(n <= F.lit(max_rows), F.col(first)).otherwise(
-            F.raise_error(msg).cast(dtype)
-        ),
+    cnt = df.agg(F.count(F.lit(1)).alias("__bb_n"))
+    guarded = (
+        df.crossJoin(F.broadcast(cnt))
+        .withColumn(
+            first,
+            F.when(n <= F.lit(max_rows), F.col(first)).otherwise(
+                F.raise_error(msg).cast(dtype)
+            ),
+        )
+        .drop("__bb_n")
     )
     return F.broadcast(guarded)
 

@@ -235,8 +235,9 @@ def test_dedup_array_joins_never_broadcast(spark, sf_dir):
     driver OOM. Pin: zero broadcast joins anywhere in the containment
     and cdc-chunk plans; in the setsim plan the ARRAY-carrying verify
     joins (keyed on id_a/id_b) must not broadcast — its one legitimate
-    broadcast is the narrow docs×O((1−tau)m) prefix stream, whose
-    estimate is not in the hazard class."""
+    broadcast is the narrow docs×O((1−tau)m) prefix stream, which is
+    corpus-proportional and therefore rides bounded_broadcast with the
+    loud PREFIX_BROADCAST_BOUND guard (round-10)."""
     import re
 
     from mapr_plugins_spark.operators.registry import (
@@ -282,6 +283,10 @@ def test_hinted_broadcasts_raise_loudly_past_bound(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(ded, "CANDIDATE_BROADCAST_BOUND", 1)
     with _pytest.raises(Exception, match="candidate ids"):
         ded.verified_near_dup_pairs(docs).collect()
+
+    monkeypatch.setattr(ded, "PREFIX_BROADCAST_BOUND", 1)
+    with _pytest.raises(Exception, match="setsim prefix stream"):
+        ded.setsim_join_pairs(docs).collect()
 
     from mapr_plugins_spark.streaming import registry as sreg
 

@@ -54,6 +54,14 @@ CANDIDATE_BROADCAST_BOUND = 10_000_000
 #: to a salted shuffle join for open corpora.
 PREFIX_BROADCAST_BOUND = 32_000_000
 
+#: Measured-size gate for the verify-join broadcast fast path
+#: (round-9 verdict #3): a candidate-bounded gram/shingle array frame
+#: whose COUNTED rows are at most this many (arrays ≈ text bytes, so
+#: ≤ ~100 MB serialized) broadcasts explicitly — the decision rides a
+#: real count of the persisted frame, never Catalyst's computed-array
+#: width estimate (whose underestimate is the round-9 OOM class).
+VERIFY_BROADCAST_ROWS = 100_000
+
 # ---------------------------------------------------------------------------
 # exact
 
@@ -249,7 +257,9 @@ def _candidate_docs(docs: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _jaccard_verify(garr: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_verify(
+    garr: DataFrame, cand: DataFrame, threshold: float, corpus_sized: bool = False
+) -> DataFrame:
     """Exact set Jaccard per candidate pair from row-local shingle/gram
     ARRAYS ``(doc_id, g)``: (id_a, id_b, jaccard ≥ threshold).
 
@@ -258,15 +268,32 @@ def _jaccard_verify(garr: DataFrame, cand: DataFrame, threshold: float) -> DataF
     intersection is a codegen'd ``array_intersect``/``array_union`` —
     no aggregation stage at all. ``garr`` feeds both sides of the pair
     join, so it is persisted (it only covers candidate docs — the tiny
-    intermediate one would materialize at 100 TB anyway). shuffle_hash
-    hints on both array sides (round-9): computed-array widths defeat
-    the planner's size estimate, and an auto-broadcast of an array
-    frame that turned out candidate- or corpus-sized OOMs the driver —
-    a shuffled per-partition hash build is the scale posture at every
-    size, and unlike sort-merge it never sorts the wide array rows."""
+    intermediate one would materialize at 100 TB anyway).
+
+    Join-strategy policy (round-10, executing the round-9 verdict #3
+    experiment): computed-array widths defeat the planner's size
+    ESTIMATE, and an estimate-driven auto-broadcast of an array frame
+    that turned out corpus-sized OOMs the driver (the round-9 sf1
+    finding). Instead of pinning shuffle_hash unconditionally — which
+    cost 1.4–1.7× on sub-3-second keys at sf0.1 — the strategy now
+    branches on a MEASURED row count of the persisted frame (honest
+    statistics, not an estimate; the count also materializes the cache
+    the verify joins reuse): a candidate-bounded frame counted ≤
+    ``VERIFY_BROADCAST_ROWS`` broadcasts explicitly (the plan Catalyst
+    picked for round 8, now size-proven), anything larger — or any
+    caller declaring ``corpus_sized=True`` (chunk/gram arrays of the
+    WHOLE corpus, which outgrow any broadcast bound by construction,
+    so the fast path could only ever fire at toy scales) — takes the
+    shuffled per-partition hash build,
+    which never sorts the wide array rows and never ships them to
+    every node."""
     garr = garr.persist()
-    ga = garr.alias("ga").hint("shuffle_hash")
-    gb = garr.alias("gb").hint("shuffle_hash")
+    if not corpus_sized and garr.count() <= VERIFY_BROADCAST_ROWS:
+        ga = F.broadcast(garr.alias("ga"))
+        gb = F.broadcast(garr.alias("gb"))
+    else:
+        ga = garr.alias("ga").hint("shuffle_hash")
+        gb = garr.alias("gb").hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("ga.g"), F.col("gb.g")))
     union = F.size(F.array_union(F.col("ga.g"), F.col("gb.g")))
     return (
@@ -1187,7 +1214,12 @@ def cdc_chunk_dedup_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return _jaccard_verify(garr, cand, threshold)
+    # corpus_sized: garr here is the WHOLE corpus's chunk arrays (no
+    # candidate pre-filter), which outgrows any broadcast bound by
+    # construction — the measured fast path could only ever fire at
+    # toy scales, so keep the scale posture unconditionally (pinned by
+    # test_dedup_array_joins_never_broadcast)
+    return _jaccard_verify(garr, cand, threshold, corpus_sized=True)
 
 
 # ---------------------------------------------------------------------------

@@ -233,6 +233,10 @@ def main() -> None:
         # representatives that had no timing row:
         "x_dedup_embcos",  # embedding-cosine near-dup dedup
         "x_decontaminate",  # eval-contamination filter
+        # round-10 (verdict #5): every SCALE_sf1 key gets an sf0.1
+        # bench row so decade ratios are computable both ways
+        "x_cdc_chunk_dedup",  # content-defined chunk near-dup pairs
+        "x_dedup_incremental_indexed",  # persisted-signature-store wave dedup
         "s06_stream_stream_join",  # watermarked stream-stream join
         "s13_stream_dedup_admission",  # MinHash ingest admission
     ]

@@ -64,31 +64,40 @@ def bounded_broadcast(df: DataFrame, max_rows: int, what: str) -> DataFrame:
     rewrapped as ``when(n ≤ max_rows, col).otherwise(raise_error)``
     with ``n`` a global count — so column pruning can never optimize
     it away (the in-plan-guard lesson from the IVF recall floors).
-    The count is a cross-joined 1-row aggregate of the (small)
-    broadcast side, evaluated BEFORE the exchange that would ship it;
-    a constant-key Window is NOT equivalent — Catalyst folds the
-    constant partition key away and plans the move-everything
-    WindowExec, warning once per (micro-)batch (round-9 advice).
+    The count is a single-partition window over the (small) broadcast
+    side, evaluated BEFORE the exchange that would ship it. The
+    constant partition key is deliberate but does NOT suppress
+    WindowExec's "No Partition Defined" warning — Catalyst folds the
+    constant key away, so the move-everything WindowExec plans anyway
+    and warns once per (micro-)batch. The noise is accepted as the
+    cheapest correct mechanism (round-9 advice adjudicated round 10):
+
+    * a crossJoin/equi-join attach of a 1-row count aggregate plans as
+      a BroadcastNestedLoopJoin — the exact node the plan-hazard sweep
+      (``plans.audit.has_cartesian``) and several plan pins rightly
+      flag, and Spark 4's multiply-by-zero folding defeats every
+      non-foldable-constant-key equi trick (measured: the optimizer
+      rewrote the condition to a bare null filter);
+    * the window side is the structurally SMALL side (that is the
+      guard's premise), so the single-partition pass is bytes-bounded
+      by the very bound it enforces.
     """
+    from pyspark.sql import Window
+
     first = df.columns[0]
     dtype = dict(df.dtypes)[first]
-    n = F.col("__bb_n")
+    n = F.count(F.lit(1)).over(Window.partitionBy(F.lit(0)))
     msg = F.concat(
         F.lit(f"broadcast side '{what}' has "),
         n.cast("string"),
         F.lit(f" rows, over its documented bound of {max_rows} — refusing to "
               "broadcast a corpus-scale side (de-hint the join or raise the bound)"),
     )
-    cnt = df.agg(F.count(F.lit(1)).alias("__bb_n"))
-    guarded = (
-        df.crossJoin(F.broadcast(cnt))
-        .withColumn(
-            first,
-            F.when(n <= F.lit(max_rows), F.col(first)).otherwise(
-                F.raise_error(msg).cast(dtype)
-            ),
-        )
-        .drop("__bb_n")
+    guarded = df.withColumn(
+        first,
+        F.when(n <= F.lit(max_rows), F.col(first)).otherwise(
+            F.raise_error(msg).cast(dtype)
+        ),
     )
     return F.broadcast(guarded)
 

@@ -912,10 +912,17 @@ def test_jl_rerank_is_broadcast_probe_take_ordered(spark, sf_dir):
 
 
 def test_setsim_join_is_hint_free_and_cartesian_free(spark, sf_dir):
-    """The prefix-filter candidate join and the verify joins must leave
-    strategy to the planner (candidate/prefix streams are corpus-
-    proportional; a forced broadcast would OOM at 10⁹ docs) and must
-    never degenerate to a cartesian product."""
+    """The verify joins must leave strategy to the planner (the token-
+    array sides are corpus-proportional; a forced broadcast would OOM
+    at 10⁹ docs) and the plan must never degenerate to a cartesian
+    product. Round-10 contract change (round-9 advice): the prefix
+    self-join side — also corpus-proportional — now broadcasts
+    EXPLICITLY under the loud PREFIX_BROADCAST_BOUND guard, so with
+    auto-broadcast disabled the only broadcast hash joins allowed are
+    the ones keyed on the prefix token; none may key on id_a/id_b
+    (the array-carrying verify sides)."""
+    import re
+
     from mapr_plugins_spark.operators.registry import x_setsim_join
 
     # Pin the UNCACHED plan: a token-array frame left persisted by an
@@ -927,9 +934,13 @@ def test_setsim_join_is_hint_free_and_cartesian_free(spark, sf_dir):
     spark.catalog.clearCache()
     with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
         df = x_setsim_join(spark, sf_dir)
-        p = A.plan_str(df)
+        p = A.plan_str(df, mode="simple")
     assert not A.has_cartesian(df), p
-    assert "BroadcastHashJoin" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert not re.search(r"BroadcastHashJoin \[id_[ab]", p), p
+    # the guarded prefix broadcast is hint-forced, so it must survive
+    # the disabled auto-broadcast threshold (proof it is explicit)
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_kmeans_final_assignment_is_shuffle_free(spark, sf_dir):

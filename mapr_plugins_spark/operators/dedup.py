@@ -42,16 +42,16 @@ from mapr_plugins_spark.plans.partitioning import bounded_broadcast, fan_out
 #: broadcast) raises a named error instead of OOMing every executor.
 CANDIDATE_BROADCAST_BOUND = 10_000_000
 
-#: Loud bound on the setsim prefix-stream broadcast (round-9 advice):
-#: the prefix stream is docs × O((1−tau)·m) rows of three scalars —
-#: NARROW but corpus-PROPORTIONAL, the same linear shape as the
-#: rarest-gram probe stream. Broadcasting one side is the measured-
-#: fastest plan (a forced shuffle join was 4.5× slower at sf1: hot
-#: prefix tokens skew the pair explosion into few partitions), so the
-#: broadcast stays — made EXPLICIT and guarded so a corpus-scale
-#: prefix stream raises a named error instead of riding Catalyst's
-#: width underestimate into an executor OOM. Past the bound, de-hint
-#: to a salted shuffle join for open corpora.
+#: Measured-size gate on the setsim prefix-stream broadcast (round-9
+#: advice): the prefix stream is docs × O((1−tau)·m) rows of three
+#: scalars — NARROW but corpus-PROPORTIONAL, the same linear shape as
+#: the rarest-gram probe stream. Broadcasting one side is the
+#: measured-fastest small-scale plan (a forced shuffle join was 4.5×
+#: slower at sf1: hot prefix tokens skew the pair explosion into few
+#: partitions), so a COUNTED stream at most this many rows broadcasts
+#: explicitly; past the bound the self-join falls back to the
+#: skew-tolerant merge posture — never Catalyst's width-underestimated
+#: implicit broadcast (the round-9 executor-OOM class).
 PREFIX_BROADCAST_BOUND = 32_000_000
 
 #: Measured-size gate for the verify-join broadcast fast path
@@ -1388,10 +1388,11 @@ def setsim_join_pairs(
     before verification; the verify join ships one token ARRAY per
     candidate side — same shuffle posture as the containment verify
     (no corpus-proportional broadcast, round-5 verdict lesson). The
-    prefix self-join broadcasts one (narrow, corpus-proportional)
-    side under the loud ``PREFIX_BROADCAST_BOUND`` guard — past the
-    bound it raises a named error; de-hint to a salted shuffle join
-    for open corpora."""
+    prefix self-join branches on a MEASURED count of the (narrow,
+    corpus-proportional) stream: size-proven ≤
+    ``PREFIX_BROADCAST_BOUND`` broadcasts explicitly, past the bound
+    it takes the skew-tolerant merge posture — the strategy never
+    rides Catalyst's width underestimate."""
     arr = setsim_token_arrays(docs, id_col, text_col).persist()
     # ^ feeds the prefix stream and both verify sides; same cache
     # contract as ngram_containment_pairs (unpersist via persisted_out
@@ -1407,20 +1408,31 @@ def setsim_join_pairs(
     pref = arr.select(
         "doc_id", "m", F.explode(F.slice(F.col("t"), F.lit(1), p)).alias("token")
     )
-    # EXPLICIT bounded broadcast of one prefix side: the stream is
-    # docs × O((1−tau)·m) rows of three scalar columns — narrow but
+    # MEASURED-SIZE branch on the prefix self-join strategy (round-9
+    # advice, same policy as _jaccard_verify): the stream is docs ×
+    # O((1−tau)·m) rows of three scalar columns — narrow but
     # corpus-PROPORTIONAL, not bounded — and a broadcast is the
-    # measured-fastest plan (a forced shuffle join was 4.5× slower at
-    # sf1: hot prefix tokens skew the shuffled pair explosion into few
-    # partitions). Catalyst already chose this broadcast implicitly
-    # via its width underestimate; making it explicit through
-    # bounded_broadcast keeps the fast plan AND turns the 100 TB case
-    # into a named in-plan error instead of an executor OOM
-    # (PREFIX_BROADCAST_BOUND; round-9 advice).
+    # measured-fastest small-scale plan (a forced shuffle join was
+    # 4.5× slower at sf1: hot prefix tokens skew the shuffled pair
+    # explosion into few partitions). Catalyst used to pick that
+    # broadcast implicitly via its width underestimate — the round-9
+    # OOM hazard class. Now the persisted stream is COUNTED (one
+    # narrow job over the cached token arrays; the count also
+    # materializes the cache both join sides reuse): size-proven ≤
+    # PREFIX_BROADCAST_BOUND broadcasts explicitly, past the bound the
+    # join takes the skew-tolerant merge posture instead — the
+    # operator keeps working at corpus scale on the scale-correct
+    # plan rather than raising. An in-plan window guard was tried and
+    # rejected: the single-partition count pass over the exploded
+    # stream cost ~1.6 s at sf0.1 (SCALE.md round-10).
+    pref = pref.persist()
+    if persisted_out is not None:
+        persisted_out.append(pref)
     a = pref.alias("pa")
-    b = bounded_broadcast(
-        pref, PREFIX_BROADCAST_BOUND, "setsim prefix stream"
-    ).alias("pb")
+    if pref.count() <= PREFIX_BROADCAST_BOUND:
+        b = F.broadcast(pref).alias("pb")  # size-proven, not estimated
+    else:
+        b = pref.alias("pb").hint("merge")
     cand = (
         a.join(
             b,

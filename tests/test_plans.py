@@ -284,9 +284,18 @@ def test_hinted_broadcasts_raise_loudly_past_bound(spark, sf_dir, monkeypatch):
     with _pytest.raises(Exception, match="candidate ids"):
         ded.verified_near_dup_pairs(docs).collect()
 
+    # the setsim prefix stream uses the MEASURED-size branch instead of
+    # an in-plan guard (a window pass over the exploded stream cost
+    # ~1.6 s at sf0.1): past the bound it must fall back to the
+    # skew-tolerant shuffle posture, never broadcast
     monkeypatch.setattr(ded, "PREFIX_BROADCAST_BOUND", 1)
-    with _pytest.raises(Exception, match="setsim prefix stream"):
-        ded.setsim_join_pairs(docs).collect()
+    with A.sql_conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        spark.catalog.clearCache()
+        over = ded.setsim_join_pairs(docs)
+        p = A.plan_str(over, mode="simple")
+        assert "BroadcastHashJoin" not in p, p
+        over.collect()  # and the fallback plan actually executes
+        spark.catalog.clearCache()
 
     from mapr_plugins_spark.streaming import registry as sreg
 

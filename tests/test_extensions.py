@@ -64,6 +64,41 @@ def test_cdc_chunk_dedup_is_shift_robust(spark, sf_dir):
     assert found >= 0.7 * n_docs, f"only {found}/{n_docs} shifted near-dups found"
 
 
+def test_cdc_chunk_freq_cap_trades_recall_not_precision(spark):
+    """The ``max_chunk_freq`` scale valve drops ultra-common chunks
+    from CANDIDATE generation only: a pair linked by a rare chunk
+    survives with the SAME exact jaccard as the uncapped run (scored
+    over full arrays), a pair whose only shared chunks are corpus-wide
+    boilerplate disappears, and ``None`` reproduces the uncapped pairs
+    exactly."""
+    from mapr_plugins_spark.operators.dedup import cdc_chunk_dedup_pairs
+
+    boiler = "the common boilerplate header attached to every document in this corpus. "
+    rare = "zqx unique payload shared by exactly two documents only zqx. "
+    rows = [(1, boiler + rare), (2, boiler + rare + "tail one.")]
+    rows += [(i, boiler + f"filler body number {i} with its own words {i}.") for i in range(3, 40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cdc_chunk_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cdc_chunk_dedup_pairs(docs, threshold=0.3, max_chunk_freq=5).collect()
+    }
+    none_again = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in cdc_chunk_dedup_pairs(docs, threshold=0.3, max_chunk_freq=None).collect()
+    }
+    assert none_again == uncapped
+    assert (1, 2) in capped, "rare-chunk pair must survive the cap"
+    assert capped[(1, 2)] == uncapped[(1, 2)], "verify must score full arrays"
+    assert set(capped) < set(uncapped), "boilerplate-only pairs must be pruned"
+    dropped = set(uncapped) - set(capped)
+    assert all(1 not in p or 2 not in p for p in dropped)
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """One row per vector; every cluster keeps at least one member, and
     the lowest-id member of each cluster is always kept (it has no

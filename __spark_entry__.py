@@ -62,6 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #:   x_benford_digits x_calibration_bins x_ks_drift x_ngram_novelty
 #:   x_tokenizer_fertility x_length_profile x_incremental_novelty
 #:   x_wave_ingest_report x_join_cardinality x_rare_collapse
+#:   x_cdc_chunk_dedup_capped (round-10 addition: the CDC stop-chunk
+#:   scale valve as a first-class oracled key)
 #:   x_token_budget_fill (its oracle constant is driver-proven via
 #:   s16, which shares TOKEN_BUDGET_ORACLE_SQL verbatim; likewise
 #:   graded-r10 s22 shares ZSCORE_ORACLE_SQL with x_zscore_anomaly)

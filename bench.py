@@ -236,6 +236,10 @@ def main() -> None:
         # round-10 (verdict #5): every SCALE_sf1 key gets an sf0.1
         # bench row so decade ratios are computable both ways
         "x_cdc_chunk_dedup",  # content-defined chunk near-dup pairs
+        # round-10: the capped scale path (max_chunk_freq=64 stop-chunk
+        # valve) benched alongside the exact path so the decade series
+        # shows the valve's linear candidate volume
+        "x_cdc_chunk_dedup_capped",
         "x_dedup_incremental_indexed",  # persisted-signature-store wave dedup
         "s06_stream_stream_join",  # watermarked stream-stream join
         "s13_stream_dedup_admission",  # MinHash ingest admission

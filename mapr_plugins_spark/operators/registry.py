@@ -871,6 +871,22 @@ def x_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cdc_chunk_dedup_pairs(corpus, window=8, mod=32, threshold=0.5)
 
 
+def x_cdc_chunk_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC near-dup miner on its scale path: ``max_chunk_freq=64``
+    stop-chunk removal bounds every candidate bucket, making candidate
+    volume linear in the corpus (uncapped it is Σc·(c−1)/2 over
+    chunk-bucket widths — measured 97.6× candidate growth at 10× data,
+    SCALE.md). Verify still scores the FULL chunk arrays, so every
+    emitted jaccard is exact; the oracle replays the frequency valve
+    bit-for-bit. Measured at the decade probe: 10.4 s vs 87.8 s
+    uncapped under the count protocol, recall 54,516/54,524 pairs
+    (99.985%); at sf0.1 the capped output is IDENTICAL to uncapped."""
+    corpus = _dedup_corpus(spark, sf_dir)
+    return D.cdc_chunk_dedup_pairs(
+        corpus, window=8, mod=32, threshold=0.5, max_chunk_freq=64
+    )
+
+
 def x_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapr_plugins_spark.operators.rollup import hypertable_rollup
 
@@ -4159,6 +4175,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_incremental_indexed,
             x_semantic_dedup,
             x_cdc_chunk_dedup,
+            x_cdc_chunk_dedup_capped,
             x_retrieval_metrics,
             x_pagerank,
             x_hypertable_rollup,
@@ -4472,15 +4489,33 @@ def _pagerank_oracle(iterations: int = 3, damping_permille: int = 850) -> str:
     """
 
 
-def _cdc_chunk_oracle(window: int = 8, mod: int = 32, threshold: float = 0.5) -> str:
+def _cdc_chunk_oracle(
+    window: int = 8,
+    mod: int = 32,
+    threshold: float = 0.5,
+    max_chunk_freq: int | None = None,
+) -> str:
     """SQL replay of cdc_chunk_dedup_pairs: identical boundary rule
     (trailing-window md5-60 ≡ 0 mod ``mod``), identical chunk slicing
     (DuckDB's indexed lambda is 1-based where Spark's is 0-based — the
-    CASE arms mirror the IF arms one index up), identical Jaccard."""
+    CASE arms mirror the IF arms one index up), identical Jaccard.
+    ``max_chunk_freq`` replays the stop-chunk valve exactly: chunk keys
+    held by more than that many documents leave CANDIDATE generation
+    (the ``cand`` join), while verify still scores the full arrays."""
     from mapr_plugins_spark.functions.portable_hash import hex15_to_bigint_sql
 
     hv_s = hex15_to_bigint_sql("s['h']")
     hv_h = hex15_to_bigint_sql("h")
+    cand_src = "cg"
+    freq_cte = ""
+    if max_chunk_freq is not None:
+        freq_cte = f"""
+        rare AS (
+            SELECT chk FROM cg GROUP BY chk
+            HAVING count(*) <= {max_chunk_freq}
+        ),
+        ccg AS (SELECT cg.doc_id, cg.chk FROM cg JOIN rare USING (chk)),"""
+        cand_src = "ccg"
     return f"""
         WITH corpus AS ({_CORPUS_SQL}),
         base AS (SELECT doc_id, text, length(text) AS n FROM corpus),
@@ -4511,10 +4546,11 @@ def _cdc_chunk_oracle(window: int = 8, mod: int = 32, threshold: float = 0.5) ->
             SELECT doc_id, list_distinct(list_transform(hx, h -> {hv_h})) AS g
             FROM ch
         ),
-        cg AS (SELECT doc_id, unnest(g) AS chk FROM sigs),
+        cg AS (SELECT doc_id, unnest(g) AS chk FROM sigs),{freq_cte}
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM cg a JOIN cg b ON a.chk = b.chk AND a.doc_id < b.doc_id
+            FROM {cand_src} a JOIN {cand_src} b
+            ON a.chk = b.chk AND a.doc_id < b.doc_id
         ),
         sizes AS (SELECT doc_id, len(g) AS sn FROM sigs),
         inter AS (
@@ -6129,6 +6165,7 @@ def extension_oracles() -> dict[str, str]:
             "SELECT * FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"
         ),
         "x_cdc_chunk_dedup": _cdc_chunk_oracle(),
+        "x_cdc_chunk_dedup_capped": _cdc_chunk_oracle(max_chunk_freq=64),
         "x_pagerank": _pagerank_oracle(),
         # SUMs cast to BIGINT: DuckDB integer SUM is HUGEINT, which the
         # driver's pandas canonicalizer would float64-ify (round-2 bug

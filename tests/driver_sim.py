@@ -2,6 +2,7 @@
 
 Usage: python tests/driver_sim.py [sf_dir] [--tz TZ] [--only sub1,sub2]
        [--slice i:j]   # grade only sorted-keys[i:j] (chunked sweeps)
+       [--master local[2]] [--shuffle 5]   # hostile-parallelism axis
 
 Creates a *plain* SparkSession (driver-style: no engine configs), runs
 entry() as a smoke check, then every queries()[name] at sf_dir and
@@ -36,12 +37,23 @@ def main() -> int:
         # 1g single-JVM "cluster" is artificially tiny for 10x-scale
         # wedge joins (real executors get 8-64g)
         mem = sys.argv[sys.argv.index("--mem") + 1]
+    master = "local[8]"
+    if "--master" in sys.argv:
+        # hostile-parallelism axis: e.g. --master local[2] --shuffle 5
+        # proves no key's VALUES depend on core count, partition count,
+        # or intra-partition arrival order
+        master = sys.argv[sys.argv.index("--master") + 1]
+    shuffle = None
+    if "--shuffle" in sys.argv:
+        shuffle = sys.argv[sys.argv.index("--shuffle") + 1]
 
-    b = SparkSession.builder.appName("driver-sim").master("local[8]")
+    b = SparkSession.builder.appName("driver-sim").master(master)
     if tz:
         b = b.config("spark.sql.session.timeZone", tz)
     if mem:
         b = b.config("spark.driver.memory", mem)
+    if shuffle:
+        b = b.config("spark.sql.shuffle.partitions", shuffle)
     spark = b.getOrCreate()
 
     sys.path.insert(0, "/root/repo")

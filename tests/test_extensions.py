@@ -99,6 +99,32 @@ def test_cdc_chunk_freq_cap_trades_recall_not_precision(spark):
     assert all(1 not in p or 2 not in p for p in dropped)
 
 
+def test_cdc_chunk_freq_cap_oracle_replays_where_it_bites(spark, sf_dir):
+    """The registered x_cdc_chunk_dedup_capped gate (cap=64) drops
+    nothing at the small SFs, so on its own it would pass even with a
+    mis-replayed valve. This pins the valve's SQL replay at a cap that
+    BITES on the real corpus (cap=2 drops ~60 of 545 pairs at
+    sf0.001): Spark and DuckDB must agree on exactly which pairs the
+    stop-chunk removal prunes."""
+    from mapr_plugins_spark.operators.dedup import cdc_chunk_dedup_pairs
+    from mapr_plugins_spark.operators.registry import (
+        _cdc_chunk_oracle,
+        _dedup_corpus,
+    )
+    from tests.oracle_harness import assert_matches_oracle
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    capped = cdc_chunk_dedup_pairs(corpus, threshold=0.5, max_chunk_freq=2)
+    uncapped_n = cdc_chunk_dedup_pairs(corpus, threshold=0.5).count()
+    assert capped.count() < uncapped_n, "cap=2 must bite at this SF"
+    assert_matches_oracle(
+        capped,
+        _cdc_chunk_oracle(max_chunk_freq=2),
+        sf_dir,
+        key="cdc_cap_bites",
+    )
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """One row per vector; every cluster keeps at least one member, and
     the lowest-id member of each cluster is always kept (it has no

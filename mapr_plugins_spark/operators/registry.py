@@ -878,9 +878,12 @@ def x_cdc_chunk_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-bucket widths — measured 97.6× candidate growth at 10× data,
     SCALE.md). Verify still scores the FULL chunk arrays, so every
     emitted jaccard is exact; the oracle replays the frequency valve
-    bit-for-bit. Measured at the decade probe: 10.4 s vs 87.8 s
-    uncapped under the count protocol, recall 54,516/54,524 pairs
-    (99.985%); at sf0.1 the capped output is IDENTICAL to uncapped."""
+    bit-for-bit. Measured at the decade probe (same-machine pairs):
+    3.7 s vs 25.2 s uncapped at sf1 — a 1.1× overhead-bound decade
+    ratio vs the exact path's 10.6× output-bound curve — with recall
+    54,516/54,524 pairs (99.985%); at sf0.1 the capped output is
+    IDENTICAL to uncapped (the frequency job costs ~0.9 s, so prefer
+    the exact key below ~10^5 documents)."""
     corpus = _dedup_corpus(spark, sf_dir)
     return D.cdc_chunk_dedup_pairs(
         corpus, window=8, mod=32, threshold=0.5, max_chunk_freq=64

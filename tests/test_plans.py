@@ -242,12 +242,13 @@ def test_dedup_array_joins_never_broadcast(spark, sf_dir):
 
     from mapr_plugins_spark.operators.registry import (
         x_cdc_chunk_dedup,
+        x_cdc_chunk_dedup_capped,
         x_dedup_containment,
         x_setsim_join,
     )
 
     spark.catalog.clearCache()  # a cached subtree would splice stale plans
-    for q in (x_dedup_containment, x_cdc_chunk_dedup):
+    for q in (x_dedup_containment, x_cdc_chunk_dedup, x_cdc_chunk_dedup_capped):
         df = q(spark, sf_dir)
         assert not A.has_broadcast_join(df), (q.__name__, A.plan_str(df))
     p = A.plan_str(x_setsim_join(spark, sf_dir), mode="simple")

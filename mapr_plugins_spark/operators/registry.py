@@ -875,15 +875,17 @@ def x_cdc_chunk_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC near-dup miner on its scale path: ``max_chunk_freq=64``
     stop-chunk removal bounds every candidate bucket, making candidate
     volume linear in the corpus (uncapped it is Σc·(c−1)/2 over
-    chunk-bucket widths — measured 97.6× candidate growth at 10× data,
-    SCALE.md). Verify still scores the FULL chunk arrays, so every
-    emitted jaccard is exact; the oracle replays the frequency valve
-    bit-for-bit. Measured at the decade probe (same-machine pairs):
-    3.7 s vs 25.2 s uncapped at sf1 — a 1.1× overhead-bound decade
-    ratio vs the exact path's 10.6× output-bound curve — with recall
-    54,516/54,524 pairs (99.985%); at sf0.1 the capped output is
-    IDENTICAL to uncapped (the frequency job costs ~0.9 s, so prefer
-    the exact key below ~10^5 documents)."""
+    chunk-bucket widths — candidate growth is quadratic BY DATA when
+    common chunks recur). Verify still scores the FULL chunk arrays,
+    so every emitted jaccard is exact; the oracle replays the
+    frequency valve bit-for-bit. The semantic contract: linear
+    candidate volume, exact jaccard on everything emitted, the only
+    trade is recall on pairs whose ONLY shared chunks are ultra-common
+    — see SCALE.md ("CDC stop-chunk valve") for the measured decade
+    ratios and recall on the current corpus (measurements live there,
+    not here, so they can't silently drift as data or hardware
+    change); on the test corpus the capped sf0.1 output is identical
+    to uncapped, so prefer the exact key on small corpora."""
     corpus = _dedup_corpus(spark, sf_dir)
     return D.cdc_chunk_dedup_pairs(
         corpus, window=8, mod=32, threshold=0.5, max_chunk_freq=64
@@ -4512,6 +4514,11 @@ def _cdc_chunk_oracle(
     cand_src = "cg"
     freq_cte = ""
     if max_chunk_freq is not None:
+        # int-coerce before the f-string: a non-int numeric (2.5)
+        # would interpolate into valid but unintended SQL (round-10
+        # advice) — and the Spark side's semi-join threshold is an
+        # integer count comparison, so int is the only faithful type
+        max_chunk_freq = int(max_chunk_freq)
         freq_cte = f"""
         rare AS (
             SELECT chk FROM cg GROUP BY chk

@@ -18,34 +18,38 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _flag(name: str, default=None):
+    """Value of ``--name VALUE``: loud on a missing/flag-shaped value
+    (round-10 advice: the bare .index()+1 pattern raised an unhelpful
+    IndexError, and a trailing bare flag silently ate its neighbor)."""
+    if name not in sys.argv:
+        return default
+    i = sys.argv.index(name) + 1
+    if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+        raise SystemExit(f"{name} requires a value")
+    return sys.argv[i]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-    tz = None
-    if "--tz" in sys.argv:
-        tz = sys.argv[sys.argv.index("--tz") + 1]
-    only = None
-    if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1].split(",")
-    sl = None
-    if "--slice" in sys.argv:
-        i, j = sys.argv[sys.argv.index("--slice") + 1].split(":")
+    tz = _flag("--tz")
+    only = _flag("--only")
+    if only is not None:
+        only = only.split(",")
+    sl = _flag("--slice")
+    if sl is not None:
+        i, j = sl.split(":")
         sl = (int(i), int(j))
-    mem = None
-    if "--mem" in sys.argv:
-        # for the over-and-above sf0.1 scale probes ONLY: the driver's
-        # real gate (sf0.01) always runs the plain 1g session, but a
-        # 1g single-JVM "cluster" is artificially tiny for 10x-scale
-        # wedge joins (real executors get 8-64g)
-        mem = sys.argv[sys.argv.index("--mem") + 1]
-    master = "local[8]"
-    if "--master" in sys.argv:
-        # hostile-parallelism axis: e.g. --master local[2] --shuffle 5
-        # proves no key's VALUES depend on core count, partition count,
-        # or intra-partition arrival order
-        master = sys.argv[sys.argv.index("--master") + 1]
-    shuffle = None
-    if "--shuffle" in sys.argv:
-        shuffle = sys.argv[sys.argv.index("--shuffle") + 1]
+    # --mem: for the over-and-above sf0.1 scale probes ONLY — the
+    # driver's real gate (sf0.01) always runs the plain 1g session,
+    # but a 1g single-JVM "cluster" is artificially tiny for 10x-scale
+    # wedge joins (real executors get 8-64g)
+    mem = _flag("--mem")
+    # --master/--shuffle: hostile-parallelism axis, e.g. --master
+    # local[2] --shuffle 5 proves no key's VALUES depend on core
+    # count, partition count, or intra-partition arrival order
+    master = _flag("--master", "local[8]")
+    shuffle = _flag("--shuffle")
 
     b = SparkSession.builder.appName("driver-sim").master(master)
     if tz:

@@ -188,6 +188,93 @@ def test_centroid_cell_count_guard_is_loud(spark, sf_dir):
         _centroid_cell_udf(
             emb, "vec_id", "embedding", fixed_cells=_MAX_CENTROID_CELLS + 1
         )
+    # the refusal must name the real escape hatch: a pre-trained
+    # centroid TABLE (round-10 advice: the old wording oversold
+    # fixed_cells, which is only an int count)
+    with pytest.raises(ValueError, match="centroids TABLE"):
+        _centroid_cell_udf(
+            emb, "vec_id", "embedding", fixed_cells=_MAX_CENTROID_CELLS + 1
+        )
+
+
+def test_trained_centroids_path_on_ivf_index(spark, sf_dir):
+    """The >16.7M-vector production path (round-10 verdict #2): the
+    centroid-cell kernel must accept the IVF index's PERSISTED coarse
+    quantizer as its centroid set, decoupling cell count from corpus
+    size. Exercises semantic_dedup and embedding_near_dup_pairs on the
+    real persisted table: cluster ids are the table's own list_id
+    values, every vector is assigned, and the SemDeDup survivorship
+    law (lowest id per cluster kept) holds unchanged."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+    from mapr_plugins_spark.operators.registry import _ensure_staged, _ivf_index_dir
+    from mapr_plugins_spark.operators.similarity import ivf_index_write
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _ivf_index_dir(sf_dir)
+    _ensure_staged(d, lambda tmp: ivf_index_write(emb, tmp, n_lists=16))
+    cents = spark.read.parquet(f"{d}/centroids")
+    list_ids = {r.list_id for r in cents.collect()}
+
+    out = semantic_dedup(emb, centroids=cents).collect()
+    assert len(out) == emb.count()  # every vector assigned
+    assert {r.cluster_id for r in out} <= list_ids  # table's own ids
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for rs in by_cluster.values():
+        assert min(rs, key=lambda r: r.vec_id).is_kept
+
+    pairs = embedding_near_dup_pairs(emb, centroids=cents)
+    assert pairs.columns == ["id_a", "id_b", "cos6"]
+    assert all(r.id_a < r.id_b for r in pairs.collect())
+
+
+def test_trained_centroids_match_default_seeds(spark, sf_dir):
+    """Quantization parity pin: a trained-centroid table holding
+    EXACTLY the default path's lowest-id seed vectors (raw doubles,
+    cell_id = seed rank) must reproduce the default assignment
+    bit-for-bit — the driver-side ``math.floor(x·1e6)`` and the
+    Spark-side ``floor(cast(x as double)·1e6)`` micro-unit rules are
+    the same IEEE arithmetic, so the two provenances can never
+    drift."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_cells = max(8, emb.count() // 128)
+    seed_rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )[:n_cells]
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seed_rows)],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    default = {r.vec_id: r.cluster_id for r in semantic_dedup(emb).collect()}
+    trained = {
+        r.vec_id: r.cluster_id
+        for r in semantic_dedup(emb, centroids=cents).collect()
+    }
+    assert trained == default
+
+
+def test_trained_centroids_reject_duplicate_ids(spark, sf_dir):
+    """Duplicate cell ids would make both the coarse-prefix order and
+    the emitted cell names ambiguous — refuse loudly."""
+    import pytest
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import _centroid_cell_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    dup = spark.createDataFrame(
+        [(0, [0.0] * 64), (0, [1.0] * 64)], "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        _centroid_cell_udf(emb, "vec_id", "embedding", centroids=dup)
 
 
 def test_embcos_high_cosine_twins_co_assign(spark, sf_dir):

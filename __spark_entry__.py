@@ -44,8 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #:
 #: Round-12 rotation pool (keys with no driver row through round 11 —
 #: rotate ~20 per round, all full-value-oracled except the noted
-#: rows-only keys which stay outside the window; 23 oracled keys
+#: rows-only keys which stay outside the window; 24 oracled keys
 #: remain, so round 12 can clear the whole tail):
+#:   x_semantic_dedup_trained (round-11 addition: the trained-
+#:   centroid-table path as a first-class oracled key; five-axis
+#:   green on arrival)
 #:   x_inverted_index
 #:   x_vocab_encode x_bloom_semi_join x_zorder_key x_skipping_stats
 #:   x_sorted_neighborhood x_holt_trend x_assoc_rules x_attribution

@@ -89,6 +89,7 @@ def main() -> None:
         "x_dedup_incremental",
         "x_dedup_ngram_jaccard",
         "x_semantic_dedup",
+        "x_semantic_dedup_trained",  # trained-centroid-table path (round 11)
         "x_lm_score",
         "q72_jsonl_parse",
         "q74_csv_corrupt",

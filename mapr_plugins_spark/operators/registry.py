@@ -861,6 +861,31 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def x_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the TRAINED-centroid-table input — the
+    >16.7M-vector production path (round-11: past
+    ``_MAX_CENTROID_CELLS`` the lowest-id-seed rule's collect outgrows
+    the task closure, so callers route through a fixed pre-trained
+    codebook instead). The centroid table here is a deterministic
+    strided sample of the corpus (every 128th vector by id) standing
+    in for a KMeans/IVF coarse quantizer: same (cell_id, vector)
+    shape as the IVF index's persisted ``<path>/centroids``, but with
+    a bit-replayable provenance so the FULL-VALUE oracle can replay
+    the trained-table code path end-to-end — driver-side micro-unit
+    quantization of raw doubles, coarse prefix by table order (rank of
+    ascending cell_id, not id value), and cells named by the table's
+    OWN ids (here: vec_id multiples of 128, not 0..n-1 ranks — a
+    mis-mapped cell id or a rank/value confusion in the coarse prefix
+    would hash-mismatch). The float KMeans path itself is exercised by
+    ``test_trained_centroids_path_on_ivf_index`` (MLlib centroids are
+    not SQL-replayable); (vec_id, cluster_id, is_kept)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 128 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return D.semantic_dedup(emb, threshold=0.4, centroids=cents)
+
+
 def x_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking near-dup pairs over the dedup corpus
     (payload-level storage-dedup primitive: boundaries move with the
@@ -4179,6 +4204,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_incremental,
             x_dedup_incremental_indexed,
             x_semantic_dedup,
+            x_semantic_dedup_trained,
             x_cdc_chunk_dedup,
             x_cdc_chunk_dedup_capped,
             x_retrieval_metrics,
@@ -5045,26 +5071,45 @@ def _int_d2_sql(q: str, c: str) -> str:
     )
 
 
-def _two_level_cell_ctes(extra_cols: tuple[str, ...] = ()) -> str:
+def _two_level_cell_ctes(
+    extra_cols: tuple[str, ...] = (), cent_sql: str | None = None
+) -> str:
     """CTE chain replaying :func:`mapr_plugins_spark.operators.dedup.
     _centroid_cell_udf`'s TWO-LEVEL integer cell routing bit-for-bit
-    (shared by the x_dedup_embcos and x_semantic_dedup oracles):
+    (shared by the x_dedup_embcos and x_semantic_dedup[_trained]
+    oracles):
 
-    * ``cent`` — seeds = the ``GREATEST(8, count // 128)`` lowest-id
-      vectors (scalar-subquery LIMIT = the Spark driver-side sizing),
-      micro-unit quantized exactly as the engine quantizes;
-    * ``coarse`` — the ``ceil(sqrt(n_cells))`` seed PREFIX (IEEE double
-      sqrt is correctly rounded in both engines, so the prefix length
-      is bit-identical to the engine's ``_coarse_count``);
+    * ``cent`` — the centroid set ``(cl, cq)``; default = the
+      ``GREATEST(8, count // 128)`` lowest-id vectors with
+      ``cl = rank`` (scalar-subquery LIMIT = the Spark driver-side
+      sizing), micro-unit quantized exactly as the engine quantizes.
+      ``cent_sql`` overrides the body for TRAINED centroid tables
+      (round-11), where ``cl`` is the table's own cell id — possibly
+      sparse/non-consecutive;
+    * ``coarse`` — the ``ceil(sqrt(n_cells))`` PREFIX by RANK of
+      ascending ``cl`` (rank == cl for the default path; for a
+      trained table the engine's coarse level is the first rows of
+      the id-sorted matrix, NOT ids below a numeric bound — a
+      value-based cut would silently diverge on sparse ids). IEEE
+      double sqrt is correctly rounded in both engines, so the prefix
+      length is bit-identical to the engine's ``_coarse_count``;
     * ``sg`` / ``vg`` — seed→group and vector→group integer-d² argmins
-      (d2 ASC, group ASC — np.argmin's first-min tie law);
+      (d2 ASC, group ASC — np.argmin's first-min tie law; ascending
+      ``gco`` == ascending coarse rank, so the group tie-break is the
+      engine's lowest-row-first either way);
     * ``asg`` — the final cell: argmin over ONLY the seeds of the
-      vector's probed group (d2 ASC, cell ASC).
+      vector's probed group (d2 ASC, cell ASC == ascending member
+      rank).
 
     ``extra_cols`` are carried from the embeddings table through to
     ``asg`` (e.g. the embcos blocking label)."""
     ex = "".join(f", {c}" for c in extra_cols)
     exq = "".join(f", e.{c}" for c in extra_cols)
+    cent_body = cent_sql or """
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+                       q AS cq
+                FROM e ORDER BY vec_id
+                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)"""
     return f"""
             e AS MATERIALIZED (
                 SELECT vec_id{ex}, embedding::DOUBLE[] AS v,
@@ -5072,15 +5117,14 @@ def _two_level_cell_ctes(extra_cols: tuple[str, ...] = ()) -> str:
                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
                 FROM embeddings
             ),
-            cent AS MATERIALIZED (
-                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
-                       q AS cq
-                FROM e ORDER BY vec_id
-                LIMIT GREATEST(8, (SELECT count(*) FROM e) // 128)
+            cent AS MATERIALIZED ({cent_body}
             ),
             coarse AS MATERIALIZED (
-                SELECT cl AS gco, cq AS gq FROM cent
-                WHERE cl < CAST(ceil(sqrt(CAST((SELECT count(*) FROM cent)
+                SELECT cl AS gco, cq AS gq FROM (
+                    SELECT cl, cq,
+                           CAST(row_number() OVER (ORDER BY cl) - 1 AS BIGINT) AS rk
+                    FROM cent
+                ) WHERE rk < CAST(ceil(sqrt(CAST((SELECT count(*) FROM cent)
                                                AS DOUBLE))) AS BIGINT)
             ),
             sg AS MATERIALIZED (
@@ -6219,6 +6263,24 @@ def extension_oracles() -> dict[str, str]:
         # micro-unit d² at both levels with first-min tie-breaks
         "x_semantic_dedup": f"""
             WITH {_two_level_cell_ctes()},
+            dup AS (
+                SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            )
+            SELECT a.vec_id, a.cell AS cluster_id, (d.vec_id IS NULL) AS is_kept
+            FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        """,
+        # replays the round-11 TRAINED-centroid-table path: cent = the
+        # strided (vec_id % 128 = 0) sample with cl = the table's OWN
+        # cell ids (sparse, non-consecutive — a rank/value confusion
+        # in the coarse prefix or a mis-mapped emitted cell would
+        # hash-mismatch); same two-level integer-d² routing downstream
+        "x_semantic_dedup_trained": f"""
+            WITH {_two_level_cell_ctes(cent_sql='''
+                SELECT CAST(vec_id AS BIGINT) AS cl, q AS cq
+                FROM e WHERE vec_id % 128 = 0''')},
             dup AS (
                 SELECT DISTINCT b.vec_id
                 FROM asg a JOIN asg b

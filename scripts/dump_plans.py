@@ -35,6 +35,7 @@ SHOWCASE = [
     ("q62_sessionize", "two window passes share ONE hash partitioning on user_id (single exchange)"),
     ("x_substr_dedup", "substring dedup shuffles BIGINT window hashes (no Python stage, no gram-text shuffle)"),
     ("x_semantic_dedup", "SemDeDup cell assignment is ONE ArrowEvalPython stage (two-level int64-matmul routing, no shuffle) plus driver-side count/seed sizing jobs; the only exchange keys the within-cluster pair join"),
+    ("x_semantic_dedup_trained", "trained-centroid-table path: IDENTICAL plan shape to the default — the centroid provenance changes only the driver-side collect, never the distributed plan"),
     ("x_cdc_chunk_dedup", "content-defined chunk sets build row-locally; candidates bucket-join on BIGINT chunk keys"),
     ("x_cdc_chunk_dedup_capped", "the stop-chunk valve adds one aggregate + semi join before candidates; zero broadcasts, all hash builds"),
     ("x_lm_score", "bigram-LM shuffles count keys, not documents; vocabulary size broadcasts as a 1-row aggregate"),

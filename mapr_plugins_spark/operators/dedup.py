@@ -973,7 +973,10 @@ def _centroid_cell_udf(
       OWN cell_id values. Cell count is now decoupled from corpus
       size, so a 1e9-vector corpus routes through a fixed trained
       codebook instead of re-growing lowest-id seeds (the round-10
-      verdict's remaining 100×-scale wiring).
+      verdict's remaining 100×-scale wiring). Mutually exclusive with
+      ``fixed_cells`` (passing both raises); ``cell_occupancy`` /
+      ``min_cells`` are seed-path knobs and are ignored when a table
+      is given — the table defines its own cell count.
 
     The routing runs as an Arrow-batched vectorized kernel (int64
     matmul — exact, associative, order-free; see
@@ -993,10 +996,31 @@ def _centroid_cell_udf(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
     )
     if centroids is not None:
+        if fixed_cells is not None:
+            raise ValueError(
+                "pass either centroids (a trained table) or fixed_cells "
+                "(a seed count), not both — a trained table defines its "
+                "own cell count and the seed knobs are ignored"
+            )
         cid_col, cvec_col = centroids.columns[:2]
-        crows = sorted(
-            centroids.select(cid_col, cvec_col).collect(), key=lambda r: int(r[0])
-        )  # metadata-sized by contract — cap-checked below
+        # LIMIT cap+1 BEFORE the collect: the cap must be enforceable
+        # without first shipping an oversized table to the driver (an
+        # accidental corpus-sized centroids= argument would otherwise
+        # OOM the driver before the guard fires); within the cap the
+        # limit returns every row, so the sort below sees the full set
+        crows = (
+            centroids.select(cid_col, cvec_col)
+            .limit(_MAX_CENTROID_CELLS + 1)
+            .collect()
+        )
+        if len(crows) > _MAX_CENTROID_CELLS:
+            raise ValueError(
+                f"trained centroids table exceeds _MAX_CENTROID_CELLS="
+                f"{_MAX_CENTROID_CELLS} rows: the centroid matrix rides in "
+                "the task closure, so it must stay metadata-sized — train "
+                "fewer centroids (or pre-trim the table)."
+            )
+        crows = sorted(crows, key=lambda r: int(r[0]))
         n_cells = len(crows)
         if n_cells == 0:
             raise ValueError("trained centroids table is empty")
@@ -1011,7 +1035,7 @@ def _centroid_cell_udf(
     else:
         n = emb.count()  # driver-side sizing scan (one count job)
         n_cells = max(min_cells, n // cell_occupancy)
-    if n_cells > _MAX_CENTROID_CELLS:
+    if centroids is None and n_cells > _MAX_CENTROID_CELLS:
         raise ValueError(
             f"centroid-cell count {n_cells} exceeds _MAX_CENTROID_CELLS="
             f"{_MAX_CENTROID_CELLS}: the seed collect/closure would be "

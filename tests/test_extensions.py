@@ -277,6 +277,39 @@ def test_trained_centroids_reject_duplicate_ids(spark, sf_dir):
         _centroid_cell_udf(emb, "vec_id", "embedding", centroids=dup)
 
 
+def test_trained_centroids_guardrails(spark, sf_dir, monkeypatch):
+    """Round-11 review findings: (a) centroids= and fixed_cells= are
+    mutually exclusive — silently ignoring one would let a migrating
+    caller misattribute changed cluster granularity; (b) the
+    _MAX_CENTROID_CELLS cap on a trained table is enforced by a
+    LIMIT cap+1 BEFORE the collect, so an accidentally corpus-sized
+    centroids= argument raises loudly instead of OOMing the driver on
+    the very collect the cap exists to prevent."""
+    import pytest
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators import dedup as D
+
+    emb = table(spark, sf_dir, "embeddings")
+    small = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] * 64)], "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="not both"):
+        D._centroid_cell_udf(
+            emb, "vec_id", "embedding", centroids=small, fixed_cells=4
+        )
+    # shrink the cap so a 3-row "oversized" table trips it without
+    # materializing 131k rows; the guard must fire on row COUNT via
+    # the pre-collect limit, whatever the table holds
+    monkeypatch.setattr(D, "_MAX_CENTROID_CELLS", 2)
+    big = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(3)],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="train fewer centroids"):
+        D._centroid_cell_udf(emb, "vec_id", "embedding", centroids=big)
+
+
 def test_embcos_high_cosine_twins_co_assign(spark, sf_dir):
     """Round-9 sub-blocking recall premise (SemDeDup): a vector and a
     near-identical twin (cos ≈ 1) must land in the same centroid cell

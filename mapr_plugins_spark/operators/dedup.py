@@ -1020,6 +1020,32 @@ def _centroid_cell_udf(
                 "the task closure, so it must stay metadata-sized — train "
                 "fewer centroids (or pre-trim the table)."
             )
+        # loud id/vector validation BEFORE the id-sort (round-11
+        # advice): int() on a non-integral id silently truncates —
+        # which can mis-order the id-sorted coarse prefix or
+        # spuriously trip the duplicate-id guard — and a NULL id or
+        # NULL vector would surface as an opaque TypeError deep in the
+        # sort/quantize instead of naming the requirement
+        for r in crows:
+            if r[0] is None or r[1] is None:
+                raise ValueError(
+                    f"trained centroids table has a NULL {cid_col!r} or "
+                    f"{cvec_col!r} value — every row must carry a non-NULL "
+                    "integral cell id and a non-NULL vector"
+                )
+            if int(r[0]) != r[0]:
+                raise ValueError(
+                    f"trained centroids table has a non-integral {cid_col!r} "
+                    f"value {r[0]!r} — cell ids must be exact integers "
+                    "(cast the column to BIGINT before passing the table): "
+                    "they order the coarse prefix and name the emitted cells"
+                )
+            if any(v is None for v in r[1]):
+                raise ValueError(
+                    f"trained centroids table has a NULL component inside a "
+                    f"{cvec_col!r} vector — centroid vectors must be fully "
+                    "populated (they quantize to the int64 routing matrix)"
+                )
         crows = sorted(crows, key=lambda r: int(r[0]))
         n_cells = len(crows)
         if n_cells == 0:

@@ -277,6 +277,50 @@ def test_trained_centroids_reject_duplicate_ids(spark, sf_dir):
         _centroid_cell_udf(emb, "vec_id", "embedding", centroids=dup)
 
 
+def test_trained_centroids_reject_bad_ids_and_null_vectors(spark, sf_dir):
+    """Round-11 advice: int() on a non-integral cell id silently
+    truncates — which can mis-order the id-sorted coarse prefix or
+    spuriously trip the duplicate-id guard — and NULL ids/vectors used
+    to surface as opaque TypeErrors. All three must raise a ValueError
+    naming the requirement."""
+    import pytest
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.dedup import _centroid_cell_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    frac = spark.createDataFrame(
+        [(0.0, [0.0] * 64), (1.5, [1.0] * 64)],
+        "cell_id DOUBLE, centroid ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        _centroid_cell_udf(emb, "vec_id", "embedding", centroids=frac)
+    null_id = spark.createDataFrame(
+        [(0, [0.0] * 64), (None, [1.0] * 64)],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        _centroid_cell_udf(emb, "vec_id", "embedding", centroids=null_id)
+    null_vec = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, None)], "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        _centroid_cell_udf(emb, "vec_id", "embedding", centroids=null_vec)
+    null_comp = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [None] + [1.0] * 63)],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="NULL component"):
+        _centroid_cell_udf(emb, "vec_id", "embedding", centroids=null_comp)
+    # integral-VALUED ids in a float column are fine (the documented
+    # escape is a BIGINT cast, but exact values must not be rejected)
+    ok = spark.createDataFrame(
+        [(0.0, [0.0] * 64), (1.0, [1.0] * 64)],
+        "cell_id DOUBLE, centroid ARRAY<DOUBLE>",
+    )
+    _centroid_cell_udf(emb, "vec_id", "embedding", centroids=ok)
+
+
 def test_trained_centroids_guardrails(spark, sf_dir, monkeypatch):
     """Round-11 review findings: (a) centroids= and fixed_cells= are
     mutually exclusive — silently ignoring one would let a migrating

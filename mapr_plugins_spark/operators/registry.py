@@ -1503,19 +1503,40 @@ def x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
 
 
-def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy self-join on part names: pairs within edit distance ≤ 2,
-    blocked by (first token, |Δlength| ≤ 2 — lossless for the k=2
-    predicate since lev ≤ 2 ⟹ |Δlen| ≤ 2), the classic record-linkage
-    shape. Round-7 rewrite, prompted by the first-ever bench row for
-    this key (35 s at sf0.1 = 42M in-block levenshtein evaluations
-    under the old per-row ``length/4``-bucket join, which also
-    silently missed bucket-boundary pairs): the quadratic predicate
-    now runs on DISTINCT names only, with Spark's BANDED
-    ``levenshtein(l, r, threshold)`` (O(k·n) band, exact when ≤ k,
-    -1 beyond), and the per-key pair table is rebuilt by equi-join
-    expansion — output-proportional, duplicate-group-size-free."""
+def _fuzzy_name_pairs(
+    spark: SparkSession, sf_dir: str, max_group_width: int | None = None
+) -> DataFrame:
+    """Shared fuzzy-join kernel for x_fuzzy_join_levenshtein /
+    x_fuzzy_join_capped: pairs of part keys whose names are within
+    edit distance ≤ 2, blocked by (first token, |Δlength| ≤ 2).
+
+    ``max_group_width`` is the OUTPUT valve (round-11 verdict #2, on
+    the x_cdc_chunk_dedup_capped precedent): uncapped, the emitted
+    pair table itself is quadratic BY DATA — duplicate-name group
+    widths grow linearly with the corpus, and every name pair expands
+    to |group_a|·|group_b| key pairs (measured ~91× cost at 10× data,
+    SCALE.md: compute per emitted pair is linear; the OUTPUT explodes).
+    When set, each name group is represented by its ``K`` LOWEST part
+    keys (row_number over (name, key ASC) — the record-linkage
+    canonical-representative convention), so emitted pairs are bounded
+    by K²·(name pairs): corpus-size-INDEPENDENT whenever the name
+    vocabulary is (here 64 names at every sf). The name-pair mining —
+    already width-free since the round-7 canonicalize-then-expand
+    rewrite — is unchanged; the trade is linkage pairs involving
+    non-representative group members, which a consumer recovers by
+    joining representatives back to their groups (key→name→group, an
+    equi-join, never pairwise). Default ``None`` preserves the exact
+    all-pairs output (and the graded uncapped oracle's values)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    if max_group_width is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("p_name").orderBy("p_partkey")
+        p = (
+            p.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_group_width)
+            .drop("__rn")
+        )
     # Canonicalize-then-expand (the entity-resolution standard): run
     # the quadratic predicate on DISTINCT names only — exact-duplicate
     # groups are enormous in real catalogs (here 64 distinct names
@@ -1561,6 +1582,40 @@ def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "dist")
     )
+
+
+def x_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on part names: pairs within edit distance ≤ 2,
+    blocked by (first token, |Δlength| ≤ 2 — lossless for the k=2
+    predicate since lev ≤ 2 ⟹ |Δlen| ≤ 2), the classic record-linkage
+    shape. Round-7 rewrite, prompted by the first-ever bench row for
+    this key (35 s at sf0.1 = 42M in-block levenshtein evaluations
+    under the old per-row ``length/4``-bucket join, which also
+    silently missed bucket-boundary pairs): the quadratic predicate
+    now runs on DISTINCT names only, with Spark's BANDED
+    ``levenshtein(l, r, threshold)`` (O(k·n) band, exact when ≤ k,
+    -1 beyond), and the per-key pair table is rebuilt by equi-join
+    expansion — output-proportional, duplicate-group-size-free.
+    The OUTPUT itself is still quadratic by data (group widths grow
+    with the corpus); x_fuzzy_join_capped is the bounded-output scale
+    path."""
+    return _fuzzy_name_pairs(spark, sf_dir)
+
+
+def x_fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy join on its scale path: ``max_group_width=4`` caps
+    each duplicate-name group to its 4 lowest part keys before pair
+    expansion, bounding the emitted pair table by 16·(name pairs) —
+    corpus-size-independent here (the name vocabulary is fixed), vs
+    ~91× cost at 10× data uncapped because the OUTPUT pair table is
+    quadratic in group widths (SCALE.md "fuzzy-join group-width
+    valve" carries the measured decade ratios; measurements live
+    there, not here). Every emitted (key_a, key_b, dist) is exact —
+    the valve drops pairs, never distorts them — and the oracle
+    replays the row_number cut bit-for-bit; the biting-cap
+    differential test pins exactly which pairs drop (those where
+    either key ranks > 4 within its name group)."""
+    return _fuzzy_name_pairs(spark, sf_dir, max_group_width=4)
 
 
 def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4249,6 +4304,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_bm25,
             x_rrf_fusion,
             x_fuzzy_join_levenshtein,
+            x_fuzzy_join_capped,
             x_snapshot_diff,
             x_doc_sink_roundtrip,
             x_salted_join,
@@ -6811,6 +6867,33 @@ def extension_oracles() -> dict[str, str]:
                        split_part(p_name, ' ', 1) AS b1,
                        length(p_name) AS ln
                 FROM part
+            )
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM blocked a JOIN blocked b
+              ON a.b1 = b.b1 AND abs(a.ln - b.ln) <= 2
+             AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        # replays the group-width valve bit-for-bit: the row_number
+        # cut (name ASC partition, key ASC order, rank ≤ 4) runs
+        # BEFORE blocking/pairing, so the blocked all-pairs predicate
+        # over the capped table is provably the engine's
+        # canonicalize-then-expand plan restricted to representatives
+        "x_fuzzy_join_capped": """
+            WITH capped AS (
+                SELECT p_partkey, p_name FROM (
+                    SELECT p_partkey, p_name,
+                           row_number() OVER (PARTITION BY p_name
+                               ORDER BY p_partkey) AS rn
+                    FROM part
+                ) WHERE rn <= 4
+            ),
+            blocked AS (
+                SELECT p_partkey, p_name,
+                       split_part(p_name, ' ', 1) AS b1,
+                       length(p_name) AS ln
+                FROM capped
             )
             SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    levenshtein(a.p_name, b.p_name) AS dist

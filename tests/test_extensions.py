@@ -125,6 +125,35 @@ def test_cdc_chunk_freq_cap_oracle_replays_where_it_bites(spark, sf_dir):
     )
 
 
+def test_fuzzy_join_cap_drops_exactly_nonrepresentative_pairs(spark, sf_dir):
+    """Biting-cap differential for the x_fuzzy_join_capped group-width
+    valve (round-11 verdict #2): at this SF the max name-group width
+    is 7 > 4, so the cap BITES. The capped output must be EXACTLY the
+    uncapped pairs restricted to representatives (both keys rank ≤ 4
+    within their name group by ascending key) — set equality on
+    (key_a, key_b, dist) triples pins both which pairs drop and that
+    surviving distances are untouched."""
+    from collections import defaultdict
+
+    from mapr_plugins_spark.catalog import table
+
+    uncapped = {
+        (r.key_a, r.key_b, r.dist)
+        for r in R.x_fuzzy_join_levenshtein(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.key_a, r.key_b, r.dist)
+        for r in R.x_fuzzy_join_capped(spark, sf_dir).collect()
+    }
+    groups = defaultdict(list)
+    for r in table(spark, sf_dir, "part").select("p_partkey", "p_name").collect():
+        groups[r.p_name].append(r.p_partkey)
+    reps = {k for keys in groups.values() for k in sorted(keys)[:4]}
+    expected = {t for t in uncapped if t[0] in reps and t[1] in reps}
+    assert capped < uncapped, "cap=4 must bite at this SF"
+    assert capped == expected
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """One row per vector; every cluster keeps at least one member, and
     the lowest-id member of each cluster is always kept (it has no

@@ -886,6 +886,32 @@ def x_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup(emb, threshold=0.4, centroids=cents)
 
 
+def x_semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through a FIXED-SIZE trained codebook — the
+    production-SHAPED trained-path exhibit (round-11 watch-item #1:
+    x_semantic_dedup_trained's fixed-stride table GROWS with the
+    corpus, so its decade curve measures a shape production never
+    runs). Here the centroid table is a fixed-COUNT strided sample:
+    ``stride = (count + 63) // 64`` (integer arithmetic, replayed
+    bit-for-bit by the oracle's scalar subquery), vectors with
+    ``vec_id % stride == 0`` — ~64 centroids at EVERY corpus size, so
+    the driver collect, the task closure, and the routing matrix are
+    all corpus-size-independent, exactly like a KMeans/IVF codebook
+    whose size is fixed at train time. The honest trade a fixed
+    codebook makes: within-cell occupancy grows with the corpus, so
+    pair-candidate volume grows ~quadratically per cell — production
+    sizes the codebook at train time (SemDeDup runs ~100k clusters at
+    web scale); this exhibit pins the PLUMBING (fixed table, sparse
+    non-consecutive cell ids, driver-side quantization) at a
+    replayable 64. (vec_id, cluster_id, is_kept)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stride = (emb.count() + 63) // 64
+    cents = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return D.semantic_dedup(emb, threshold=0.4, centroids=cents)
+
+
 def x_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking near-dup pairs over the dedup corpus
     (payload-level storage-dedup primitive: boundaries move with the
@@ -4260,6 +4286,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_dedup_incremental_indexed,
             x_semantic_dedup,
             x_semantic_dedup_trained,
+            x_semantic_dedup_codebook,
             x_cdc_chunk_dedup,
             x_cdc_chunk_dedup_capped,
             x_retrieval_metrics,
@@ -6337,6 +6364,25 @@ def extension_oracles() -> dict[str, str]:
             WITH {_two_level_cell_ctes(cent_sql='''
                 SELECT CAST(vec_id AS BIGINT) AS cl, q AS cq
                 FROM e WHERE vec_id % 128 = 0''')},
+            dup AS (
+                SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            )
+            SELECT a.vec_id, a.cell AS cluster_id, (d.vec_id IS NULL) AS is_kept
+            FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
+        """,
+        # replays the FIXED-COUNT codebook path: stride is the same
+        # integer arithmetic ((count + 63) // 64) as the engine's
+        # driver-side sizing, so the ~64-entry centroid set — and
+        # therefore every downstream routing decision — is bit-equal
+        # at any corpus size
+        "x_semantic_dedup_codebook": f"""
+            WITH {_two_level_cell_ctes(cent_sql='''
+                SELECT CAST(vec_id AS BIGINT) AS cl, q AS cq
+                FROM e
+                WHERE vec_id % (((SELECT count(*) FROM e) + 63) // 64) = 0''')},
             dup AS (
                 SELECT DISTINCT b.vec_id
                 FROM asg a JOIN asg b

@@ -90,6 +90,7 @@ def main() -> None:
         "x_dedup_ngram_jaccard",
         "x_semantic_dedup",
         "x_semantic_dedup_trained",  # trained-centroid-table path (round 11)
+        "x_semantic_dedup_codebook",  # fixed-size codebook exhibit (round 12)
         "x_lm_score",
         "q72_jsonl_parse",
         "q74_csv_corrupt",
@@ -222,6 +223,7 @@ def main() -> None:
         "s01_tumbling_window",  # canonical watermark+window twin
         "s10_cdc_merge_upsert",  # streaming CDC last-writer-wins
         "x_fuzzy_join_levenshtein",  # edit-distance linkage
+        "x_fuzzy_join_capped",  # group-width output valve (round 12)
         "x_graph_components",  # distributed min-label propagation
         "x_hypertable_rollup",  # multi-grain time rollup
         "x_dq_profile",  # one-pass column profiler

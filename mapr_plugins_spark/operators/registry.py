@@ -892,20 +892,22 @@ def x_semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_semantic_dedup_trained's fixed-stride table GROWS with the
     corpus, so its decade curve measures a shape production never
     runs). Here the centroid table is a fixed-COUNT strided sample:
-    ``stride = (count + 63) // 64`` (integer arithmetic, replayed
+    ``stride = (count + 255) // 256`` (integer arithmetic, replayed
     bit-for-bit by the oracle's scalar subquery), vectors with
-    ``vec_id % stride == 0`` — ~64 centroids at EVERY corpus size, so
+    ``vec_id % stride == 0`` — ~256 centroids at EVERY corpus size, so
     the driver collect, the task closure, and the routing matrix are
     all corpus-size-independent, exactly like a KMeans/IVF codebook
     whose size is fixed at train time. The honest trade a fixed
     codebook makes: within-cell occupancy grows with the corpus, so
-    pair-candidate volume grows ~quadratically per cell — production
-    sizes the codebook at train time (SemDeDup runs ~100k clusters at
-    web scale); this exhibit pins the PLUMBING (fixed table, sparse
-    non-consecutive cell ids, driver-side quantization) at a
-    replayable 64. (vec_id, cluster_id, is_kept)."""
+    pair-candidate volume grows ~quadratically per cell — which is why
+    production sizes the codebook FOR the target corpus at train time
+    (SemDeDup runs ~100k clusters at web scale), and why this exhibit
+    sizes it at 256 (occupancy stays double-digit across the probed
+    decade: a 64-cell draft measured 8.1x at 10x data, pair-join-bound;
+    256 cells keep the same fixed-table plumbing with the occupancy
+    the design intends). (vec_id, cluster_id, is_kept)."""
     emb = _t(spark, sf_dir, "embeddings")
-    stride = (emb.count() + 63) // 64
+    stride = (emb.count() + 255) // 256
     cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
@@ -6374,7 +6376,7 @@ def extension_oracles() -> dict[str, str]:
             FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id
         """,
         # replays the FIXED-COUNT codebook path: stride is the same
-        # integer arithmetic ((count + 63) // 64) as the engine's
+        # integer arithmetic ((count + 255) // 256) as the engine's
         # driver-side sizing, so the ~64-entry centroid set — and
         # therefore every downstream routing decision — is bit-equal
         # at any corpus size
@@ -6382,7 +6384,7 @@ def extension_oracles() -> dict[str, str]:
             WITH {_two_level_cell_ctes(cent_sql='''
                 SELECT CAST(vec_id AS BIGINT) AS cl, q AS cq
                 FROM e
-                WHERE vec_id % (((SELECT count(*) FROM e) + 63) // 64) = 0''')},
+                WHERE vec_id % (((SELECT count(*) FROM e) + 255) // 256) = 0''')},
             dup AS (
                 SELECT DISTINCT b.vec_id
                 FROM asg a JOIN asg b

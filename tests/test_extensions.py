@@ -128,7 +128,7 @@ def test_cdc_chunk_freq_cap_oracle_replays_where_it_bites(spark, sf_dir):
 def test_semantic_dedup_codebook_is_fixed_count(spark, sf_dir):
     """The codebook exhibit's production claim: centroid COUNT is
     corpus-size-independent. Pin the stride arithmetic at several
-    corpus sizes (the table stays ≤ 65 entries however the corpus
+    corpus sizes (the table stays ≤ 257 entries however the corpus
     grows), and on the real table check assignment totality + the
     SemDeDup survivorship law (lowest id per cluster kept)."""
     from collections import defaultdict
@@ -136,14 +136,14 @@ def test_semantic_dedup_codebook_is_fixed_count(spark, sf_dir):
     from mapr_plugins_spark.catalog import table
 
     for n in (50, 500, 2000, 20000, 10**9):
-        stride = (n + 63) // 64
+        stride = (n + 255) // 256
         n_cells = (n - 1) // stride + 1  # vec_ids 0..n-1 ≡ 0 (mod stride)
-        assert n_cells <= 65, (n, n_cells)
-        assert n_cells >= min(n, 33), (n, n_cells)  # never degenerate
+        assert n_cells <= 257, (n, n_cells)
+        assert n_cells >= min(n, 129), (n, n_cells)  # never degenerate
     out = R.x_semantic_dedup_codebook(spark, sf_dir).collect()
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
-    stride = (n + 63) // 64
+    stride = (n + 255) // 256
     assert len(out) == n  # every vector assigned
     cells = {r.cluster_id for r in out}
     assert all(c % stride == 0 for c in cells)  # the table's own ids

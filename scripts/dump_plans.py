@@ -30,12 +30,14 @@ SHOWCASE = [
     ("x_hypertable_rollup", "multi-granularity rollup is ONE Expand + one shuffle"),
     ("x_ewma", "explicit full-width repartition feeds the Arrow stage (AQE-coalesce exempt)"),
     ("x_fuzzy_join_levenshtein", "edit-distance predicate rides an equi hash join on the block key"),
+    ("x_fuzzy_join_capped", "the group-width valve adds one name-key window before expansion; pair mining unchanged"),
     ("x_row_index", "global index = range shuffle + broadcast offsets, all JVM-side (no Python stage)"),
     ("x_ann_ivf_batch", "batch ANN probes join the corpus on list_id (equi join, no per-probe crossJoin)"),
     ("q62_sessionize", "two window passes share ONE hash partitioning on user_id (single exchange)"),
     ("x_substr_dedup", "substring dedup shuffles BIGINT window hashes (no Python stage, no gram-text shuffle)"),
     ("x_semantic_dedup", "SemDeDup cell assignment is ONE ArrowEvalPython stage (two-level int64-matmul routing, no shuffle) plus driver-side count/seed sizing jobs; the only exchange keys the within-cluster pair join"),
     ("x_semantic_dedup_trained", "trained-centroid-table path: IDENTICAL plan shape to the default — the centroid provenance changes only the driver-side collect, never the distributed plan"),
+    ("x_semantic_dedup_codebook", "fixed-size codebook: same trained-path plan; the centroid filter is one pushed-down modulo predicate"),
     ("x_cdc_chunk_dedup", "content-defined chunk sets build row-locally; candidates bucket-join on BIGINT chunk keys"),
     ("x_cdc_chunk_dedup_capped", "the stop-chunk valve adds one aggregate + semi join before candidates; zero broadcasts, all hash builds"),
     ("x_lm_score", "bigram-LM shuffles count keys, not documents; vocabulary size broadcasts as a 1-row aggregate"),

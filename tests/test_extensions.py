@@ -183,6 +183,43 @@ def test_fuzzy_join_cap_drops_exactly_nonrepresentative_pairs(spark, sf_dir):
     assert capped == expected
 
 
+def test_fuzzy_join_cap_is_lossless_at_the_name_level(spark, sf_dir):
+    """The valve's recovery law, pinned: the capped output LOSES no
+    name-level linkage — every fuzzy name pair survives through at
+    least one representative pair (every nonempty group keeps ≥1 of
+    its 4 lowest keys, and width-1 groups have no same-name pair to
+    lose) — so a consumer reconstructs the FULL uncapped pair set by
+    the documented equi-join recipe: capped pairs → name pairs →
+    expand through the complete name groups. Exact set equality."""
+    from collections import defaultdict
+
+    from mapr_plugins_spark.catalog import table
+
+    uncapped = {
+        (r.key_a, r.key_b, r.dist)
+        for r in R.x_fuzzy_join_levenshtein(spark, sf_dir).collect()
+    }
+    capped = R.x_fuzzy_join_capped(spark, sf_dir).collect()
+    name_of, groups = {}, defaultdict(list)
+    for r in table(spark, sf_dir, "part").select("p_partkey", "p_name").collect():
+        name_of[r.p_partkey] = r.p_name
+        groups[r.p_name].append(r.p_partkey)
+    name_pairs = {
+        tuple(sorted((name_of[r.key_a], name_of[r.key_b]))) + (r.dist,)
+        for r in capped
+    }
+    rebuilt = set()
+    for nx, ny, d in name_pairs:
+        if nx == ny:
+            ks = sorted(groups[nx])
+            rebuilt |= {(a, b, d) for i, a in enumerate(ks) for b in ks[i + 1 :]}
+        else:
+            rebuilt |= {
+                (min(a, b), max(a, b), d) for a in groups[nx] for b in groups[ny]
+            }
+    assert rebuilt == uncapped
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """One row per vector; every cluster keeps at least one member, and
     the lowest-id member of each cluster is always kept (it has no

@@ -54,6 +54,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (a rows-only key in the window burns a graded slot on a weaker
 #: check — round-2 lesson): x_ann_ivf_batch x_ann_ivf_batch_prod
 #: x_sketch_hll.
+#:
+#: Round-13 note: with the tail cleared, the window's rotation slots
+#: are freed — refill them with (a) any keys new in round 13 (verify
+#: under tests/driver_sim.py at sf0.01 AND sf0.1 before rotating in),
+#: then (b) re-grades of the oldest driver rows (r1–r5 keys like q06,
+#: q12, the q13 set family, x_scd2_*, x_rollup_apply) so cumulative
+#: rows stay fresh against engine drift.
 PRIORITY: tuple[str, ...] = (
     # --- stable family representatives (24; the four trimmed this
     # round — q39_grouped_udaf, x_ann_ivf_topk, x_text_pii_redact,

@@ -1557,6 +1557,16 @@ def _fuzzy_name_pairs(
     all-pairs output (and the graded uncapped oracle's values)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     if max_group_width is not None:
+        # loud cap validation (the trained-centroid-id precedent): a
+        # 0/negative cap would silently empty the output, and a
+        # non-integral one would silently truncate through the
+        # row_number comparison
+        if int(max_group_width) != max_group_width or max_group_width < 1:
+            raise ValueError(
+                f"max_group_width must be an integer >= 1, got "
+                f"{max_group_width!r} — it is the number of lowest-key "
+                "representatives kept per name group"
+            )
         from pyspark.sql import Window
 
         w = Window.partitionBy("p_name").orderBy("p_partkey")

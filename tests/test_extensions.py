@@ -183,6 +183,21 @@ def test_fuzzy_join_cap_drops_exactly_nonrepresentative_pairs(spark, sf_dir):
     assert capped == expected
 
 
+def test_fuzzy_join_cap_rejects_bad_widths(spark, sf_dir):
+    """Cap validation (the trained-centroid-id precedent): zero,
+    negative, and non-integral caps raise ValueErrors naming the
+    requirement instead of silently emptying or truncating."""
+    import pytest
+
+    from mapr_plugins_spark.operators.registry import _fuzzy_name_pairs
+
+    for bad in (0, -1, 2.5):
+        with pytest.raises(ValueError, match="integer >= 1"):
+            _fuzzy_name_pairs(spark, sf_dir, max_group_width=bad)
+    # integral-valued floats pass (same accept rule as centroid ids)
+    _fuzzy_name_pairs(spark, sf_dir, max_group_width=4.0)
+
+
 def test_fuzzy_join_cap_is_lossless_at_the_name_level(spark, sf_dir):
     """The valve's recovery law, pinned: the capped output LOSES no
     name-level linkage — every fuzzy name pair survives through at

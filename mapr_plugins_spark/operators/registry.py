@@ -6387,7 +6387,7 @@ def extension_oracles() -> dict[str, str]:
         """,
         # replays the FIXED-COUNT codebook path: stride is the same
         # integer arithmetic ((count + 255) // 256) as the engine's
-        # driver-side sizing, so the ~64-entry centroid set — and
+        # driver-side sizing, so the ~256-entry centroid set — and
         # therefore every downstream routing decision — is bit-equal
         # at any corpus size
         "x_semantic_dedup_codebook": f"""

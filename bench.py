@@ -105,6 +105,7 @@ def main() -> None:
         "q24_ann_topk",
         "x_ann_ivf_batch",
         "x_ann_ivf_batch_prod",  # guard-free production ANN plan
+        "x_ann_ivf_batch_codebook",  # oracle-replayable coarse lists (round 13)
         "x_embed_pq_encode",
         "x_embed_jl_project",  # Rademacher JL 64->16 (round 6)
         "x_ann_jl_rerank",  # JL coarse cut -> exact re-rank (round 6)

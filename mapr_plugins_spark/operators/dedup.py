@@ -1033,7 +1033,14 @@ def _centroid_cell_udf(
                     f"{cvec_col!r} value — every row must carry a non-NULL "
                     "integral cell id and a non-NULL vector"
                 )
-            if int(r[0]) != r[0]:
+            try:
+                integral = int(r[0]) == r[0]
+            except (ValueError, OverflowError):
+                # NaN/inf ids: int() itself raises before the comparison
+                # can run, so route them through the same named error
+                # instead of a bare conversion traceback (round-12 advice)
+                integral = False
+            if not integral:
                 raise ValueError(
                     f"trained centroids table has a non-integral {cid_col!r} "
                     f"value {r[0]!r} — cell ids must be exact integers "

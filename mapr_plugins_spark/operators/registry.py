@@ -595,6 +595,41 @@ def x_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("recall_at_5", guarded)
 
 
+def x_ann_ivf_batch_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-IVF production plan SHAPE — probes explode to
+    (probe_id, list_id) pairs, corpus equi-joins on list_id, per-probe
+    window top-k — with the coarse lists derived from a deterministic
+    FIXED-COUNT codebook instead of MLlib KMeans float centroids, so
+    the ENTIRE plan hash-grades end-to-end against a full-value DuckDB
+    oracle (round-12 verdict #1: the x_semantic_dedup_codebook
+    precedent applied to the IVF batch pair, retiring its rows-only
+    status). The codebook is ``stride = (count + 15) // 16`` strided
+    corpus vectors (~16 cells at EVERY corpus size — integer
+    arithmetic the oracle replays via a scalar subquery), routing is
+    exact-integer micro-unit squared-L2 with lowest-cell-id ties, and
+    the final ranking is the same cosine/rank contract as the graded
+    x_hard_negatives oracle. KMeans would place better centroids; what
+    this key grades is the PLAN — one corpus assignment, query-sized
+    codebook collect, broadcast probe×list explode, candidate
+    equi-join, one window pass — which is identical between the two
+    quantizers. Assumes DENSE 0..n-1 vec_ids (the testdata contract),
+    asserted into the expected ~16-cell band below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stride = (emb.count() + 15) // 16
+    cents = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    n_sel = cents.limit(32).count()  # bounded probe: a band check, never corpus-sized
+    if not 8 <= n_sel <= 17:
+        raise ValueError(
+            f"fixed-codebook strided sample selected {n_sel} cells, outside "
+            "the expected ~16 band [8, 17] — vec_id is assumed dense 0..n-1; "
+            "with sparse/offset ids pass a trained codebook table instead"
+        )
+    probes = _ivf_probe_batch(emb)
+    return S.ivf_topk_codebook_batch(emb, probes, cents, k=5, n_probe=4)
+
+
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (3 fixed rounds) over the REAL customer↔supplier
     order graph — the link-centrality quality signal corpus curation
@@ -905,12 +940,26 @@ def x_semantic_dedup_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes it at 256 (occupancy stays double-digit across the probed
     decade: a 64-cell draft measured 8.1x at 10x data, pair-join-bound;
     256 cells keep the same fixed-table plumbing with the occupancy
-    the design intends). (vec_id, cluster_id, is_kept)."""
+    the design intends). (vec_id, cluster_id, is_kept).
+
+    Assumes DENSE 0..n-1 vec_ids (the testdata contract): with sparse
+    or offset ids the ``vec_id % stride == 0`` sample would select far
+    fewer (or zero) rows, so the selected count is asserted into the
+    expected ~256 band below instead of surfacing later as a generic
+    empty-centroids error (round-12 advice)."""
     emb = _t(spark, sf_dir, "embeddings")
     stride = (emb.count() + 255) // 256
     cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
+    n_sel = cents.limit(300).count()  # bounded probe: a band check, never corpus-sized
+    if not 128 <= n_sel <= 257:
+        raise ValueError(
+            f"fixed-codebook strided sample selected {n_sel} centroids, "
+            "outside the expected ~256 band [128, 257] — vec_id is assumed "
+            "dense 0..n-1; with sparse/offset ids pass a trained centroid "
+            "table instead of the strided sample"
+        )
     return D.semantic_dedup(emb, threshold=0.4, centroids=cents)
 
 
@@ -1561,7 +1610,13 @@ def _fuzzy_name_pairs(
         # 0/negative cap would silently empty the output, and a
         # non-integral one would silently truncate through the
         # row_number comparison
-        if int(max_group_width) != max_group_width or max_group_width < 1:
+        if (
+            isinstance(max_group_width, bool)  # True is an int subclass:
+            # int(True) == True and True >= 1 both hold, so without this
+            # check a boolean cap would silently mean "1" (round-12 advice)
+            or int(max_group_width) != max_group_width
+            or max_group_width < 1
+        ):
             raise ValueError(
                 f"max_group_width must be an integer >= 1, got "
                 f"{max_group_width!r} — it is the number of lowest-key "
@@ -4279,6 +4334,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x_ann_ivf_topk,
             x_ann_ivf_batch,
             x_ann_ivf_batch_prod,
+            x_ann_ivf_batch_codebook,
             x_ann_lsh_indexed,
             x_hard_negatives,
             x_mmr_rerank,
@@ -6173,6 +6229,55 @@ def extension_oracles() -> dict[str, str]:
                                       ORDER BY weight_micro DESC, doc_id) <= 10
                        AS kept
             FROM wts
+        """,
+        # independent replay of the codebook-IVF batch plan: the stride
+        # is re-derived by a scalar subquery, cell routing / probe
+        # routing are integer-d² argmin / arg-top-4 via row_number (ties
+        # ASC cell id), and the final ranking reuses DuckDB's own cosine
+        # — no float ever decides a bucket, so the cut is bit-stable
+        "x_ann_ivf_batch_codebook": f"""
+            WITH e AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS MATERIALIZED (
+                SELECT vec_id AS cl, q AS cq FROM e
+                WHERE vec_id % ((SELECT count(*) + 15 FROM e) // 16) = 0
+            ),
+            asg AS MATERIALIZED (
+                SELECT vec_id, v, cl AS list_id FROM (
+                    SELECT e.vec_id, e.v, c.cl,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_int_d2_sql("e.q", "c.cq")} ASC, c.cl ASC) AS rn
+                    FROM e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS probe_id, v AS pv, q AS pq FROM e
+                WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8
+            ),
+            plists AS (
+                SELECT probe_id, pv, cl AS list_id FROM (
+                    SELECT p.probe_id, p.pv, c.cl,
+                           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                               {_int_d2_sql("p.pq", "c.cq")} ASC, c.cl ASC) AS rn
+                    FROM probes p CROSS JOIN cent c
+                ) WHERE rn <= 4
+            ),
+            ranked AS (
+                SELECT pl.probe_id, a.vec_id,
+                       list_cosine_similarity(a.v, pl.pv) AS c,
+                       row_number() OVER (PARTITION BY pl.probe_id
+                           ORDER BY list_cosine_similarity(a.v, pl.pv) DESC,
+                                    a.vec_id) AS rn
+                FROM plists pl JOIN asg a USING (list_id)
+                WHERE a.vec_id <> pl.probe_id
+            )
+            SELECT probe_id, vec_id, round(c, 6) AS cos6,
+                   CAST(rn AS BIGINT) AS rank
+            FROM ranked WHERE rn <= 5
         """,
         "x_hard_negatives": """
             WITH probes AS (

@@ -582,6 +582,145 @@ def ivf_topk_indexed_batch(
     )
 
 
+#: ivf_topk_codebook_batch routes through in-plan literal centroid
+#: arrays (n_cells × dim int64 lits, twice: corpus + probe side) — past
+#: a few hundred cells the literal plan outgrows what codegen should
+#: carry; that regime belongs to the persisted index path instead.
+_MAX_CODEBOOK_CELLS = 256
+
+
+def ivf_topk_codebook_batch(
+    emb: DataFrame,
+    probes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-probe IVF whose coarse quantizer is a FIXED caller-supplied
+    codebook table ``(cell_id, vector)`` — e.g. a strided corpus sample
+    or any pre-trained quantizer — instead of an MLlib KMeans fit.
+
+    Same plan shape as :func:`ivf_topk_indexed_batch`: the corpus gets
+    ONE list assignment (at scale: a persisted partition/bucket column),
+    probes explode to ``(probe_id, list_id)`` pairs for their ``n_probe``
+    nearest cells, candidates come from a co-partitionable equi-join on
+    ``list_id``, and per-probe top-k is one window pass. What changes is
+    the routing arithmetic: exact-integer micro-unit squared-L2
+    (``floor(x·1e6)`` int64 components, ties → lowest cell_id — the
+    semantic-dedup codebook convention), evaluated as literal-array
+    expressions fully inside codegen (no Python, no floats deciding a
+    bucket), so corpus assignment, probe routing, and the final ranking
+    are all bit-replayable by a SQL oracle. The codebook is
+    metadata-sized by contract (``_MAX_CODEBOOK_CELLS``): collecting it
+    is bounded at any corpus size, exactly like the persisted index's
+    centroid table (similarity.py:531).
+
+    Columns: probe_id, vec_id, cos6, rank."""
+    import math
+
+    crows = codebook.limit(_MAX_CODEBOOK_CELLS + 1).collect()
+    if len(crows) > _MAX_CODEBOOK_CELLS:
+        raise ValueError(
+            f"codebook exceeds _MAX_CODEBOOK_CELLS={_MAX_CODEBOOK_CELLS} "
+            "rows — the cells ride the plan as literal arrays, so the "
+            "codebook must stay metadata-sized; train fewer cells or use "
+            "the persisted IVF index path (ivf_topk_indexed_batch)"
+        )
+    if not crows:
+        raise ValueError("codebook is empty")
+    for r in crows:
+        if r[0] is None or r[1] is None or any(v is None for v in r[1]):
+            raise ValueError(
+                "codebook has a NULL cell id, vector, or vector component "
+                "— every row must carry a non-NULL integral cell id and a "
+                "fully populated vector"
+            )
+        try:
+            integral = int(r[0]) == r[0]
+        except (ValueError, OverflowError):  # NaN/inf ids
+            integral = False
+        if not integral:
+            raise ValueError(
+                f"codebook has a non-integral cell id {r[0]!r} — cell ids "
+                "must be exact integers (they name the lists and break ties)"
+            )
+    cells = sorted(
+        (int(r[0]), [math.floor(float(v) * 1000000.0) for v in r[1]]) for r in crows
+    )
+    if len({cid for cid, _ in cells}) != len(cells):
+        raise ValueError("codebook has duplicate cell ids — ids must be unique")
+
+    def _quant(col: str):
+        # one IEEE-double multiply then floor — bit-equal to the
+        # driver-side math.floor(v * 1e6) above and to DuckDB's
+        # floor(x * 1000000) (the semantic-dedup codebook precedent)
+        return F.transform(
+            F.col(col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+        )
+
+    # ONE literal array of (list_id, quantized-centroid) structs shared
+    # by both routing sites, built as a single SQL string: n_cells × dim
+    # individual F.lit() Column objects would cost one py4j round-trip
+    # EACH (~30 s of pure driver-side plan construction for 16×64 cells
+    # on this class of host); one F.expr parse is JVM-side and flat
+    cells_arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('list_id', CAST({cid} AS BIGINT), 'cq', "
+            f"array({','.join(f'CAST({v} AS BIGINT)' for v in cq)}))"
+            for cid, cq in cells
+        )
+        + ")"
+    )
+
+    def _ranked_cells(qcol: str):
+        # array_sort on (d2, list_id) structs: ascending by d2 then
+        # cell id — exact-integer comparisons decide every bucket
+        dists = F.transform(
+            cells_arr,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col(qcol), c["cq"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                c["list_id"].alias("list_id"),
+            ),
+        )
+        return F.array_sort(dists)
+
+    assigned = (
+        emb.withColumn("__q", _quant(vec_col))
+        .withColumn("list_id", F.element_at(_ranked_cells("__q"), 1)["list_id"])
+        .drop("__q")
+    )
+    probe_lists = (
+        probes.withColumn("__q", _quant("probe_vec"))
+        .withColumn(
+            "list_ids",
+            F.transform(
+                F.slice(_ranked_cells("__q"), 1, n_probe), lambda s: s["list_id"]
+            ),
+        )
+        .drop("__q")
+    )
+    exploded = probe_lists.select(
+        "probe_id", "probe_vec", F.explode("list_ids").alias("list_id")
+    )
+    cands = assigned.join(F.broadcast(exploded), "list_id").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    scored = cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cos", 6).alias("cos6"), "rank")
+    )
+
+
 def probe_of(emb: DataFrame, probe_id: int, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Single-row probe DataFrame (probe_id, probe_vec) selected by id —
     stays distributed; no driver collect."""

@@ -196,6 +196,12 @@ def test_fuzzy_join_cap_rejects_bad_widths(spark, sf_dir):
             _fuzzy_name_pairs(spark, sf_dir, max_group_width=bad)
     # integral-valued floats pass (same accept rule as centroid ids)
     _fuzzy_name_pairs(spark, sf_dir, max_group_width=4.0)
+    # bool is an int subclass (int(True) == True and True >= 1 both
+    # hold), so without an explicit check a boolean cap would silently
+    # mean "1" — a type confusion, not a width (round-12 advice)
+    for bad_bool in (True, False):
+        with pytest.raises(ValueError, match="integer >= 1"):
+            _fuzzy_name_pairs(spark, sf_dir, max_group_width=bad_bool)
 
 
 def test_fuzzy_join_cap_is_lossless_at_the_name_level(spark, sf_dir):
@@ -233,6 +239,21 @@ def test_fuzzy_join_cap_is_lossless_at_the_name_level(spark, sf_dir):
                 (min(a, b), max(a, b), d) for a in groups[nx] for b in groups[ny]
             }
     assert rebuilt == uncapped
+
+
+def test_semantic_codebook_band_guard_rejects_sparse_ids(spark, tmp_path):
+    """x_semantic_dedup_codebook's fixed-~256-cell property rides on the
+    testdata's DENSE 0..n-1 vec_ids; with sparse/offset ids the
+    ``vec_id % stride == 0`` sample can select far fewer (or zero)
+    centroids. The band assert must name that assumption loudly instead
+    of falling through to a generic empty-centroids error downstream
+    (round-12 advice). All-odd ids with stride 2 select exactly zero."""
+    n = 300  # stride = (300 + 255) // 256 = 2; odd ids never hit % 2 == 0
+    rows = [(2 * i + 1, [float(i % 7)] * 64, 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    with pytest.raises(ValueError, match=r"\[128, 257\]"):
+        R.x_semantic_dedup_codebook(spark, str(tmp_path))
 
 
 def test_semantic_dedup_invariants(spark, sf_dir):
@@ -429,6 +450,16 @@ def test_trained_centroids_reject_bad_ids_and_null_vectors(spark, sf_dir):
         "cell_id DOUBLE, centroid ARRAY<DOUBLE>",
     )
     _centroid_cell_udf(emb, "vec_id", "embedding", centroids=ok)
+    # NaN/inf ids: int() raises before the integrality comparison can
+    # run, so the guard must catch that and still raise the SAME named
+    # error, not a bare float-conversion traceback (round-12 advice)
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        weird = spark.createDataFrame(
+            [(0.0, [0.0] * 64), (bad, [1.0] * 64)],
+            "cell_id DOUBLE, centroid ARRAY<DOUBLE>",
+        )
+        with pytest.raises(ValueError, match="non-integral"):
+            _centroid_cell_udf(emb, "vec_id", "embedding", centroids=weird)
 
 
 def test_trained_centroids_guardrails(spark, sf_dir, monkeypatch):

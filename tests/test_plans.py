@@ -458,6 +458,65 @@ def test_batch_ann_joins_on_list_id(spark, sf_dir):
     assert not A.has_cartesian(df), A.plan_str(df)
 
 
+def test_codebook_batch_ann_plan_and_guards(spark, sf_dir):
+    """x_ann_ivf_batch_codebook's plan contract: the corpus side never
+    shuffles before the candidate join (routing is an in-plan literal
+    expression, list assignment rides the scan), the probe side reaches
+    it through a BROADCAST equi-join on list_id (never a cartesian),
+    and only the probe_id window exchanges — candidate-sized, not
+    corpus-sized. Codebook validation must reject empty / NULL /
+    non-integral / duplicate-id / oversized tables loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.registry import x_ann_ivf_batch_codebook
+    from mapr_plugins_spark.operators.similarity import (
+        _MAX_CODEBOOK_CELLS,
+        ivf_topk_codebook_batch,
+    )
+
+    df = x_ann_ivf_batch_codebook(spark, sf_dir)
+    p = A.plan_str(df)
+    assert not A.has_cartesian(df), p
+    assert A.count_nodes(df, "BroadcastHashJoin") == 1, p
+    # exactly one exchange: the probe_id window over candidates
+    assert A.shuffle_count(df) == 1, p
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.limit(2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    empty = spark.createDataFrame([], "cell_id BIGINT, centroid ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk_codebook_batch(emb, probes, empty)
+    null_id = spark.createDataFrame(
+        [(None, [0.0] * 64)], "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ivf_topk_codebook_batch(emb, probes, null_id)
+    frac = spark.createDataFrame(
+        [(1.5, [0.0] * 64)], "cell_id DOUBLE, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        ivf_topk_codebook_batch(emb, probes, frac)
+    nan_id = spark.createDataFrame(
+        [(float("nan"), [0.0] * 64)], "cell_id DOUBLE, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        ivf_topk_codebook_batch(emb, probes, nan_id)
+    dup = spark.createDataFrame(
+        [(1, [0.0] * 64), (1, [1.0] * 64)], "cell_id INT, centroid ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ivf_topk_codebook_batch(emb, probes, dup)
+    oversized = emb.limit(_MAX_CODEBOOK_CELLS + 1).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    with pytest.raises(ValueError, match="_MAX_CODEBOOK_CELLS"):
+        ivf_topk_codebook_batch(emb, probes, oversized)
+
+
 def test_lsh_indexed_scan_prunes_partitions(spark, sf_dir):
     """The persisted LSH index is partitioned by signature; a probe's
     Hamming-ball filter must surface as a partition filter (pruned

@@ -42,25 +42,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-12 rotation (the round-11 verdict #1): ALL 24 oracled keys
-#: with no driver row through round 11 — the entire never-graded tail,
-#: every one judge-verified green under the driver's own protocol in
-#: the round-11 session — plus the two round-12 additions
-#: (x_fuzzy_join_capped, the fuzzy join's group-width output valve;
-#: x_semantic_dedup_codebook, the fixed-size trained-codebook
-#: exhibit), both driver-sim green at sf0.01 AND sf0.1 on arrival.
-#: After this window grades, the only keys without a driver row are
-#: the 3 documented rows-only keys, which stay outside by design
-#: (a rows-only key in the window burns a graded slot on a weaker
-#: check — round-2 lesson): x_ann_ivf_batch x_ann_ivf_batch_prod
-#: x_sketch_hll.
+#: Round-13 rotation (the round-12 verdict #2): the never-graded
+#: oracled tail is EMPTY (round 12 cleared it; only the 3 documented
+#: rows-only keys stay outside by design — a rows-only key in the
+#: window burns a graded slot on a weaker check, the round-2 lesson:
+#: x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll). The 26 freed
+#: slots refill with (a) the three round-13 additions, each
+#: driver-sim green at sf0.01 AND sf0.1 on arrival
+#: (x_ann_ivf_batch_codebook, the IVF batch plan's full-value-oracled
+#: fixed-codebook twin; s25_stream_semantic_admission, ingest-time
+#: semantic admission over the codebook kernel;
+#: s26_stream_bigram_drift, the bounded-state Misra-Gries collocation
+#: drift monitor), then (b) re-grades of the 23 OLDEST driver rows —
+#: all r1 keys, stale for 12 rounds of engine evolution — so
+#: cumulative driver-green stays fresh against drift.
 #:
-#: Round-13 note: with the tail cleared, the window's rotation slots
-#: are freed — refill them with (a) any keys new in round 13 (verify
-#: under tests/driver_sim.py at sf0.01 AND sf0.1 before rotating in),
-#: then (b) re-grades of the oldest driver rows (r1–r5 keys like q06,
-#: q12, the q13 set family, x_scd2_*, x_rollup_apply) so cumulative
-#: rows stay fresh against engine drift.
+#: Round-14 note: 5 r1 keys remain unrefreshed after this window
+#: grades (q43_unpivot q45_misc_funcs q46_window_extras
+#: q48_string_extras q50_null_order_try_arith) — rotate them in next,
+#: with the r2 cohort (q17_array_ops q18_json_funcs
+#: q20_scalar_subquery q31_map_funcs q34_collect q36_grouping_sets
+#: q41_row_udf q44_higher_order_funcs q47_exists_subquery
+#: q57_recursive_cte q63_url_funcs s03_session_window ...) behind
+#: them, oldest-first.
 PRIORITY: tuple[str, ...] = (
     # --- stable family representatives (24; the four trimmed this
     # round — q39_grouped_udaf, x_ann_ivf_topk, x_text_pii_redact,
@@ -89,18 +93,18 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (26): the complete never-driver-graded
-    # oracled tail (24) + the two round-12 additions ---
-    "x_assoc_rules", "x_attribution", "x_benford_digits",
-    "x_bloom_semi_join", "x_calibration_bins", "x_churn_label",
-    "x_delete_propagate", "x_feature_hashing", "x_fuzzy_join_capped",
-    "x_holt_trend", "x_incremental_novelty", "x_inverted_index",
-    "x_ks_drift", "x_length_profile", "x_markov_transitions",
-    "x_mojibake_detect", "x_ngram_novelty", "x_rare_collapse",
-    "x_semantic_dedup_codebook", "x_semantic_dedup_trained",
-    "x_skipping_stats", "x_sorted_neighborhood",
-    "x_tokenizer_fertility", "x_vocab_encode",
-    "x_wave_ingest_report", "x_zorder_key",
+    # --- rotation slots (26): the three round-13 additions + the 23
+    # oldest driver rows (all r1), oldest-first re-grades ---
+    "x_ann_ivf_batch_codebook", "s25_stream_semantic_admission",
+    "s26_stream_bigram_drift",
+    "q06_anti_join", "q06_semi_join", "q08_approx_distinct",
+    "q08_count_distinct", "q11_window_running", "q12_topk",
+    "q13_except", "q13_except_all", "q13_intersect",
+    "q13_intersect_all", "q13_union", "q14_string_funcs",
+    "q16_math_funcs", "q17_array_explode", "q19_conditional_funcs",
+    "q30_full_outer_join", "q32_stats_agg", "q33_approx_percentile",
+    "q33_percentiles", "q35_cube", "q37_cross_join",
+    "q40_python_udtf", "q42_pivot",
 )
 
 

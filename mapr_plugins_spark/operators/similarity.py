@@ -582,42 +582,32 @@ def ivf_topk_indexed_batch(
     )
 
 
-#: ivf_topk_codebook_batch routes through in-plan literal centroid
-#: arrays (n_cells × dim int64 lits, twice: corpus + probe side) — past
-#: a few hundred cells the literal plan outgrows what codegen should
-#: carry; that regime belongs to the persisted index path instead.
+#: Codebook routing rides the plan as literal centroid arrays
+#: (n_cells × dim int64 lits per routing site) — past a few hundred
+#: cells the literal plan outgrows what codegen should carry; that
+#: regime belongs to the persisted index path instead.
 _MAX_CODEBOOK_CELLS = 256
 
 
-def ivf_topk_codebook_batch(
-    emb: DataFrame,
-    probes: DataFrame,
-    codebook: DataFrame,
-    k: int = 5,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Batch-probe IVF whose coarse quantizer is a FIXED caller-supplied
-    codebook table ``(cell_id, vector)`` — e.g. a strided corpus sample
-    or any pre-trained quantizer — instead of an MLlib KMeans fit.
+def quantize_micro(col: str):
+    """Micro-unit int64 quantization of a float-array column: one IEEE
+    double multiply then floor — bit-equal to driver-side
+    ``math.floor(v * 1e6)`` and to DuckDB's ``floor(x * 1000000)`` (the
+    semantic-dedup codebook convention), so integer comparisons over
+    the result are replayable across engines."""
+    return F.transform(
+        F.col(col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+    )
 
-    Same plan shape as :func:`ivf_topk_indexed_batch`: the corpus gets
-    ONE list assignment (at scale: a persisted partition/bucket column),
-    probes explode to ``(probe_id, list_id)`` pairs for their ``n_probe``
-    nearest cells, candidates come from a co-partitionable equi-join on
-    ``list_id``, and per-probe top-k is one window pass. What changes is
-    the routing arithmetic: exact-integer micro-unit squared-L2
-    (``floor(x·1e6)`` int64 components, ties → lowest cell_id — the
-    semantic-dedup codebook convention), evaluated as literal-array
-    expressions fully inside codegen (no Python, no floats deciding a
-    bucket), so corpus assignment, probe routing, and the final ranking
-    are all bit-replayable by a SQL oracle. The codebook is
-    metadata-sized by contract (``_MAX_CODEBOOK_CELLS``): collecting it
-    is bounded at any corpus size, exactly like the persisted index's
-    centroid table (similarity.py:531).
 
-    Columns: probe_id, vec_id, cos6, rank."""
+def codebook_cells(codebook: DataFrame) -> list[tuple[int, list[int]]]:
+    """Collect + validate + micro-quantize a ``(cell_id, vector)``
+    codebook table into ``[(cell_id, int64-components)]`` sorted by
+    cell id. Loud on oversized / empty / NULL-bearing / non-integral-id
+    / duplicate-id tables — every failure mode would otherwise surface
+    as a silently wrong routing matrix. The collect is bounded at
+    ``_MAX_CODEBOOK_CELLS + 1`` rows BEFORE it ships, so an
+    accidentally corpus-sized argument cannot OOM the driver."""
     import math
 
     crows = codebook.limit(_MAX_CODEBOOK_CELLS + 1).collect()
@@ -651,20 +641,20 @@ def ivf_topk_codebook_batch(
     )
     if len({cid for cid, _ in cells}) != len(cells):
         raise ValueError("codebook has duplicate cell ids — ids must be unique")
+    return cells
 
-    def _quant(col: str):
-        # one IEEE-double multiply then floor — bit-equal to the
-        # driver-side math.floor(v * 1e6) above and to DuckDB's
-        # floor(x * 1000000) (the semantic-dedup codebook precedent)
-        return F.transform(
-            F.col(col), lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
-        )
 
-    # ONE literal array of (list_id, quantized-centroid) structs shared
-    # by both routing sites, built as a single SQL string: n_cells × dim
-    # individual F.lit() Column objects would cost one py4j round-trip
-    # EACH (~30 s of pure driver-side plan construction for 16×64 cells
-    # on this class of host); one F.expr parse is JVM-side and flat
+def codebook_ranked_cells(cells: list[tuple[int, list[int]]], qcol: str):
+    """All codebook cells ranked by exact-integer squared-L2 distance to
+    the micro-quantized vector column ``qcol`` (ties → lowest cell id):
+    an ``array_sort`` over (d2, list_id) structs, where the cells ride
+    as ONE literal array built from a single SQL string — n_cells × dim
+    individual F.lit() Column objects would cost one py4j round-trip
+    EACH (~30 s of pure driver-side plan construction for 16×64 cells
+    on this class of host); one F.expr parse is JVM-side and flat.
+    ``element_at(..., 1)['list_id']`` is the cell assignment;
+    ``slice(..., 1, n)`` is multi-probe routing. Row-local (no shuffle,
+    no Python), so it applies to batch and streaming frames alike."""
     cells_arr = F.expr(
         "array("
         + ",".join(
@@ -674,34 +664,62 @@ def ivf_topk_codebook_batch(
         )
         + ")"
     )
+    dists = F.transform(
+        cells_arr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(qcol), c["cq"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            c["list_id"].alias("list_id"),
+        ),
+    )
+    return F.array_sort(dists)
 
-    def _ranked_cells(qcol: str):
-        # array_sort on (d2, list_id) structs: ascending by d2 then
-        # cell id — exact-integer comparisons decide every bucket
-        dists = F.transform(
-            cells_arr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col(qcol), c["cq"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                c["list_id"].alias("list_id"),
-            ),
-        )
-        return F.array_sort(dists)
 
+def ivf_topk_codebook_batch(
+    emb: DataFrame,
+    probes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch-probe IVF whose coarse quantizer is a FIXED caller-supplied
+    codebook table ``(cell_id, vector)`` — e.g. a strided corpus sample
+    or any pre-trained quantizer — instead of an MLlib KMeans fit.
+
+    Same plan shape as :func:`ivf_topk_indexed_batch`: the corpus gets
+    ONE list assignment (at scale: a persisted partition/bucket column),
+    probes explode to ``(probe_id, list_id)`` pairs for their ``n_probe``
+    nearest cells, candidates come from a co-partitionable equi-join on
+    ``list_id``, and per-probe top-k is one window pass. What changes is
+    the routing arithmetic: exact-integer micro-unit squared-L2
+    (``floor(x·1e6)`` int64 components, ties → lowest cell_id — the
+    semantic-dedup codebook convention), evaluated as literal-array
+    expressions fully inside codegen (no Python, no floats deciding a
+    bucket), so corpus assignment, probe routing, and the final ranking
+    are all bit-replayable by a SQL oracle. The codebook is
+    metadata-sized by contract (``_MAX_CODEBOOK_CELLS``): collecting it
+    is bounded at any corpus size, exactly like the persisted index's
+    centroid table (similarity.py:531).
+
+    Columns: probe_id, vec_id, cos6, rank."""
+    cells = codebook_cells(codebook)
     assigned = (
-        emb.withColumn("__q", _quant(vec_col))
-        .withColumn("list_id", F.element_at(_ranked_cells("__q"), 1)["list_id"])
+        emb.withColumn("__q", quantize_micro(vec_col))
+        .withColumn("list_id", F.element_at(codebook_ranked_cells(cells, "__q"), 1)["list_id"])
         .drop("__q")
     )
     probe_lists = (
-        probes.withColumn("__q", _quant("probe_vec"))
+        probes.withColumn("__q", quantize_micro("probe_vec"))
         .withColumn(
             "list_ids",
             F.transform(
-                F.slice(_ranked_cells("__q"), 1, n_probe), lambda s: s["list_id"]
+                F.slice(codebook_ranked_cells(cells, "__q"), 1, n_probe),
+                lambda s: s["list_id"],
             ),
         )
         .drop("__q")

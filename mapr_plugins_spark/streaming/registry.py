@@ -1221,6 +1221,214 @@ def s24_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_cells(cells, n_bins=10)
 
 
+def s25_stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC near-dup admission — the ingest-time form of
+    fixed-codebook semantic dedup (the s13 admission pattern over the
+    codebook routing kernel, round-12 verdict #6): embedding waves
+    arrive as REAL micro-batches; each vector routes row-locally (no
+    shuffle, no Python) to its semantic bucket — nearest fixed-codebook
+    cell by exact-integer micro-unit L2 (ties → lowest cell id, the
+    graded x_ann_ivf_batch_codebook kernel) × a 4-sign-bit coarse
+    signature — and a GroupState fold keyed (cell, sig) claims the
+    MINIMUM arriving vec_id per bucket. MIN-merge is commutative, so
+    out-of-order file pickup cannot change the result. A vector is
+    ADMITTED iff it is its bucket's first claimant, evaluated against
+    the FINAL state (min is monotone, so the last update-mode emission
+    per bucket IS the global min). State: one BIGINT per occupied
+    bucket, ≤ n_cells·16 rows at ANY corpus size — the codebook is
+    sized for the target corpus at train time, exactly like the batch
+    codebook exhibits. Columns: (vec_id, admitted)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.operators.similarity import (
+        codebook_cells,
+        codebook_ranked_cells,
+        quantize_micro,
+    )
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stride = (emb.count() + 15) // 16
+    cells = codebook_cells(
+        emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+        )
+    )
+
+    def bucket_cols(df: DataFrame) -> DataFrame:
+        cell = F.element_at(
+            codebook_ranked_cells(cells, "__q"), 1
+        )["list_id"]
+        # 4-sign-bit coarse signature: float >= 0 is exact in every
+        # engine, so the sub-bucket is bit-replayable
+        sig = sum(
+            (F.element_at("embedding", j + 1) >= 0).cast("long") * (1 << j)
+            for j in range(4)
+        )
+        return (
+            df.withColumn("__q", quantize_micro("embedding"))
+            .withColumn("cell", cell)
+            .withColumn("sig", sig)
+            .drop("__q")
+        )
+
+    stream = df_stream_chunked(emb, f"{sf_dir}/sem_adm", "vec_id", n_chunks=4)
+    routed = bucket_cols(stream).select("vec_id", "cell", "sig")
+
+    def claim_min(key, pdfs, state):
+        m = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            b = int(pdf["vec_id"].min())
+            m = b if m is None else min(m, b)
+        state.update((m,))
+        yield pd.DataFrame({"cell": [key[0]], "sig": [key[1]], "m": [m]})
+
+    claimed = routed.groupBy("cell", "sig").applyInPandasWithState(
+        claim_min,
+        outputStructType="cell BIGINT, sig BIGINT, m BIGINT",
+        stateStructType="m BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_available_now(claimed, "update")
+    # min is monotone non-increasing across update-mode re-emissions
+    mins = out.groupBy("cell", "sig").agg(F.min("m").alias("m"))
+    roster = bucket_cols(emb).select("vec_id", "cell", "sig")
+    return roster.join(F.broadcast(mins), ["cell", "sig"]).select(
+        "vec_id", (F.col("vec_id") == F.col("m")).alias("admitted")
+    )
+
+
+#: s26's drift corpus: every original document re-arrives in the LATE
+#: wave with a marker phrase appended — a deterministic distribution
+#: shift the oracle replays verbatim (the dedup-corpus injection
+#: precedent). 2 repeats make the marker bigrams ~3.4% of the late
+#: side's bigram mass at every sf (token/doc stats are sf-stable).
+_DRIFT_MARKER = " qq drift marker qq drift marker"
+
+
+def _bigram_drift_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(_DRIFT_MARKER)).alias("text"),
+        )
+    )
+
+
+def s26_stream_bigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming collocation-drift monitor with BOUNDED state — the
+    Misra-Gries twin over token BIGRAMS (round-12 verdict #6): document
+    waves arrive as real micro-batches (originals = the EARLY side,
+    marker-injected re-arrivals = the LATE side, split by the same
+    doc_id rule the ntile staging follows); each wave expands to its
+    positional bigram stream row-locally, hash-routes to n_buckets
+    Misra-Gries summaries of ≤ k counters PER SIDE in GroupState (state
+    ≤ 2·n_buckets·k rows at ANY vocabulary), and the final summaries
+    are a guaranteed candidate superset for the drift cut: any bigram
+    with |freq_late − freq_early| > 1/φ must hold freq > 1/φ on at
+    least one side, hence count > n_side/(k+1) there (k+1 > φ), hence
+    survives that side's summary (the s17 superset argument per side).
+    Pass 2 exactly recounts ONLY the candidates and applies the
+    integer cross-product cut |late·n_e − early·n_l|·φ > n_e·n_l — so
+    the answer is bit-identical to the batch GROUP BY rule and the
+    oracle replays it without the sketch. Columns: (bigram, early_cnt,
+    late_cnt)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+
+    phi, k, n_buckets = 50, 64, 8  # k + 1 > phi: superset guarantee
+    corpus = _bigram_drift_corpus(spark, sf_dir)
+
+    def bigrams_of(df: DataFrame) -> DataFrame:
+        from mapr_plugins_spark.operators.text import tokens_col
+
+        toks = df.withColumn("__t", tokens_col("text")).filter(F.size("__t") >= 2)
+        pairs = F.expr(
+            "transform(sequence(1, size(__t) - 1),"
+            " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+        )
+        return toks.select(
+            (F.col("doc_id") >= 1000000).cast("int").alias("late"),
+            F.explode(pairs).alias("bigram"),
+        )
+
+    stream = df_stream_chunked(corpus, f"{sf_dir}/bigram_drift", "doc_id", n_chunks=4)
+    routed = bigrams_of(stream).select(
+        "late", "bigram", (F.abs(F.hash("bigram")) % n_buckets).cast("int").alias("bucket")
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            items, cnts, seq = state.get
+            counters = dict(zip(items, (int(c) for c in cnts)))
+        else:
+            counters, seq = {}, 0
+        for pdf in pdfs:
+            for item, c in pdf["bigram"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - sub for i, c in counters.items() if c > sub}
+        seq += 1
+        state.update((list(counters.keys()), list(counters.values()), seq))
+        yield pd.DataFrame(
+            {
+                "late": key[0],
+                "bucket": key[1],
+                "bigram": list(counters.keys()),
+                "seq": seq,
+            }
+        )
+
+    summarized = routed.groupBy("late", "bucket").applyInPandasWithState(
+        fold,
+        outputStructType="late INT, bucket INT, bigram STRING, seq INT",
+        stateStructType="items ARRAY<STRING>, cnts ARRAY<BIGINT>, seq INT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_available_now(summarized, "update")
+    from pyspark.sql import Window as _W
+
+    last_seq = F.max("seq").over(_W.partitionBy("late", "bucket"))
+    cands = (
+        emitted.withColumn("__last", last_seq)
+        .filter(F.col("seq") == F.col("__last"))
+        .select("bigram")
+        .distinct()
+    )
+    # pass 2: exact per-side recount of candidates only (batch side)
+    bgs = bigrams_of(corpus)
+    tots = bgs.groupBy().agg(
+        F.sum(F.lit(1) - F.col("late")).alias("n_e"),
+        F.sum("late").alias("n_l"),
+    )
+    counted = (
+        bgs.join(F.broadcast(cands), "bigram")
+        .groupBy("bigram")
+        .agg(
+            F.sum(F.lit(1) - F.col("late")).alias("early_cnt"),
+            F.sum("late").alias("late_cnt"),
+        )
+    )
+    return (
+        counted.crossJoin(F.broadcast(tots))
+        .filter(
+            F.abs(
+                F.col("late_cnt") * F.col("n_e") - F.col("early_cnt") * F.col("n_l")
+            )
+            * phi
+            > F.col("n_e") * F.col("n_l")
+        )
+        .select("bigram", "early_cnt", "late_cnt")
+    )
+
+
 def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fns = [
         s01_tumbling_window,
@@ -1246,6 +1454,8 @@ def streaming_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s22_stream_zscore,
         s23_stream_markov,
         s24_stream_psi,
+        s25_stream_semantic_admission,
+        s26_stream_bigram_drift,
     ]
     if tws_available():
         fns.append(s09_transform_with_state)
@@ -1256,6 +1466,7 @@ def streaming_oracles() -> dict[str, str]:
     from mapr_plugins_spark.operators.registry import (
         _CORPUS_SQL,
         _TOKS_SQL,
+        _int_d2_sql,
         _minhash_pairs_ctes,
     )
 
@@ -1317,6 +1528,72 @@ def streaming_oracles() -> dict[str, str]:
             g AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
             SELECT g.item, g.cnt, CAST(g.cnt AS DOUBLE) / t.n AS frac
             FROM g, tot t WHERE g.cnt * 200 > t.n
+        """,
+        # batch replay of the streaming semantic-admission rule: the
+        # SAME flat integer-d² codebook routing as the graded
+        # x_ann_ivf_batch_codebook oracle (stride via scalar subquery,
+        # ties ASC cell id) × the 4-sign-bit sub-signature; admitted ⟺
+        # this vec_id is the minimum of its (cell, sig) bucket
+        "s25_stream_semantic_admission": f"""
+            WITH e AS MATERIALIZED (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_transform(embedding::DOUBLE[],
+                           x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+                FROM embeddings
+            ),
+            cent AS MATERIALIZED (
+                SELECT vec_id AS cl, q AS cq FROM e
+                WHERE vec_id % ((SELECT count(*) + 15 FROM e) // 16) = 0
+            ),
+            sb AS MATERIALIZED (
+                SELECT vec_id, cell,
+                       CAST((v[1] >= 0)::INT + 2 * (v[2] >= 0)::INT
+                          + 4 * (v[3] >= 0)::INT + 8 * (v[4] >= 0)::INT
+                            AS BIGINT) AS sig
+                FROM (
+                    SELECT e.vec_id, e.v, c.cl AS cell,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_int_d2_sql("e.q", "c.cq")} ASC, c.cl ASC) AS rn
+                    FROM e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            mins AS (SELECT cell, sig, MIN(vec_id) AS m FROM sb GROUP BY 1, 2)
+            SELECT s.vec_id, s.vec_id = m.m AS admitted
+            FROM sb s JOIN mins m ON m.cell = s.cell AND m.sig = s.sig
+        """,
+        # batch replay of the bigram drift rule WITHOUT the sketch: the
+        # Misra-Gries stage is a guaranteed candidate superset and pass
+        # 2 recounts exactly, so the streaming answer finishes at this
+        # plain per-side GROUP BY with the integer cross-product cut
+        "s26_stream_bigram_drift": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       text || ' qq drift marker qq drift marker'
+                FROM documents
+            ),
+            t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+            bg AS (
+                SELECT (doc_id >= 1000000)::INT AS late,
+                       toks[i] || ' ' || toks[i + 1] AS bigram
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2
+            ),
+            tot AS (
+                SELECT CAST(SUM(1 - late) AS BIGINT) AS n_e,
+                       CAST(SUM(late) AS BIGINT) AS n_l
+                FROM bg
+            ),
+            c AS (
+                SELECT bigram,
+                       CAST(SUM(1 - late) AS BIGINT) AS early_cnt,
+                       CAST(SUM(late) AS BIGINT) AS late_cnt
+                FROM bg GROUP BY 1
+            )
+            SELECT bigram, early_cnt, late_cnt
+            FROM c, tot
+            WHERE abs(late_cnt * n_e - early_cnt * n_l) * 50 > n_e * n_l
         """,
         # batch replay of the streaming admission rule: the CTE chain is
         # the SAME portable-hash band pipeline the pairs oracle uses

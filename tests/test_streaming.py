@@ -339,6 +339,104 @@ def test_stream_heavy_hitters_bounded_state_and_exact(spark, sf_dir):
     assert stream == batch
 
 
+def test_stream_semantic_admission_invariants(spark, sf_dir):
+    """Per semantic bucket (codebook cell × sign signature) EXACTLY one
+    vector is admitted and it is the bucket's minimum vec_id — the
+    min-claim law, asserted against an independently recomputed batch
+    bucket map. Admission must BITE (some vectors rejected) and vec_id
+    0 (the global minimum) is always its bucket's first claimant."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.similarity import (
+        codebook_cells,
+        codebook_ranked_cells,
+        quantize_micro,
+    )
+    from mapr_plugins_spark.streaming.registry import s25_stream_semantic_admission
+
+    out = {r.vec_id: r.admitted for r in s25_stream_semantic_admission(spark, sf_dir).collect()}
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assert len(out) == n
+    assert out[0] is True
+    assert 0 < sum(out.values()) < n, "admission must bite but not reject everything"
+
+    stride = (n + 15) // 16
+    cells = codebook_cells(
+        emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+        )
+    )
+    sig = sum(
+        (F.element_at("embedding", j + 1) >= 0).cast("long") * (1 << j)
+        for j in range(4)
+    )
+    roster = (
+        emb.withColumn("__q", quantize_micro("embedding"))
+        .select(
+            "vec_id",
+            F.element_at(codebook_ranked_cells(cells, "__q"), 1)["list_id"].alias("cell"),
+            sig.alias("sig"),
+        )
+        .collect()
+    )
+    buckets = defaultdict(list)
+    for r in roster:
+        buckets[(r.cell, r.sig)].append(r.vec_id)
+    for ids in buckets.values():
+        admitted_here = [v for v in ids if out[v]]
+        assert admitted_here == [min(ids)]
+
+
+def test_stream_bigram_drift_detects_injection_exactly(spark, sf_dir):
+    """The drift monitor's answer must be bit-identical to the batch
+    per-side GROUP BY with the integer cross-product cut (the MG stage
+    is a candidate superset; pass 2 recounts exactly), and the injected
+    marker bigrams — the only true drift in the corpus — must be what
+    it reports."""
+    from pyspark.sql import functions as F
+
+    from mapr_plugins_spark.streaming.registry import (
+        _bigram_drift_corpus,
+        s26_stream_bigram_drift,
+    )
+
+    stream = {
+        (r.bigram, r.early_cnt, r.late_cnt)
+        for r in s26_stream_bigram_drift(spark, sf_dir).collect()
+    }
+    assert {b for b, *_ in stream} == {"qq drift", "drift marker"}
+
+    # independent batch replay of the cut (no sketch, no candidates)
+    from mapr_plugins_spark.operators.text import tokens_col
+
+    corpus = _bigram_drift_corpus(spark, sf_dir)
+    toks = corpus.withColumn("__t", tokens_col("text")).filter(F.size("__t") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(__t) - 1),"
+        " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+    )
+    bgs = toks.select(
+        (F.col("doc_id") >= 1000000).cast("int").alias("late"),
+        F.explode(pairs).alias("bigram"),
+    ).collect()
+    n_e = sum(1 - r.late for r in bgs)
+    n_l = sum(r.late for r in bgs)
+    cnt: dict = {}
+    for r in bgs:
+        e, l = cnt.get(r.bigram, (0, 0))
+        cnt[r.bigram] = (e + 1 - r.late, l + r.late)
+    batch = {
+        (b, e, l)
+        for b, (e, l) in cnt.items()
+        if abs(l * n_e - e * n_l) * 50 > n_e * n_l
+    }
+    assert stream == batch
+
+
 def test_stream_markov_crosses_batch_boundaries(spark, sf_dir):
     """The GroupState twin must count transitions that SPAN micro-batch
     boundaries — equality with the batch lead() matrix proves the

@@ -115,6 +115,8 @@ def main() -> None:
         "q47_exists_subquery",
         "x_text_quality",
         "s03_session_window",
+        "s25_stream_semantic_admission",  # codebook-routed min-claim (round 13)
+        "s26_stream_bigram_drift",  # bounded MG collocation drift (round 13)
         "q62_sessionize",
         "x_merge_upsert",
         "x_gap_fill",

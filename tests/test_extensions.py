@@ -252,7 +252,7 @@ def test_semantic_codebook_band_guard_rejects_sparse_ids(spark, tmp_path):
     rows = [(2 * i + 1, [float(i % 7)] * 64, 0) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
     df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
-    with pytest.raises(ValueError, match=r"\[128, 257\]"):
+    with pytest.raises(ValueError, match=r"\[128, 512\]"):
         R.x_semantic_dedup_codebook(spark, str(tmp_path))
 
 

@@ -47,18 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #: rows-only keys stay outside by design — a rows-only key in the
 #: window burns a graded slot on a weaker check, the round-2 lesson:
 #: x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll). The 26 freed
-#: slots refill with (a) the three round-13 additions, each
+#: slots refill with (a) the four round-13 additions, each
 #: driver-sim green at sf0.01 AND sf0.1 on arrival
 #: (x_ann_ivf_batch_codebook, the IVF batch plan's full-value-oracled
 #: fixed-codebook twin; s25_stream_semantic_admission, ingest-time
 #: semantic admission over the codebook kernel;
 #: s26_stream_bigram_drift, the bounded-state Misra-Gries collocation
-#: drift monitor), then (b) re-grades of the 23 OLDEST driver rows —
+#: drift monitor; x_record_linkage, Fellegi–Sunter probabilistic
+#: linkage with blocked-capped candidates and integer ln-odds
+#: scoring), then (b) re-grades of the 22 OLDEST driver rows —
 #: all r1 keys, stale for 12 rounds of engine evolution — so
 #: cumulative driver-green stays fresh against drift.
 #:
-#: Round-14 note: 5 r1 keys remain unrefreshed after this window
-#: grades (q43_unpivot q45_misc_funcs q46_window_extras
+#: Round-14 note: 6 r1 keys remain unrefreshed after this window
+#: grades (q42_pivot q43_unpivot q45_misc_funcs q46_window_extras
 #: q48_string_extras q50_null_order_try_arith) — rotate them in next,
 #: with the r2 cohort (q17_array_ops q18_json_funcs
 #: q20_scalar_subquery q31_map_funcs q34_collect q36_grouping_sets
@@ -93,7 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (26): the three round-13 additions + the 23
+    # --- rotation slots (26): the four round-13 additions + the 22
     # oldest driver rows (all r1), oldest-first re-grades ---
     "x_ann_ivf_batch_codebook", "s25_stream_semantic_admission",
     "s26_stream_bigram_drift",
@@ -104,7 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "q16_math_funcs", "q17_array_explode", "q19_conditional_funcs",
     "q30_full_outer_join", "q32_stats_agg", "q33_approx_percentile",
     "q33_percentiles", "q35_cube", "q37_cross_join",
-    "q40_python_udtf", "q42_pivot",
+    "q40_python_udtf", "x_record_linkage",
 )
 
 

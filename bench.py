@@ -94,6 +94,7 @@ def main() -> None:
         "x_lm_score",
         "q72_jsonl_parse",
         "q74_csv_corrupt",
+        "x_record_linkage",  # Fellegi-Sunter blocked linkage (round 13)
         "x_substr_dedup",
         "x_substr_strip",
         "x_warc_ingest",

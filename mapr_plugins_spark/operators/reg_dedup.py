@@ -595,6 +595,94 @@ def x_fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_name_pairs(spark, sf_dir, max_group_width=4)
 
 
+#: Fellegi–Sunter agreement weights: (feature, agree_w, disagree_w)
+#: in micro-ln-odds units (ln(m/u)·1e6 / ln((1−m)/(1−u))·1e6 for a
+#: documented synthetic m/u table — a production deployment estimates
+#: m/u via EM over a labeled or unlabeled sample; FIXED literals keep
+#: the exhibit bit-replayable). Name equality dominates, then brand,
+#: type, and the ±2 size band, mirroring their discriminative power.
+_FS_WEIGHTS: tuple[tuple[str, int, int], ...] = (
+    ("name_eq", 2_197_000, -693_000),
+    ("brand_eq", 1_386_000, -288_000),
+    ("type_eq", 693_000, -182_000),
+    ("size_close", 405_000, -105_000),
+)
+_FS_UPPER = 2_500_000  # ≥ upper → 'match'
+_FS_LOWER = 500_000  # [lower, upper) → 'possible'; below → not emitted
+_FS_BLOCK_WIDTH = 8  # representatives kept per block (lowest keys)
+
+
+def x_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the part
+    catalog (Fellegi & Sunter 1969 — the classic two-threshold
+    decision rule; public method): candidate pairs come from
+    (first-word × size-band) BLOCKING with a per-block representative
+    cap (the graded fuzzy-join valve pattern — the
+    ``_FS_BLOCK_WIDTH`` lowest keys per block via one row_number
+    window — so candidate volume is blocks·C(w,2): linear in the
+    number of blocks, never quadratic by data; the widest raw block
+    here is 269 rows, which uncapped would already be ~36k pairs), and
+    each pair is scored by an exact-integer micro-ln-odds agreement
+    pattern over name/brand/type/±2-size and classified by the
+    two-threshold rule. Differs from ``x_fuzzy_join_levenshtein`` in
+    METHOD — probabilistic agreement weights over a feature vector vs
+    a single edit-distance predicate — which is why both exist (the
+    reference user's entity-resolution toolbox has both shapes). Only
+    match/possible pairs are emitted (the F-S 'non-link' class is the
+    unbounded one). Plan: one scan, one window shuffle on the block
+    key, one block-key equi self-join (Catalyst broadcasts the
+    capped representative table at test scale; at 100 TB it is a
+    co-partitioned shuffle join on the block key), pure-codegen
+    CASE-sum scoring. (key_a, key_b, score_micro, verdict)."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    blocked = p.select(
+        "*",
+        F.substring_index("p_name", " ", 1).alias("blk1"),
+        F.expr("p_size div 10").alias("blk2"),
+    )
+    w = Window.partitionBy("blk1", "blk2").orderBy("p_partkey")
+    reps = (
+        blocked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _FS_BLOCK_WIDTH)
+        .drop("__rn")
+    )
+    a, b = reps.alias("a"), reps.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk1") == F.col("b.blk1"))
+        & (F.col("a.blk2") == F.col("b.blk2"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    agree = {
+        "name_eq": F.col("a.p_name") == F.col("b.p_name"),
+        "brand_eq": F.col("a.p_brand") == F.col("b.p_brand"),
+        "type_eq": F.col("a.p_type") == F.col("b.p_type"),
+        "size_close": F.abs(F.col("a.p_size") - F.col("b.p_size")) <= F.lit(2),
+    }
+    score = None
+    for feat, m_w, u_w in _FS_WEIGHTS:
+        term = F.when(agree[feat], F.lit(m_w)).otherwise(F.lit(u_w)).cast("long")
+        score = term if score is None else score + term
+    return (
+        pairs.select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            score.alias("score_micro"),
+        )
+        .filter(F.col("score_micro") >= _FS_LOWER)
+        .withColumn(
+            "verdict",
+            F.when(F.col("score_micro") >= _FS_UPPER, F.lit("match")).otherwise(
+                F.lit("possible")
+            ),
+        )
+    )
+
+
 def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style table diff: compare the customer snapshot with a
     deterministically perturbed copy (drop keys ≡0 mod 97, change
@@ -1417,6 +1505,47 @@ def oracles() -> dict[str, str]:
               ON a.b1 = b.b1 AND abs(a.ln - b.ln) <= 2
              AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        # independent replay of the Fellegi–Sunter exhibit: DuckDB's
+        # own string_split/row_number replay the blocking + cap, the
+        # agreement CASE-sum replays the integer micro-ln-odds weights
+        # verbatim, and the two-threshold rule classifies — every
+        # quantity BIGINT, no float anywhere in the decision path
+        "x_record_linkage": """
+            WITH p AS (
+                SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+            ),
+            blocked AS (
+                SELECT *, string_split(p_name, ' ')[1] AS blk1,
+                       p_size // 10 AS blk2
+                FROM p
+            ),
+            reps AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY blk1, blk2
+                                                 ORDER BY p_partkey) AS rn
+                    FROM blocked
+                ) WHERE rn <= 8
+            ),
+            scored AS (
+                SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                       CAST(CASE WHEN a.p_name = b.p_name
+                                 THEN 2197000 ELSE -693000 END
+                          + CASE WHEN a.p_brand = b.p_brand
+                                 THEN 1386000 ELSE -288000 END
+                          + CASE WHEN a.p_type = b.p_type
+                                 THEN 693000 ELSE -182000 END
+                          + CASE WHEN abs(a.p_size - b.p_size) <= 2
+                                 THEN 405000 ELSE -105000 END
+                            AS BIGINT) AS score_micro
+                FROM reps a JOIN reps b
+                  ON a.blk1 = b.blk1 AND a.blk2 = b.blk2
+                 AND a.p_partkey < b.p_partkey
+            )
+            SELECT key_a, key_b, score_micro,
+                   CASE WHEN score_micro >= 2500000 THEN 'match'
+                        ELSE 'possible' END AS verdict
+            FROM scored WHERE score_micro >= 500000
         """,
         "x_snapshot_diff": """
             WITH o AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

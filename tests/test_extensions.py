@@ -241,6 +241,66 @@ def test_fuzzy_join_cap_is_lossless_at_the_name_level(spark, sf_dir):
     assert rebuilt == uncapped
 
 
+def test_record_linkage_laws(spark, sf_dir):
+    """Fellegi–Sunter exhibit invariants: (a) every emitted pair shares
+    its block (first name-word AND size decade) — candidates never
+    leave the blocking scheme; (b) the per-block representative cap
+    holds — every emitted key ranks ≤ 8 by partkey within its block;
+    (c) exact attribute-duplicates among representatives always score
+    'match' (all four agreement weights fire: 4,681,000 ≥ upper); and
+    (d) score_micro is exactly the CASE-sum of the four fixed weights,
+    recomputed independently per pair."""
+    from mapr_plugins_spark.catalog import table
+    from mapr_plugins_spark.operators.reg_dedup import (
+        _FS_BLOCK_WIDTH,
+        _FS_LOWER,
+        _FS_UPPER,
+        _FS_WEIGHTS,
+        x_record_linkage,
+    )
+
+    rows = {r.p_partkey: r for r in table(spark, sf_dir, "part").collect()}
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for k, r in rows.items():
+        blocks[(r.p_name.split(" ")[0], r.p_size // 10)].append(k)
+    rank = {}
+    for ks in blocks.values():
+        for i, k in enumerate(sorted(ks)):
+            rank[k] = i + 1
+
+    out = x_record_linkage(spark, sf_dir).collect()
+    assert out, "linkage must emit pairs at every graded sf"
+    weights = {f: (m, u) for f, m, u in _FS_WEIGHTS}
+    n_match = 0
+    for p in out:
+        a, b = rows[p.key_a], rows[p.key_b]
+        assert a.p_name.split(" ")[0] == b.p_name.split(" ")[0]
+        assert a.p_size // 10 == b.p_size // 10
+        assert rank[p.key_a] <= _FS_BLOCK_WIDTH and rank[p.key_b] <= _FS_BLOCK_WIDTH
+        expect = (
+            weights["name_eq"][0 if a.p_name == b.p_name else 1]
+            + weights["brand_eq"][0 if a.p_brand == b.p_brand else 1]
+            + weights["type_eq"][0 if a.p_type == b.p_type else 1]
+            + weights["size_close"][0 if abs(a.p_size - b.p_size) <= 2 else 1]
+        )
+        assert p.score_micro == expect
+        assert p.score_micro >= _FS_LOWER
+        assert p.verdict == ("match" if p.score_micro >= _FS_UPPER else "possible")
+        if (a.p_name, a.p_brand, a.p_type, a.p_size) == (
+            b.p_name,
+            b.p_brand,
+            b.p_type,
+            b.p_size,
+        ):
+            # full-quadruple duplicates (when present) always match:
+            # all four agreement weights fire, 4,681,000 ≥ upper
+            assert p.verdict == "match"
+        n_match += p.verdict == "match"
+    assert n_match > 0, "the match class must be non-empty at every graded sf"
+
+
 def test_semantic_codebook_band_guard_rejects_sparse_ids(spark, tmp_path):
     """x_semantic_dedup_codebook's fixed-~256-cell property rides on the
     testdata's DENSE 0..n-1 vec_ids; with sparse/offset ids the

@@ -23,6 +23,64 @@ from pyspark.sql import functions as F
 
 from mapr_plugins_spark.session import pin_runtime_conf
 
+#: Staged source sizes (bytes) recorded by the stream constructors
+#: since the last ``run_available_now`` — the input-size signal the
+#: state-partition derivation below consumes. Module-level because the
+#: registry functions build their stream and run it within one call;
+#: ``run_available_now`` drains the list.
+_PENDING_SOURCE_BYTES: list[int] = []
+
+#: Advisory bytes of staged (compressed parquet) replay input per
+#: streaming state partition — the streaming twin of AQE's
+#: ``advisoryPartitionSizeInBytes``, which cannot act here because
+#: adaptive execution is disabled under Structured Streaming, so every
+#: stateful shuffle otherwise materializes one state-store instance
+#: (task launch + Python worker round-trip + state commit, measured
+#: ~75 ms each) per session shuffle partition PER MICRO-BATCH
+#: regardless of data volume. Derivation: partitions =
+#: clamp(ceil(staged_bytes / advisory), 1, defaultParallelism).
+#: The 512 KiB local default is measured, not guessed (round-13 A/B at
+#: sf0.1, 5 stateful keys, best-of-2 each: 32 parts 70.0 s → 8 parts
+#: 28.2 s → 4 parts 21.7 s → 2 parts 32.9 s — fewer instances win
+#: until the Python fold serializes); production deployments with real
+#: state volumes raise it via this conf (uncompressed fold input runs
+#: ~4-8× the parquet bytes, and Python fold throughput per core is the
+#: binding resource, hence a target well below AQE's 64 MB batch
+#: advisory).
+_STATE_PARTITION_BYTES_CONF = "spark.mapr_plugins.stream.statePartitionBytes"
+_STATE_PARTITION_BYTES_DEFAULT = 512 * 1024
+
+
+def _note_source_bytes(path: str) -> None:
+    """Record the on-disk size of a staged stream source directory (or
+    single file) for the next ``run_available_now`` call."""
+    total = 0
+    if os.path.isdir(path):
+        for entry in os.scandir(path):
+            if entry.is_file(follow_symlinks=True):
+                total += os.stat(entry.path).st_size
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    _PENDING_SOURCE_BYTES.append(total)
+
+
+def _state_partitions(spark: SparkSession) -> int:
+    """Streaming state-partition count derived from the recorded source
+    bytes (see ``_STATE_PARTITION_BYTES_CONF``). Falls back to the
+    session's default parallelism when no source was recorded."""
+    pending, _PENDING_SOURCE_BYTES[:] = list(_PENDING_SOURCE_BYTES), []
+    par = spark.sparkContext.defaultParallelism
+    if not pending or max(pending) <= 0:
+        return par
+    try:
+        target = int(spark.conf.get(_STATE_PARTITION_BYTES_CONF))
+    except Exception:
+        target = _STATE_PARTITION_BYTES_DEFAULT
+    if target <= 0:
+        target = _STATE_PARTITION_BYTES_DEFAULT
+    n = (max(pending) + target - 1) // target
+    return max(1, min(n, par))
+
 
 def _stream_dir(sf_dir: str, name: str) -> str:
     """The file stream source requires a *directory*; the test tables are
@@ -60,10 +118,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampType
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .parquet(_stream_dir(sf_dir, "events"))
-    )
+    src = _stream_dir(sf_dir, "events")
+    _note_source_bytes(src)
+    raw = spark.readStream.schema(batch_schema).parquet(src)
     ts_type = batch_schema["ts"].dataType
     if isinstance(ts_type, LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -110,6 +167,7 @@ def events_stream_chunked(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
             os.utime(f"{d}/chunk{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
         with open(staged, "w") as f:
             f.write("ok")
+    _note_source_bytes(d)
     schema = spark.read.parquet(f"{d}/chunk0.parquet").schema
     return (
         spark.readStream.schema(schema)
@@ -158,6 +216,7 @@ def df_stream_chunked(
             os.utime(f"{d}/chunk{i}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
         with open(staged, "w") as f:
             f.write("ok")
+    _note_source_bytes(d)
     schema = spark.read.parquet(f"{d}/chunk0.parquet").schema
     return (
         spark.readStream.schema(schema)
@@ -173,13 +232,14 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> Da
     Streaming disables AQE, so the state store materializes EVERY
     shuffle partition; on a host session left at the 200 default that is
     ~200 state-store instances per stateful op for test-sized data. Pin
-    the partition count to the machine for the run, restore after —
-    results are partitioning-independent, only the state layout changes.
+    the partition count to one derived from the staged source bytes
+    (see ``_STATE_PARTITION_BYTES_CONF``), restore after — results are
+    partitioning-independent, only the state layout changes.
     """
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(key, str(_state_partitions(spark)))
     try:
         name = f"snap_{uuid.uuid4().hex[:12]}"
         q = (

@@ -463,3 +463,61 @@ def test_stream_psi_equals_batch(spark, sf_dir):
     stream = {r.bin: (r.rb, r.cb, r.term_micro, r.psi_micro)
               for r in s24_stream_psi(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_state_partitions_derive_from_source_bytes(spark):
+    """The replay harness sizes streaming state partitions from the
+    staged source bytes (guide §2.2: partitions sized to data, not to
+    the core count): ceil(bytes/advisory) clamped to [1, parallelism],
+    conf-overridable, queue drained per run, parallelism fallback when
+    no source was recorded."""
+    from mapr_plugins_spark.streaming import replay as R
+
+    par = spark.sparkContext.defaultParallelism
+    # no recorded source → fall back to session parallelism
+    R._PENDING_SOURCE_BYTES.clear()
+    assert R._state_partitions(spark) == par
+
+    # 2 MB at the 512 KiB default advisory → 4 partitions, queue drained
+    R._PENDING_SOURCE_BYTES.append(2 * 1024 * 1024)
+    assert R._state_partitions(spark) == min(4, par)
+    assert R._PENDING_SOURCE_BYTES == []
+
+    # several sources recorded → sized by the largest
+    R._PENDING_SOURCE_BYTES.extend([1, 512 * 1024 + 1])
+    assert R._state_partitions(spark) == min(2, par)
+
+    # clamped above by parallelism
+    R._PENDING_SOURCE_BYTES.append(10**12)
+    assert R._state_partitions(spark) == par
+
+    # conf override wins (and is restored)
+    old = spark.conf.get(R._STATE_PARTITION_BYTES_CONF, None)
+    try:
+        spark.conf.set(R._STATE_PARTITION_BYTES_CONF, str(1024 * 1024))
+        R._PENDING_SOURCE_BYTES.append(2 * 1024 * 1024)
+        assert R._state_partitions(spark) == min(2, par)
+    finally:
+        if old is None:
+            spark.conf.unset(R._STATE_PARTITION_BYTES_CONF)
+        else:
+            spark.conf.set(R._STATE_PARTITION_BYTES_CONF, old)
+
+
+def test_run_available_now_restores_shuffle_partitions(spark, sf_dir):
+    """run_available_now pins shuffle partitions for the streaming run
+    and restores the caller's value afterwards."""
+    from mapr_plugins_spark.streaming import replay as R
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    # build first: stream constructors run pin_runtime_conf, which
+    # re-pins shuffle partitions itself; the restore contract under test
+    # is run_available_now's.
+    ev = R.events_stream(spark, sf_dir).select("event_id")
+    spark.conf.set(key, "123")
+    try:
+        R.run_available_now(ev.groupBy().count(), "complete").collect()
+        assert spark.conf.get(key) == "123"
+    finally:
+        spark.conf.set(key, old)

@@ -64,6 +64,25 @@ def brute_force_topk(
 SIG_MICRO = 1_000_000
 
 
+def _hp_array_spark_sql(j: int, dim: int) -> str:
+    """One ±1 hyperplane as a Spark SQL BIGINT array literal."""
+    return "array(" + ",".join(f"{int(x)}L" for x in _hyperplane(j, dim)) + ")"
+
+
+def _micro_dot_spark_sql(vec_col: str, plane: int, dim: int, norm_sql: str | None = None) -> str:
+    """Spark SQL for the exact integer micro-unit dot of ``vec_col``
+    with hyperplane ``plane`` — the same zip_with/aggregate fold the
+    Column form built, rendered as one parseable string (the division
+    by ``norm_sql``, when given, happens before the micro multiply,
+    matching the Column form's IEEE op order)."""
+    div = f" / {norm_sql}" if norm_sql is not None else ""
+    return (
+        f"aggregate(zip_with(`{vec_col}`, {_hp_array_spark_sql(plane, dim)}, "
+        f"(v, h) -> CAST(floor(CAST(v AS DOUBLE){div} * {SIG_MICRO}) AS BIGINT) * h), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def signature_col(vec_col: str, n_bits: int, dim: int):
     """LSH signature as an integer column: bit j = (v·hp_j > 0), with
     the dot product in EXACT INTEGER micro-units —
@@ -73,26 +92,17 @@ def signature_col(vec_col: str, n_bits: int, dim: int):
     LSH candidate set — is replayable by an independent SQL oracle:
     the property that upgraded x_ann_lsh_* from rows-only to
     full-value grading (round-5 verdict item #7). A float fold would
-    leave the sign of near-zero dots at the mercy of summation order."""
-    sig = F.lit(0).cast("long")
-    for j in range(n_bits):
-        hp = F.array(*[F.lit(int(x)).cast("long") for x in _hyperplane(j, dim)])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                hp,
-                lambda v, h: F.floor(v.cast("double") * F.lit(SIG_MICRO)).cast(
-                    "long"
-                )
-                * h,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    leave the sign of near-zero dots at the mercy of summation order.
+
+    Built as ONE parsed SQL expression: the per-literal Column form
+    cost n_bits·dim py4j round-trips of plan construction (~2 s of
+    driver wall per call at 6×64) for the identical expression tree."""
+    bits = " + ".join(
+        f"(CASE WHEN ({_micro_dot_spark_sql(vec_col, j, dim)}) > 0 "
+        f"THEN {1 << j}L ELSE 0L END)"
+        for j in range(n_bits)
+    )
+    return F.expr(f"CAST(0 AS BIGINT) + {bits}")
 
 
 def lsh_signature_sql(vec_sql: str, n_bits: int = 6, dim: int = 64) -> str:
@@ -777,8 +787,16 @@ def pq_centroids(
 
 
 def _cents_lit(cents_j: list[list[float]]):
-    """Literal ``array<array<double>>`` of one subspace's codebook."""
-    return F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents_j])
+    """Literal ``array<array<double>>`` of one subspace's codebook.
+
+    Rendered as ONE parsed SQL literal: ``repr(float)`` round-trips
+    exactly (shortest-repr ↔ IEEE-754 nearest, same parse in the JVM),
+    so the values are bit-identical to the former per-element ``F.lit``
+    form, which cost kc·dsub py4j round-trips per subspace."""
+    inner = ",".join(
+        "array(" + ",".join(f"{v!r}D" for v in c) + ")" for c in cents_j
+    )
+    return F.expr(f"array({inner})")
 
 
 def _d2_fold(sub, cent):
@@ -1383,29 +1401,16 @@ def jl_projection_exprs(
     ‖a−b‖² = 2−2·cos, so the L2 ordering IS the cosine ordering).
     The norm itself is the deterministic left-fold ``l2_norm``, which
     the oracle replays via list_sum (the x_embed_normalize precedent).
-    Returns a list of k BIGINT Columns."""
-    out = []
-    for j in range(k):
-        hp = F.array(
-            *[
-                F.lit(int(x)).cast("long")
-                for x in _hyperplane(JL_PLANE_OFFSET + j, dim)
-            ]
-        )
+    Returns a list of k BIGINT Columns.
 
-        def _micro(v):
-            base = v.cast("double")
-            if norm_col is not None:
-                base = base / F.col(norm_col)
-            return F.floor(base * F.lit(SIG_MICRO)).cast("long")
-
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), hp, lambda v, h: _micro(v) * h),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        out.append(dot)
-    return out
+    Built as parsed SQL expressions (one py4j call per component): the
+    per-literal Column form cost k·dim py4j round-trips — ~7 s of
+    driver wall at k=32/dim=64 — for the identical expression tree."""
+    norm_sql = f"`{norm_col}`" if norm_col is not None else None
+    return [
+        F.expr(_micro_dot_spark_sql(vec_col, JL_PLANE_OFFSET + j, dim, norm_sql))
+        for j in range(k)
+    ]
 
 
 def jl_component_sql(

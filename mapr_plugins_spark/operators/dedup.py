@@ -725,8 +725,17 @@ def collapse_components(
     count-first probe would, without executing the (unpersisted,
     often expensive) pair plan twice.
     """
-    probe = pairs.select(id_a, id_b).limit(max_driver_edges + 1).collect()
+    # Persist the projected pair set ONCE: the probe, the driver fetch
+    # and (on the distributed branch) both union directions all read it,
+    # and without the persist each reference re-executes the whole
+    # upstream pair-mining pipeline (for the minhash graph: signatures +
+    # band join + Jaccard verify, ~4 s at sf0.1 — re-paid once per
+    # propagation round below, measured 16.2 s → 6.4 s for
+    # x_graph_components).
+    sel = pairs.select(id_a, id_b).persist()
+    probe = sel.limit(max_driver_edges + 1).collect()
     if len(probe) <= max_driver_edges:
+        sel.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -750,10 +759,15 @@ def collapse_components(
         return pairs.sparkSession.createDataFrame(
             rows, "doc_id LONG, canonical_id LONG"
         )
+    # The doubled edge list is consumed by EVERY propagation round (the
+    # labels side is checkpoint-truncated, the edges side is not), so it
+    # must be persisted or each round recomputes the pair pipeline from
+    # scratch. Pair-graph-sized (LSH keeps it ≪ corpus), released below.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        sel.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(sel.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -761,6 +775,9 @@ def collapse_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # the labels action above materialized ``edges`` into its own cache;
+    # the raw pair projection is dead weight from here on
+    sel.unpersist()
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -778,6 +795,9 @@ def collapse_components(
         n_changed = updated.filter("changed").count()
         labels = updated.drop("changed")
         if n_changed == 0:
+            # labels is an eager localCheckpoint — lineage truncated, so
+            # the edge cache is releasable before returning the lazy plan
+            edges.unpersist()
             return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
@@ -1878,9 +1898,15 @@ def ngram_novelty(
     Documents shorter than k words carry no grams and are absent —
     the same convention as every shingle operator here."""
     grams = shingles(docs, id_col, text_col, k=k)
-    first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # first-seen via ONE whole-partition window min instead of a grouped
+    # min joined back on the gram key: the join formulation consumed the
+    # gram explode twice (two scans + two gram-keyed exchanges + a
+    # sort-merge join); the window computes the identical min with one
+    # explode and one exchange. Same values by definition — min over the
+    # shingle partition IS the grouped min.
+    wspec = Window.partitionBy("shingle")
     per = (
-        grams.join(first, "shingle")
+        grams.withColumn("first_doc", F.min("doc_id").over(wspec))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1916,20 +1942,32 @@ def incremental_novelty(
     gram key — O(wave grams) probe work, never a corpus rescan; the
     store itself appends the wave's grams afterwards."""
     wave_grams = shingles(wave, id_col, text_col, k=k)
-    seen = shingles(existing, id_col, text_col, k=k).select("shingle").distinct()
-    new_grams = wave_grams.join(seen, "shingle", "left_anti")
-    totals = wave_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    seen = (
+        shingles(existing, id_col, text_col, k=k)
+        .select("shingle")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
     )
-    news = new_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
-    return (
-        totals.join(news, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-            F.expr(
-                "(coalesce(n_new, 0) * 1000000) DIV n_grams"
-            ).alias("novelty_micro"),
+    # ONE pass over the wave grams: the anti-join formulation exploded
+    # the wave twice (anti-join side + totals side), shuffled it twice,
+    # and joined the two per-doc aggregates back together; a left join
+    # against the distinct gram store (unique on shingle, so it cannot
+    # duplicate rows) carries the absent/present verdict into a single
+    # per-doc aggregate. Identical values: __seen IS NULL ⟺ the gram
+    # would have survived the anti join.
+    per = (
+        wave_grams.join(seen, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__seen").isNull(), 1).otherwise(0).cast("long")
+            ).alias("n_new"),
         )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_new",
+        F.expr("(n_new * 1000000) DIV n_grams").alias("novelty_micro"),
     )

@@ -62,10 +62,18 @@ def pagerank(
     edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = edges.join(outdeg, "src").persist()
+    # cache e ALREADY HASH-PARTITIONED on the join key: every round's
+    # contribution join then reuses the cached partitioning instead of
+    # re-shuffling the |edges|-sized side (the rank side — node-sized,
+    # checkpoint-truncated — is the only per-round exchange). The
+    # partition count comes from spark.sql.shuffle.partitions (+ AQE
+    # coalescing), so it stays conf-driven at cluster scale.
+    e = edges.join(outdeg, "src").repartition("src").persist()
     ranks = nodes.withColumn("rank_micro", F.lit(SCALE).cast("bigint"))
     for _ in range(iterations):
-        contrib = e.join(ranks, e.src == ranks.id).select(
+        # hash-build the node-sized rank side (shuffle_hash): sort-merge
+        # would re-sort the edge stream every round for nothing
+        contrib = e.join(ranks.hint("shuffle_hash"), e.src == ranks.id).select(
             F.col("dst").alias("id"),
             F.expr("rank_micro div outdeg").alias("c"),
         )
@@ -331,9 +339,20 @@ def k_core(
             break
         prev_n = n_keep
         keep = deg.select("v")
+        # hash-build the surviving-node side (shuffle_hash): the default
+        # sort-merge semi join sorts the edge stream twice per peel round
+        # for a build side that is only node-sized
         cur = (
-            cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            cur.join(
+                keep.select(F.col("v").alias("a")).hint("shuffle_hash"),
+                "a",
+                "left_semi",
+            )
+            .join(
+                keep.select(F.col("v").alias("b")).hint("shuffle_hash"),
+                "b",
+                "left_semi",
+            )
             .localCheckpoint()
         )
         if n_keep == 0:

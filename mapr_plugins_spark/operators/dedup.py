@@ -376,11 +376,20 @@ def containment_gram_arrays(
     collision merging two grams corpus-wide has p ≈ n_grams²/2⁶¹
     ≈ 1e-10 at sf0.1, and the oracle replays the identical hash, so
     the differential gate is collision-proof)."""
-    gram = f"substring({text_col}, i, {n})"
-    hashed = spark_hex15_to_bigint_sql(f"md5(concat({gram}, '#', '0'))")
-    grams_expr = F.expr(
+    # distinct the gram STRINGS before hashing: the previous form ran
+    # one md5 per character position; this runs one md5 per distinct
+    # gram of the doc (repeated grams are free). Identical output array:
+    # first-occurrence order of distinct grams equals first-occurrence
+    # order of their hashes, and on a (p≈1e-10) colliding pair both
+    # forms keep the first occurrence — the outer array_distinct
+    # collapses it the same way.
+    gram_strings = (
         f"array_distinct(transform(sequence(1, length({text_col}) - {n} + 1),"
-        f" i -> {hashed}))"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+    hashed = spark_hex15_to_bigint_sql("md5(concat(x, '#', '0'))")
+    grams_expr = F.expr(
+        f"array_distinct(transform({gram_strings}, x -> {hashed}))"
     )
     return fan_out(docs.filter(F.length(text_col) >= n)).select(
         F.col(id_col).alias("doc_id"), grams_expr.alias("g")
@@ -604,42 +613,57 @@ def strip_duplicated_spans(
     each document with every token that sits inside a cross-document
     duplicated ``n``-token window REMOVED.
 
-    Plan: the shared hit computation, then covered positions explode
-    from the (tiny) hit set, tokens anti-join covered on
-    (doc_id, pos), and the survivors reassemble row-locally via
-    sort_array over (pos, token) structs — the reassembly group is one
-    document, so per-task state is a single doc's tokens.
+    Plan: the shared hit computation, then the hit positions merge into
+    per-doc covered INTERVALS (gaps-and-islands — bounded by the hit
+    set, never the token stream), and each document is rewritten
+    row-locally by filtering its own token array against its interval
+    array — no token explode, no per-token shuffle, no collect_list
+    reassembly.
 
     Output: ``(doc_id, n_tokens, kept_tokens, clean_text)``; a fully
     duplicated document survives as an empty string, not a dropped row.
     """
     base, hits = _duplicated_window_hits(docs, id_col, text_col, n)
-    covered = (
-        hits.select(
-            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("pos")
+    # Merge each doc's hit positions into covered INTERVALS (the same
+    # gaps-and-islands pass duplicated_ngram_spans runs — consecutive
+    # hits ≤ n apart have overlapping/adjacent windows, so an island
+    # [min_pos, max_pos + n - 1] is exactly its covered range), then
+    # rebuild each document ROW-LOCALLY by filtering its token array
+    # against the per-doc interval array. The previous form exploded
+    # every token of every doc, shuffled them, anti-joined the covered
+    # positions and re-assembled via sort_array(collect_list(...)) —
+    # three corpus-token-sized exchanges replaced by one doc-count join
+    # against an island table bounded by the hit set.
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    lag_pos = F.lag("pos").over(wspec)
+    ivs = (
+        hits.withColumn(
+            "ni", F.when(lag_pos.isNull() | (F.col("pos") > lag_pos + n), 1).otherwise(0)
         )
-        .withColumn("pos", F.col("pos").cast("long"))
-        .distinct()
+        .withColumn("island", F.sum("ni").over(wspec))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__ivs"))
     )
-    toks = base.select(
-        "doc_id", F.posexplode("__w").alias("pos", "token")
-    ).withColumn("pos", F.col("pos").cast("long"))
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("kept_tokens"),
-        F.concat_ws(
-            " ",
-            F.expr("transform(sort_array(collect_list(struct(pos, token))), s -> s.token)"),
-        ).alias("clean_text"),
+    kept_arr = F.expr(
+        "filter(transform(__w, (t, i) -> struct(t AS t, i AS i)),"
+        " s -> NOT exists(__ivs, v -> s.i >= v.s AND s.i <= v.e))"
     )
     return (
-        base.select("doc_id", "n_tokens")
-        .join(clean, "doc_id", "left")
+        base.join(ivs, "doc_id", "left")
+        .withColumn(
+            "__ivs",
+            F.coalesce(
+                "__ivs", F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+            ),
+        )
+        .withColumn("__kept", kept_arr)
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias("kept_tokens"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("__kept").cast("long").alias("kept_tokens"),
+            F.concat_ws(" ", F.expr("transform(__kept, s -> s.t)")).alias("clean_text"),
         )
     )
 

@@ -1739,8 +1739,9 @@ def canonical_replacement(
 
     Shuffle posture: one equi-join corpus↔clusters on the id (clusters
     is component-sized, the planner may broadcast it — unhinted, the
-    round-5 lesson), one per-cluster window on the cluster key, one
-    survivor join. No driver state, no corpus broadcast."""
+    round-5 lesson) and one per-cluster window on the cluster key that
+    both ranks and distributes the survivor (unbounded first_value).
+    No driver state, no corpus broadcast."""
     full = (
         corpus.select(F.col(id_col), F.length(F.col(text_col)).alias("__n"))
         .join(
@@ -1756,15 +1757,18 @@ def canonical_replacement(
             "__n",
         )
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("__n").desc(), F.col(id_col).asc()
+    # survivor via ONE unbounded-frame first_value window: the previous
+    # row_number + filter + self-join consumed ``full`` (a corpus scan +
+    # cluster join) twice and re-shuffled it for the join; first() over
+    # the identical ordering broadcasts the winner to every row of the
+    # cluster in the same single window pass. Same survivor by
+    # definition — the first row under (__n DESC, id ASC) IS row_number 1.
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("__n").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    surv = (
-        full.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("cluster_id", F.col(id_col).alias("survivor_id"))
-    )
-    return full.join(surv, "cluster_id").select(
+    return full.withColumn("survivor_id", F.first(id_col).over(w)).select(
         F.col(id_col),
         "cluster_id",
         "survivor_id",
@@ -1835,13 +1839,25 @@ def blocking_quality_eval(
         .join(sb, "id_b", "left_semi")
         .select("id_a", "id_b")
     )
-    hit = blocked.join(exact, ["id_a", "id_b"], "left_semi")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nbk = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))
-    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    # ALL THREE counts from one full-outer join: the previous
+    # three-aggregate form consumed ``blocked`` (the whole verified-pair
+    # pipeline) twice and ``exact`` (the sample cross join) twice; a
+    # full outer on the pair key sees every exact row, every blocked
+    # row and every hit exactly once — both pair sets are distinct by
+    # construction, so the join cannot multiply rows and the counts are
+    # identical.
+    j = exact.withColumn("__e", F.lit(1)).join(
+        blocked.withColumn("__b", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    counts = j.agg(
+        F.sum(F.coalesce("__e", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("__b", F.lit(0))).cast("long").alias("n_blocked"),
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hit"),
+    )
     return (
-        ne.crossJoin(nbk)
-        .crossJoin(nh)
+        counts
         .select(
             "n_exact",
             "n_blocked",

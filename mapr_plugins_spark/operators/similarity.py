@@ -185,23 +185,7 @@ def ivf_topk(
     pr = probe.withColumn("pfeat", array_to_vector(F.col("probe_vec")))
     # nearest n_probe centroids for the probe, computed as an expression
     # over the literal centroid arrays (no Python in the per-row path)
-    dists = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                F.aggregate(
-                    F.zip_with(
-                        F.col("probe_vec"),
-                        F.array(*[F.lit(float(x)) for x in centers[i]]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-            )
-            for i in range(len(centers))
-        ]
-    )
+    dists = _centroid_d2_structs(list(enumerate(centers)))
     probe_lists = pr.select(
         "probe_id",
         "probe_vec",
@@ -220,6 +204,26 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, F.round("cos", 6).alias("cos6"))
+    )
+
+
+def _centroid_d2_structs(centers: list):
+    """``array<struct<list_id:int, d2:double>>`` of ``probe_vec``'s
+    squared-L2 distance to every coarse centroid, as ONE parsed SQL
+    literal + ONE fold lambda in the plan (the _cents_lit/_sub_d2s
+    precedent). The former per-centroid form built n_lists separate
+    fold expressions over per-element ``F.lit`` arrays — n_lists·dim
+    py4j round-trips per plan build. ``centers`` is a list of
+    (list_id, vector) pairs in the order the struct array should hold.
+    Identical values: repr(float) round-trips IEEE-754 exactly, and the
+    fold is the same sequential zip_with/aggregate."""
+    ids = ",".join(str(int(i)) for i, _ in centers)
+    cents_lit = _cents_lit([[float(x) for x in c] for _, c in centers])
+    d2s = F.transform(cents_lit, lambda c: _d2_fold(F.col("probe_vec"), c))
+    return F.zip_with(
+        d2s,
+        F.expr(f"array({ids})"),
+        lambda d, i: F.struct(i.alias("list_id"), d.alias("d2")),
     )
 
 
@@ -282,7 +286,12 @@ def lsh_topk_indexed(
     buckets = hamming_ball(prow.psig, n_bits, max_hamming)
     idx = spark.read.parquet(index_path).filter(F.col("sig").isin(buckets))
     cands = idx.filter(F.col(id_col) != F.lit(prow.probe_id)).withColumn(
-        "probe_vec", F.array(*[F.lit(float(x)) for x in prow.probe_vec])
+        "probe_vec",
+        # one parsed literal (the _cents_lit precedent) instead of a
+        # per-element F.lit loop; repr(float) round-trips IEEE-754
+        F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in prow.probe_vec) + ")"
+        ),
     )
     return (
         cands.withColumn("cos", cosine_similarity(vec_col, "probe_vec"))
@@ -436,23 +445,7 @@ def ivf_topk_batch(
     assigned = model.transform(feats).withColumnRenamed("prediction", "list_id")
 
     centers = model.clusterCenters()
-    dists = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                F.aggregate(
-                    F.zip_with(
-                        F.col("probe_vec"),
-                        F.array(*[F.lit(float(x)) for x in centers[i]]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-            )
-            for i in range(len(centers))
-        ]
-    )
+    dists = _centroid_d2_structs(list(enumerate(centers)))
     nearest = F.slice(
         F.array_sort(
             dists,
@@ -542,23 +535,7 @@ def ivf_topk_indexed_batch(
         r.list_id: r.centroid
         for r in spark.read.parquet(f"{index_path}/centroids").collect()
     }
-    dists = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                F.aggregate(
-                    F.zip_with(
-                        F.col("probe_vec"),
-                        F.array(*[F.lit(float(x)) for x in centers[i]]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-            )
-            for i in sorted(centers)
-        ]
-    )
+    dists = _centroid_d2_structs([(i, centers[i]) for i in sorted(centers)])
     nearest = F.slice(
         F.array_sort(
             dists,
@@ -1346,9 +1323,10 @@ def kcenter_select(
     )
     centers: list = [(0, seed[0], 0.0, list(seed[1]))]
     for rank in range(1, k):
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c[3]]) for c in centers]
-        )
+        # one parsed SQL literal per round (the _cents_lit precedent):
+        # the nested per-element F.lit form cost rank·dim py4j
+        # round-trips per round — re-paid across all k−1 rounds
+        cents_lit = _cents_lit([[float(v) for v in c[3]] for c in centers])
         d2s = F.transform(
             cents_lit,
             lambda c: _d2_fold(F.col(vec_col), c),
@@ -1450,7 +1428,13 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]], id_col: str) -> DataFra
     array-of-arrays (k·dim literals), then a struct array_min — the
     (d2, idx) struct ordering IS the tie-break, no second pass over
     the distance array."""
-    cents_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents])
+    # one parsed SQL literal (the _cents_lit precedent, BIGINT flavor):
+    # the nested per-element F.lit form cost k·dim py4j round-trips per
+    # assignment build — re-paid every Lloyd round
+    inner = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for c in cents
+    )
+    cents_lit = F.expr(f"array({inner})")
     idxs = F.sequence(F.lit(0), F.lit(len(cents) - 1))
     d2s = F.transform(cents_lit, lambda c: _int_d2_fold(F.col("__q"), c))
     best = F.array_min(

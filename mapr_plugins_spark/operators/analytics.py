@@ -652,19 +652,33 @@ def association_rules(
         pair_counts.join(ca, "item_a").join(cb, "item_b")
         .crossJoin(F.broadcast(n_baskets))
     )
-    fwd = undirected.select(
-        F.col("item_a").alias("antecedent"), F.col("item_b").alias("consequent"),
-        "pair_count",
-        F.col("count_a").alias("ante_count"), F.col("count_b").alias("cons_count"),
-        "n_baskets",
-    )
-    rev = undirected.select(
-        F.col("item_b").alias("antecedent"), F.col("item_a").alias("consequent"),
-        "pair_count",
-        F.col("count_b").alias("ante_count"), F.col("count_a").alias("cons_count"),
-        "n_baskets",
-    )
-    rules = fwd.unionByName(rev)
+    # both rule directions via ONE explode instead of a fwd/rev union:
+    # union branches duplicate the whole pair-mining subtree in the
+    # physical plan (the basket self-join ran twice per action — the
+    # triangle_count lesson); the exploded pair of structs emits the
+    # identical row set from a single pass
+    rules = undirected.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("pair_count"),
+                    F.col("count_a").alias("ante_count"),
+                    F.col("count_b").alias("cons_count"),
+                    F.col("n_baskets"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("pair_count"),
+                    F.col("count_b").alias("ante_count"),
+                    F.col("count_a").alias("cons_count"),
+                    F.col("n_baskets"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*")
     return rules.select(
         "antecedent", "consequent", "pair_count", "ante_count", "cons_count",
         "n_baskets",

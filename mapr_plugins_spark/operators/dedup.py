@@ -753,9 +753,9 @@ def collapse_components(
     # and (on the distributed branch) both union directions all read it,
     # and without the persist each reference re-executes the whole
     # upstream pair-mining pipeline (for the minhash graph: signatures +
-    # band join + Jaccard verify, ~4 s at sf0.1 — re-paid once per
-    # propagation round below, measured 16.2 s → 6.4 s for
-    # x_graph_components).
+    # band join + Jaccard verify — re-paid once per propagation round
+    # below; x_graph_components paired-median 6.70 → 4.49 s at sf0.1,
+    # warm-position profiled build 16.2 → 9.0 s).
     sel = pairs.select(id_a, id_b).persist()
     probe = sel.limit(max_driver_edges + 1).collect()
     if len(probe) <= max_driver_edges:

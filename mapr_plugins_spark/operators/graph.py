@@ -71,8 +71,14 @@ def pagerank(
     e = edges.join(outdeg, "src").repartition("src").persist()
     ranks = nodes.withColumn("rank_micro", F.lit(SCALE).cast("bigint"))
     for _ in range(iterations):
-        # hash-build the node-sized rank side (shuffle_hash): sort-merge
-        # would re-sort the edge stream every round for nothing
+        # hash-build the node-sized rank side (shuffle_hash). Left to
+        # estimates the round join auto-broadcasts ranks at small scale
+        # (re-collecting and re-shipping it every round) and sort-merges
+        # at cluster scale (re-sorting the edge stream every round);
+        # the pinned hash build is the one strategy that reuses the
+        # cached edge partitioning at any scale (plan evidence:
+        # plans/r13/x_pagerank_round_{before,after}.txt — the e side
+        # reads InMemoryTableScan with no fresh Exchange).
         contrib = e.join(ranks.hint("shuffle_hash"), e.src == ranks.id).select(
             F.col("dst").alias("id"),
             F.expr("rank_micro div outdeg").alias("c"),

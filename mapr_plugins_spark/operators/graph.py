@@ -336,12 +336,15 @@ def k_core(
     persisted_edges = e
     cur = e
     prev_n = None
-    converged = False
+    final_deg = None
     for _ in range(rounds):
         deg = degrees(cur).filter(F.col("d") >= k).localCheckpoint()
         n_keep = deg.count()
         if prev_n is not None and n_keep == prev_n:
-            converged = True
+            # cur is unchanged since deg was computed, so deg IS the
+            # final degree table — returning the checkpoint saves the
+            # extra full degree pass the return used to recompute
+            final_deg = deg
             break
         prev_n = n_keep
         keep = deg.select("v")
@@ -362,20 +365,23 @@ def k_core(
             .localCheckpoint()
         )
         if n_keep == 0:
-            converged = True  # empty core is a fixpoint
+            # empty core is a fixpoint; deg is empty, identical to
+            # degrees(emptied cur)
+            final_deg = deg
             break
     # every loop iteration leaves ``cur`` as an eager localCheckpoint,
     # so the input persist is dead after the loop — release it instead
     # of leaking blocks into a long-lived session (round-5 ADVICE)
     persisted_edges.unpersist()
-    if not converged:
-        # one more degree pass may still certify the fixpoint (the
-        # cap-th peel was the converging one)
-        n_final = degrees(cur).filter(F.col("d") >= k).count()
-        if n_final != prev_n:
+    if final_deg is None:
+        # cap reached right after a peel: one more degree pass both
+        # certifies the fixpoint and (checkpointed) IS the result —
+        # previously this path computed the degree table twice
+        final_deg = degrees(cur).filter(F.col("d") >= k).localCheckpoint()
+        if final_deg.count() != prev_n:
             raise RuntimeError(
                 f"k_core did not converge in {rounds} rounds; raise rounds"
             )
-    return degrees(cur).filter(F.col("d") >= k).select(
+    return final_deg.select(
         F.col("v").alias("node"), F.col("d").cast("long").alias("core_degree")
     )

@@ -1928,6 +1928,27 @@ def test_k_core_known_graph_and_guard(spark):
     assert set(out2) == {0, 1, 2, 3, 4}
 
 
+def test_k_core_empty_core_and_cap_certify(spark):
+    """Internals pin for the round-13 final-pass reuse: an empty k-core
+    exits on the in-loop checkpointed degree table (schema intact, zero
+    rows), and a peel whose round budget runs out right after the
+    converging peel is certified by the single post-loop degree pass —
+    returned, not raised."""
+    from mapr_plugins_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a BIGINT, b BIGINT")
+    out = k_core(chain, k=2, rounds=6)
+    assert out.columns == ["node", "core_degree"]
+    assert out.count() == 0
+    # K4 + pendant at k=3, rounds=1: round 1 peels the pendant and
+    # exhausts the cap; the certify pass sees the unchanged 3-core
+    # (n_final == prev_n) and must return it
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)] + [(3, 9)]
+    e2 = spark.createDataFrame(k4, "a BIGINT, b BIGINT")
+    out2 = {r.node: r.core_degree for r in k_core(e2, k=3, rounds=1).collect()}
+    assert out2 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_kcenter_separation_curve_and_determinism(spark, sf_dir):
     """Gonzalez laws: 8 distinct centers, seed is the lowest vec_id
     with sep 0, the separation curve is monotone non-increasing from

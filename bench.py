@@ -305,8 +305,9 @@ def main() -> None:
     # side file has it)...
     print(json.dumps(full))
     sys.stdout.flush()
-    # ...compact summary LAST: this is the line a bounded tail capture
-    # parses, so it must stay small no matter how many queries run.
+    # ...compact summary next: a bounded tail capture always retains at
+    # least this line, so it must stay small no matter how many queries
+    # run.
     print(
         json.dumps(
             {
@@ -319,6 +320,42 @@ def main() -> None:
             }
         )
     )
+    # ...then the per-query map re-emitted as bounded chunk lines
+    # (round-13 verdict #2, additions-only: the full single-line record
+    # printed first outgrows a bounded tail buffer, which left the
+    # driver's round-over-round per-query diff empty). Every chunk line
+    # repeats the compact summary fields — any one line alone is a
+    # valid summary record — and carries a slice of the queries map.
+    # Ascending-cost order puts the most expensive keys in the FINAL
+    # lines, the ones a short tail keeps. Timing methodology above is
+    # untouched; this only changes what is printed after it.
+    items = sorted(timings.items(), key=lambda kv: kv[1])
+    chunks: list[dict[str, float]] = [{}]
+    cur_len = 0
+    for k, v in items:
+        entry_len = len(k) + 12
+        if chunks[-1] and cur_len + entry_len > 800:
+            chunks.append({})
+            cur_len = 0
+        chunks[-1][k] = v
+        cur_len += entry_len
+    for i, ch in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "suite_wall_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "n": len(timings),
+                    "sf": sf_val,
+                    "queries_file": "bench_full.json",
+                    "queries_part": i + 1,
+                    "queries_parts": len(chunks),
+                    "queries": ch,
+                }
+            )
+        )
+    sys.stdout.flush()
     spark.stop()
 
 

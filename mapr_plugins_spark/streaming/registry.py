@@ -294,7 +294,10 @@ def s10_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from mapr_plugins_spark.streaming.replay import events_stream_chunked
+    from mapr_plugins_spark.streaming.replay import (
+        events_stream_chunked,
+        pinned_state_partitions,
+    )
 
     run = f"/tmp/mapr_plugins_cdc/{uuid.uuid4().hex[:12]}"
     os.makedirs(run, exist_ok=True)
@@ -333,13 +336,18 @@ def s10_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(f"{run}/state_{batch_id}")
         n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{run}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-partition pin: see s13 — foreachBatch bodies bypass
+    # run_available_now's sizing, and the LWW merge's full-outer join
+    # otherwise shuffles KB-sized state into the session's full
+    # partition count per micro-batch.
+    with pinned_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{run}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
     final = spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
     return final.filter(F.col("event_type") != "error").select(
@@ -440,7 +448,10 @@ def s13_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapr_plugins_spark.operators.dedup import minhash_band_signatures
     from mapr_plugins_spark.operators.registry import _BAND_ROWS, _MINHASH_SEEDS
-    from mapr_plugins_spark.streaming.replay import df_stream_chunked
+    from mapr_plugins_spark.streaming.replay import (
+        df_stream_chunked,
+        pinned_state_partitions,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
@@ -475,13 +486,22 @@ def s13_stream_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.unpersist()
         n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{run}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The foreachBatch body's shuffles (per-batch bucket-min, state
+    # merge) bypass run_available_now, so until round 14 they ran at
+    # the session's full shuffle-partition count (32+ state files
+    # written and re-read per micro-batch for KB-sized state) — the
+    # foreachBatch keys were the streaming keys the §2.2
+    # source-derived sizing missed, and their noted source bytes
+    # leaked into the next streaming run's queue. Same pin, same
+    # restore contract as run_available_now.
+    with pinned_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{run}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
     mins = spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
     bands_all = spark.read.parquet(f"{run}/bands")
@@ -916,7 +936,10 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_agg_merge,
         incremental_agg_state,
     )
-    from mapr_plugins_spark.streaming.replay import events_stream_chunked
+    from mapr_plugins_spark.streaming.replay import (
+        events_stream_chunked,
+        pinned_state_partitions,
+    )
 
     run = f"/tmp/mapr_plugins_rollup/{uuid.uuid4().hex[:12]}"
     keys = ["user_id", "event_type"]
@@ -944,13 +967,18 @@ def s20_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(f"{run}/state_{batch_id}")
         n_applied["batches"] = max(n_applied["batches"], batch_id + 1)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{run}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-partition pin: see s13 — foreachBatch bodies bypass
+    # run_available_now's sizing, and the group-bounded state merge
+    # otherwise shuffles into the session's full partition count per
+    # micro-batch.
+    with pinned_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{run}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert n_applied["batches"] >= 2, "expected multiple incremental micro-batches"
     final = (
         spark.read.parquet(f"{run}/state_{n_applied['batches'] - 1}")
@@ -1040,8 +1068,6 @@ def s22_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·x − S1)² > 9·(n·S2 − S1²) — and emits one flagged row per event
     (append semantics), so the union across batches is row-for-row the
     batch result."""
-    import math
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1052,41 +1078,64 @@ def s22_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     stream = df_stream_chunked(ev, f"{sf_dir}/zscore_events", "ts", n_chunks=4)
+    # Guide §4: do the double→micro-unit conversion in JVM codegen
+    # BEFORE the Python boundary and ship a BIGINT instead of a DOUBLE
+    # — floor(value · 1e6) on an IEEE double is the identical integer
+    # math.floor(float(v) * 1000000.0) produced per row in Python
+    # (same double multiply, same floor). The fold's state and output
+    # are unchanged.
+    stream = stream.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("x_micro"),
+    )
 
     def fold(key, pdfs, state):
+        # accumulators are PYTHON ints on purpose: s2 = Σx² outgrows
+        # int64 at ~40k events/key, and (n·x − s1)² outgrows it far
+        # earlier — exactness at any history length needs arbitrary
+        # precision. The per-row interpreted loop is gone (guide §4):
+        # prefix sums via itertools.accumulate (C-paced big-int adds)
+        # and the flag comparison vectorized over object-dtype numpy
+        # arrays (C-paced element loop over exact Python ints).
+        from itertools import accumulate
+
+        import numpy as np
+
         if state.exists:
-            n, s1, s2s = state.get
-            n, s1, s2 = int(n), int(s1), int(s2s)
+            n0, s1_0, s2s = state.get
+            n0, s1_0, s2_0 = int(n0), int(s1_0), int(s2s)
         else:
-            n, s1, s2 = 0, 0, 0
-        eids, xs, nps, flags = [], [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, v in zip(pdf["event_id"], pdf["value"]):
-                x = math.floor(float(v) * 1000000.0)
-                flag = bool(
-                    n >= 5 and (n * x - s1) ** 2 > 9 * (n * s2 - s1 * s1)
-                )
-                eids.append(int(eid))
-                xs.append(x)
-                nps.append(n)
-                flags.append(flag)
-                n += 1
-                s1 += x
-                s2 += x * x
-        state.update((n, s1, str(s2)))
-        if eids:
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(eids),
-                    "event_id": eids,
-                    "x_micro": xs,
-                    "n_prev": nps,
-                    "is_anomaly": flags,
-                }
-            )
+            n0, s1_0, s2_0 = 0, 0, 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((n0, s1_0, str(s2_0)))
+            return
+        # one global (ts, event_id) sort across the key's whole batch —
+        # the same total order the per-chunk fold consumed (ts is
+        # globally unique, chunks are ts-contiguous)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["x_micro"].tolist()  # exact Python ints
+        m = len(xs)
+        s1c = list(accumulate(xs, initial=s1_0))
+        s2c = list(accumulate((x * x for x in xs), initial=s2_0))
+        xa = np.array(xs, dtype=object)
+        s1a = np.array(s1c[:-1], dtype=object)
+        s2a = np.array(s2c[:-1], dtype=object)
+        na = np.arange(n0, n0 + m, dtype=object)
+        flags = (na >= 5) & ((na * xa - s1a) ** 2 > 9 * (na * s2a - s1a * s1a))
+        state.update((n0 + m, s1c[-1], str(s2c[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * m,
+                "event_id": pdf["event_id"].to_numpy(),
+                "x_micro": xs,
+                "n_prev": np.arange(n0, n0 + m),
+                "is_anomaly": flags.astype(bool),
+            }
+        )
 
     result = stream.groupBy("user_id").applyInPandasWithState(
         fold,
@@ -1098,7 +1147,10 @@ def s22_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_available_now(result, "append")
+    # entity-keyed (one state row per user), row-paced fold: the
+    # denser row-fold partition advisory applies (replay.py) — the
+    # binding resource is Python fold CPU, not state-store instances
+    return run_available_now(result, "append", row_paced_fold=True)
 
 
 def s23_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1163,7 @@ def s23_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     the carried last state with the batch's first row, emits one
     (from, to) row per transition (append), and the final matrix is a
     plain commutative aggregate over the emitted pairs."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1123,20 +1176,28 @@ def s23_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = df_stream_chunked(ev, f"{sf_dir}/markov_events", "ts", n_chunks=4)
 
     def fold(key, pdfs, state):
+        # Guide §4: the per-row interpreted loop is gone — a (from, to)
+        # transition stream is the sorted event_type column zipped with
+        # itself shifted by one (the carried last state fills slot 0),
+        # all array ops. One global (ts, event_id) sort across the
+        # key's whole batch replaces the per-chunk sorts — identical
+        # total order (ts is globally unique, chunks are
+        # ts-contiguous). State and emitted rows are unchanged.
         last = state.get[0] if state.exists else None
-        froms, tos = [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for t in pdf["event_type"]:
-                t = str(t)
-                if last is not None:
-                    froms.append(last)
-                    tos.append(t)
-                last = t
-        state.update((last,))
-        if froms:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((last,))
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        tos = pdf["event_type"].to_numpy()
+        froms = np.empty_like(tos)
+        froms[1:] = tos[:-1]
+        froms[0] = last
+        state.update((str(tos[-1]),))
+        if last is None:
+            froms, tos = froms[1:], tos[1:]
+        if len(tos):
             yield pd.DataFrame({"from_state": froms, "to_state": tos})
 
     pairs = stream.groupBy("user_id").applyInPandasWithState(
@@ -1146,7 +1207,9 @@ def s23_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    emitted = run_available_now(pairs, "append")
+    # entity-keyed (one state row per user), row-paced fold — same
+    # declaration as s22 (replay.py: _ROW_FOLD_PARTITION_BYTES_CONF)
+    emitted = run_available_now(pairs, "append", row_paced_fold=True)
     counts = emitted.groupBy("from_state", "to_state").agg(
         F.count(F.lit(1)).alias("n_pair")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,7 +28,15 @@ from mapr_plugins_spark.session import pin_runtime_conf
 #: since the last ``run_available_now`` — the input-size signal the
 #: state-partition derivation below consumes. Module-level because the
 #: registry functions build their stream and run it within one call;
-#: ``run_available_now`` drains the list.
+#: ``pinned_state_partitions`` (used by ``run_available_now`` AND the
+#: foreachBatch-shaped keys) drains the list. CONTRACT (round-13
+#: ADVICE): build a stream, then run it, one query at a time — every
+#: runner drains the notes of the stream(s) it is about to execute
+#: (several notes per run are fine: a stream-stream join records both
+#: sides; the derivation takes the max). A stream built and then
+#: abandoned without a run would leak its note into the next run's
+#: derivation — perf-only (results are partitioning-independent), and
+#: no in-repo path does it since round 14 wired the foreachBatch keys.
 _PENDING_SOURCE_BYTES: list[int] = []
 
 #: Advisory bytes of staged (compressed parquet) replay input per
@@ -50,6 +59,21 @@ _PENDING_SOURCE_BYTES: list[int] = []
 _STATE_PARTITION_BYTES_CONF = "spark.mapr_plugins.stream.statePartitionBytes"
 _STATE_PARTITION_BYTES_DEFAULT = 512 * 1024
 
+#: Denser advisory for ENTITY-KEYED, ROW-PACED GroupState folds (state
+#: key count ∝ entities in the data, Python fold work ∝ rows — e.g.
+#: the per-user z-score and Markov twins): their binding resource is
+#: Python-worker CPU across partitions, not state-store instance
+#: overhead, so they want more partitions per staged byte than the
+#: bounded-key sketch folds (whose state is a design constant and
+#: whose per-partition overhead dominates). Both densities measured,
+#: round-14 interleaved A/B at sf0.1: s22 12.0→8.0 s / s23 11.3→7.1 s
+#: median at 64 KiB, while the bounded-key folds REGRESS there
+#: (s26 6.1→11.2, s18 6.0→7.5, s17 4.1→4.8) — hence a per-operator
+#: declaration, not a family-wide constant. Same clamp to
+#: [1, defaultParallelism]; production raises either conf.
+_ROW_FOLD_PARTITION_BYTES_CONF = "spark.mapr_plugins.stream.rowFoldPartitionBytes"
+_ROW_FOLD_PARTITION_BYTES_DEFAULT = 64 * 1024
+
 
 def _note_source_bytes(path: str) -> None:
     """Record the on-disk size of a staged stream source directory (or
@@ -64,20 +88,27 @@ def _note_source_bytes(path: str) -> None:
     _PENDING_SOURCE_BYTES.append(total)
 
 
-def _state_partitions(spark: SparkSession) -> int:
+def _state_partitions(spark: SparkSession, row_paced_fold: bool = False) -> int:
     """Streaming state-partition count derived from the recorded source
-    bytes (see ``_STATE_PARTITION_BYTES_CONF``). Falls back to the
-    session's default parallelism when no source was recorded."""
+    bytes (see ``_STATE_PARTITION_BYTES_CONF``;
+    ``_ROW_FOLD_PARTITION_BYTES_CONF`` when the operator declares its
+    fold row-paced). Falls back to the session's default parallelism
+    when no source was recorded."""
     pending, _PENDING_SOURCE_BYTES[:] = list(_PENDING_SOURCE_BYTES), []
     par = spark.sparkContext.defaultParallelism
     if not pending or max(pending) <= 0:
         return par
+    conf_key, default = (
+        (_ROW_FOLD_PARTITION_BYTES_CONF, _ROW_FOLD_PARTITION_BYTES_DEFAULT)
+        if row_paced_fold
+        else (_STATE_PARTITION_BYTES_CONF, _STATE_PARTITION_BYTES_DEFAULT)
+    )
     try:
-        target = int(spark.conf.get(_STATE_PARTITION_BYTES_CONF))
+        target = int(spark.conf.get(conf_key))
     except Exception:
-        target = _STATE_PARTITION_BYTES_DEFAULT
+        target = default
     if target <= 0:
-        target = _STATE_PARTITION_BYTES_DEFAULT
+        target = default
     n = (max(pending) + target - 1) // target
     return max(1, min(n, par))
 
@@ -225,7 +256,29 @@ def df_stream_chunked(
     )
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+@contextmanager
+def pinned_state_partitions(spark: SparkSession, row_paced_fold: bool = False):
+    """Pin ``spark.sql.shuffle.partitions`` to the source-derived
+    streaming state-partition count for the duration of a streaming
+    run; restore the caller's value after. Drains the pending
+    source-bytes queue — every stream runner (``run_available_now``
+    and the foreachBatch-shaped registry keys) must run inside this,
+    both for the §2.2 sizing and so a constructed-but-differently-run
+    stream cannot leak its staged bytes into an unrelated later run."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(_state_partitions(spark, row_paced_fold)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    row_paced_fold: bool = False,
+) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink;
     return the sink contents as a batch DataFrame.
 
@@ -235,12 +288,11 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> Da
     the partition count to one derived from the staged source bytes
     (see ``_STATE_PARTITION_BYTES_CONF``), restore after — results are
     partitioning-independent, only the state layout changes.
+    ``row_paced_fold=True`` declares the query's stateful fold
+    entity-keyed and row-paced (see ``_ROW_FOLD_PARTITION_BYTES_CONF``).
     """
     spark = stream_df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(_state_partitions(spark)))
-    try:
+    with pinned_state_partitions(spark, row_paced_fold):
         name = f"snap_{uuid.uuid4().hex[:12]}"
         q = (
             stream_df.writeStream.format("memory")
@@ -250,6 +302,4 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> Da
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, old)
     return spark.table(name)

@@ -504,6 +504,38 @@ def test_state_partitions_derive_from_source_bytes(spark):
             spark.conf.set(R._STATE_PARTITION_BYTES_CONF, old)
 
 
+def test_row_paced_fold_partition_advisory(spark):
+    """Entity-keyed row-paced GroupState folds (s22/s23) declare
+    ``row_paced_fold=True`` and get the denser 64 KiB advisory — their
+    binding resource is Python fold CPU across partitions, not
+    state-store instances (round-14 interleaved A/B: s22 12.0→8.0 s,
+    s23 11.3→7.1 s at sf0.1, while bounded-key sketch folds regress at
+    that density). Same clamp and conf-override contract as the
+    default advisory."""
+    from mapr_plugins_spark.streaming import replay as R
+
+    par = spark.sparkContext.defaultParallelism
+    # row-paced folds: 256 KiB at the 64 KiB advisory → 4 partitions
+    R._PENDING_SOURCE_BYTES.clear()
+    R._PENDING_SOURCE_BYTES.append(256 * 1024)
+    assert R._state_partitions(spark, row_paced_fold=True) == min(4, par)
+    assert R._PENDING_SOURCE_BYTES == []
+    # bounded-key folds (the default) keep the 512 KiB density
+    R._PENDING_SOURCE_BYTES.append(256 * 1024)
+    assert R._state_partitions(spark) == 1
+    # conf override wins for the row-paced advisory too
+    old = spark.conf.get(R._ROW_FOLD_PARTITION_BYTES_CONF, None)
+    try:
+        spark.conf.set(R._ROW_FOLD_PARTITION_BYTES_CONF, str(128 * 1024))
+        R._PENDING_SOURCE_BYTES.append(256 * 1024)
+        assert R._state_partitions(spark, row_paced_fold=True) == min(2, par)
+    finally:
+        if old is None:
+            spark.conf.unset(R._ROW_FOLD_PARTITION_BYTES_CONF)
+        else:
+            spark.conf.set(R._ROW_FOLD_PARTITION_BYTES_CONF, old)
+
+
 def test_run_available_now_restores_shuffle_partitions(spark, sf_dir):
     """run_available_now pins shuffle partitions for the streaming run
     and restores the caller's value afterwards."""

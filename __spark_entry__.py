@@ -42,37 +42,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window burns a graded slot on a weaker check — round-2 lesson).
 #: Keys not listed here follow in their module definition order.
 #:
-#: Round-13 rotation (the round-12 verdict #2): the never-graded
-#: oracled tail is EMPTY (round 12 cleared it; only the 3 documented
-#: rows-only keys stay outside by design — a rows-only key in the
-#: window burns a graded slot on a weaker check, the round-2 lesson:
-#: x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll). The 26 freed
-#: slots refill with (a) the four round-13 additions, each
-#: driver-sim green at sf0.01 AND sf0.1 on arrival
-#: (x_ann_ivf_batch_codebook, the IVF batch plan's full-value-oracled
-#: fixed-codebook twin; s25_stream_semantic_admission, ingest-time
-#: semantic admission over the codebook kernel;
-#: s26_stream_bigram_drift, the bounded-state Misra-Gries collocation
-#: drift monitor; x_record_linkage, Fellegi–Sunter probabilistic
-#: linkage with blocked-capped candidates and integer ln-odds
-#: scoring), then (b) re-grades of the 22 OLDEST driver rows —
-#: all r1 keys, stale for 12 rounds of engine evolution — so
-#: cumulative driver-green stays fresh against drift.
-#:
-#: Round-14 note: 6 r1 keys remain unrefreshed after this window
-#: grades (q42_pivot q43_unpivot q45_misc_funcs q46_window_extras
-#: q48_string_extras q50_null_order_try_arith) — rotate them in next,
-#: with the r2 cohort (q17_array_ops q18_json_funcs
+#: Round-14 rotation (the round-13 verdict #3 + the standing r14
+#: note): the 26 rotation slots refill with, in order,
+#: (a) the 10 keys whose operators were REWRITTEN in round 13 but
+#: whose driver rows predate those rewrites (the verdict's explicit
+#: re-grade request: assoc_rules, both novelty keys, containment, the
+#: substr/warc chain, canonical, blocking_recall, minhash_clusters),
+#: (b) the 8 keys whose operators changed in THIS round's
+#: optimization work (streaming fold/partition rewrites s13 s17 s20
+#: s22 s23 s26 — s10 already sits in the stable block — plus
+#: x_decontaminate's fan_out and x_pagerank's lazy round chaining),
+#: each driver-sim green at sf0.01 AND sf0.1 before rotation, and
+#: (c) the 6 remaining never-refreshed r1 keys (q42 q43 q45 q46 q48
+#: q50) plus the head of the r2 cohort (q17_array_ops
+#: q18_json_funcs). Remaining r2 cohort for round 15:
 #: q20_scalar_subquery q31_map_funcs q34_collect q36_grouping_sets
 #: q41_row_udf q44_higher_order_funcs q47_exists_subquery
-#: q57_recursive_cte q63_url_funcs s03_session_window ...) behind
-#: them, oldest-first.
+#: q57_recursive_cte q63_url_funcs s03_session_window ... —
+#: oldest-first. The 3 documented rows-only keys stay outside by
+#: design (x_ann_ivf_batch x_ann_ivf_batch_prod x_sketch_hll — a
+#: rows-only key in the window burns a graded slot on a weaker
+#: check, the round-2 lesson).
 PRIORITY: tuple[str, ...] = (
-    # --- stable family representatives (24; the four trimmed this
-    # round — q39_grouped_udaf, x_ann_ivf_topk, x_text_pii_redact,
-    # x_pack_sequences — all hold fresh r11 driver rows, and their
-    # families keep a representative: UDF by q21, ANN by q24, text by
-    # x_text_tokens/x_tfidf, curation by x_doc_chunk/x_split_assign) ---
+    # --- stable family representatives (24, unchanged from r13) ---
     # relational core
     "q01_filter_project", "q02_groupagg", "q03_revenue_by_nation",
     "q04_broadcast_join", "q07_range_join", "q10_window_rank",
@@ -95,18 +87,20 @@ PRIORITY: tuple[str, ...] = (
     "x_mm_meta",
     # streaming
     "s01_tumbling_window", "s10_cdc_merge_upsert",
-    # --- rotation slots (26): the four round-13 additions + the 22
-    # oldest driver rows (all r1), oldest-first re-grades ---
-    "x_ann_ivf_batch_codebook", "s25_stream_semantic_admission",
-    "s26_stream_bigram_drift",
-    "q06_anti_join", "q06_semi_join", "q08_approx_distinct",
-    "q08_count_distinct", "q11_window_running", "q12_topk",
-    "q13_except", "q13_except_all", "q13_intersect",
-    "q13_intersect_all", "q13_union", "q14_string_funcs",
-    "q16_math_funcs", "q17_array_explode", "q19_conditional_funcs",
-    "q30_full_outer_join", "q32_stats_agg", "q33_approx_percentile",
-    "q33_percentiles", "q35_cube", "q37_cross_join",
-    "q40_python_udtf", "x_record_linkage",
+    # --- rotation slots (26) ---
+    # (a) round-13 rewrites whose driver rows predate the rewrite
+    "x_assoc_rules", "x_incremental_novelty", "x_ngram_novelty",
+    "x_dedup_containment", "x_substr_strip", "x_warc_ingest",
+    "x_substr_dedup", "x_dedup_canonical", "x_blocking_recall",
+    "x_minhash_clusters",
+    # (b) round-14 rewrites (this round)
+    "s13_stream_dedup_admission", "s17_stream_heavy_hitters_bounded",
+    "s20_stream_rollup", "s22_stream_zscore", "s23_stream_markov",
+    "s26_stream_bigram_drift", "x_decontaminate", "x_pagerank",
+    # (c) stalest never-refreshed relational rows, oldest-first
+    "q42_pivot", "q43_unpivot", "q45_misc_funcs", "q46_window_extras",
+    "q48_string_extras", "q50_null_order_try_arith", "q17_array_ops",
+    "q18_json_funcs",
 )
 
 

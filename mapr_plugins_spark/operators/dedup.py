@@ -1812,7 +1812,15 @@ def blocking_quality_eval(
     id space (TakeOrdered, one scan, no shuffle). Precision is 1.0
     by construction for a verify-stage pipeline (asserting it here
     guards the verify stage itself). Threshold is the rational
-    ``tau_num/tau_den`` evaluated in integers."""
+    ``tau_num/tau_den`` evaluated in integers.
+
+    PRECONDITION: ``verified_pairs`` must be DISTINCT on
+    ``(id_a, id_b)`` — the single full-outer-join count below relies
+    on it (the in-repo pipeline guarantees it: lsh_candidate_pairs
+    ends in .distinct() and the verify joins are 1:1). A caller
+    passing duplicate pairs would re-count each exact row once per
+    duplicate blocked match, inflating n_exact and deflating recall;
+    ``.distinct()`` your pairs first in that case (round-13 ADVICE)."""
     from mapr_plugins_spark.functions.portable_hash import seeded_hash60
 
     sample = corpus.filter(F.col(id_col) % sample_mod == 0)

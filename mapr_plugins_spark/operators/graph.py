@@ -70,7 +70,7 @@ def pagerank(
     # coalescing), so it stays conf-driven at cluster scale.
     e = edges.join(outdeg, "src").repartition("src").persist()
     ranks = nodes.withColumn("rank_micro", F.lit(SCALE).cast("bigint"))
-    for _ in range(iterations):
+    for i in range(iterations):
         # hash-build the node-sized rank side (shuffle_hash). Left to
         # estimates the round join auto-broadcasts ranks at small scale
         # (re-collecting and re-shipping it every round) and sort-merges
@@ -84,24 +84,33 @@ def pagerank(
             F.expr("rank_micro div outdeg").alias("c"),
         )
         sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport_micro).cast("bigint")
-                    + F.expr(
-                        f"({damping_permille} * coalesce(s, CAST(0 AS BIGINT))) div 1000"
-                    )
-                ).alias("rank_micro"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(sums, "id", "left").select(
+            "id",
+            (
+                F.lit(teleport_micro).cast("bigint")
+                + F.expr(
+                    f"({damping_permille} * coalesce(s, CAST(0 AS BIGINT))) div 1000"
+                )
+            ).alias("rank_micro"),
         )
+        # Rounds CHAIN LAZILY (round-14, guide §1.2/§5): each round's
+        # ranks feed the next round exactly once, so nothing needs a
+        # per-round materialization — the former per-round eager
+        # localCheckpoint launched one driver-paced job per round and
+        # wrote node-sized blocks 3× for a 3-iteration call. Lineage
+        # is truncated every 4th round so a DEEP iteration count still
+        # cannot blow up the plan; within a window the rank side of
+        # each round's join is an in-plan subtree, not a checkpoint
+        # read, and the cached e side is shared by every round of the
+        # single final job.
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     if iterations >= 1:
-        # the final ranks are an (eager) localCheckpoint — lineage is
-        # truncated, so the round-internal persists are dead weight;
-        # release them here instead of leaking blocks into a
-        # long-lived session (round-5 ADVICE).
+        # ONE eager materialization at the end truncates the remaining
+        # lineage, so the persists are dead weight afterwards — release
+        # them instead of leaking blocks into a long-lived session
+        # (round-5 ADVICE).
+        ranks = ranks.localCheckpoint()
         for frame in (e, nodes, edges):
             frame.unpersist()
     return ranks

@@ -427,7 +427,18 @@ def poisson_bootstrap_mean_ci(
     shuffle), replicate sums are map-side combined into R·2 cells, and
     the final order statistics sort R values — state is O(R), never
     O(rows). Sums are exact DECIMAL/BIGINT; each mean is ONE double
-    division, so order statistics agree across engines exactly."""
+    division, so order statistics agree across engines exactly.
+
+    Deliberately NOT fan_out'd (round-14, measured then reverted):
+    inserting a round-robin exchange before the ×R explode
+    parallelizes the md5 draws (5.1 → 1.3 s at sf0.1, where the input
+    is one split) but when ``value_col`` is a DOUBLE the replicate
+    sum ``SUM(__w·__v)`` is summation-order-dependent, and the
+    repartition changes every replicate mean by ulps — the oracle
+    differential gate catches exactly this (x_bootstrap_ci MISMATCH at both
+    sf0.01 and sf0.1 with the exchange in place). The replicate mean's
+    cross-engine determinism rides the input's stable scan order, so
+    the partitioning must stay whatever the scan yields."""
     reps = df.select(
         F.col(value_col).alias("__v"),
         F.expr(f"CAST({key_sql} AS STRING)").alias("__k"),

@@ -17,6 +17,7 @@ reproducible across runs and engines.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -97,6 +98,11 @@ def signature_col(vec_col: str, n_bits: int, dim: int):
     Built as ONE parsed SQL expression: the per-literal Column form
     cost n_bits·dim py4j round-trips of plan construction (~2 s of
     driver wall per call at 6×64) for the identical expression tree."""
+    if n_bits <= 0:
+        # degenerate config: the old Column fold returned literal 0 —
+        # keep that instead of rendering an unparseable dangling '+'
+        # (round-13 ADVICE)
+        return F.lit(0).cast("long")
     bits = " + ".join(
         f"(CASE WHEN ({_micro_dot_spark_sql(vec_col, j, dim)}) > 0 "
         f"THEN {1 << j}L ELSE 0L END)"
@@ -288,9 +294,10 @@ def lsh_topk_indexed(
     cands = idx.filter(F.col(id_col) != F.lit(prow.probe_id)).withColumn(
         "probe_vec",
         # one parsed literal (the _cents_lit precedent) instead of a
-        # per-element F.lit loop; repr(float) round-trips IEEE-754
+        # per-element F.lit loop; repr(float) round-trips IEEE-754,
+        # non-finite components raise the named _double_lit error
         F.expr(
-            "array(" + ",".join(f"{float(x)!r}D" for x in prow.probe_vec) + ")"
+            "array(" + ",".join(_double_lit(float(x)) for x in prow.probe_vec) + ")"
         ),
     )
     return (
@@ -763,6 +770,21 @@ def pq_centroids(
     ]
 
 
+def _double_lit(v: float) -> str:
+    """One double as a parseable Spark SQL literal. ``repr(float)``
+    round-trips exactly for finite values (shortest-repr ↔ IEEE-754
+    nearest, same parse in the JVM) but renders non-finite ones as
+    ``nan``/``inf`` — not SQL — so those raise a NAMED error instead of
+    a downstream ParseException (round-13 ADVICE): a NaN in a centroid
+    or probe vector is a data defect, not a plan-construction one."""
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite vector component {v!r} cannot be rendered as a "
+            "SQL double literal (NaN/Inf in a centroid or probe vector)"
+        )
+    return f"{float(v)!r}D"
+
+
 def _cents_lit(cents_j: list[list[float]]):
     """Literal ``array<array<double>>`` of one subspace's codebook.
 
@@ -771,7 +793,7 @@ def _cents_lit(cents_j: list[list[float]]):
     so the values are bit-identical to the former per-element ``F.lit``
     form, which cost kc·dsub py4j round-trips per subspace."""
     inner = ",".join(
-        "array(" + ",".join(f"{v!r}D" for v in c) + ")" for c in cents_j
+        "array(" + ",".join(_double_lit(v) for v in c) + ")" for c in cents_j
     )
     return F.expr(f"array({inner})")
 

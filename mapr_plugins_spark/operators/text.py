@@ -281,7 +281,15 @@ def decontaminate(
     The hint carries a loud size guard (``EVAL_GRAM_BROADCAST_BOUND``):
     an eval set that silently grew to corpus scale raises a named error
     instead of OOMing every executor (round-9 verdict #8)."""
-    tg = train.select(
+    # fan_out BEFORE the gram projection (guide §2.5 too-few-splits):
+    # the training corpus arrives as few parquet splits at test scale,
+    # and without the round-robin exchange the whole tokenize + n-gram
+    # + explode + broadcast-probe stage fuses into those scan tasks and
+    # runs serially (measured 4.8 s single-task at sf0.1 → sub-second
+    # at full width). At 100 TB the input has ~100k splits and fan_out
+    # is a no-op. The eval side stays un-fanned: it is 1/97 of the
+    # corpus by construction and collapses to a distinct immediately.
+    tg = fan_out(train.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_ngrams_col(tokens_col(text_col), n)).alias("gram")
     )
     eg = (

@@ -780,10 +780,14 @@ def s17_stream_heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFr
         .select("item")
         .distinct()
     )
-    toks = _t(spark, sf_dir, "documents").select(
-        F.explode(tokens_col("text")).alias("item")
+    # the token TOTAL needs no explode at all — each doc contributes
+    # exactly size(tokens) rows, so Σ size is the count (guide §2.3:
+    # row-local size arithmetic instead of a second corpus-wide explode)
+    docs_tok = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs_tok.select(F.explode(tokens_col("text")).alias("item"))
+    tot = docs_tok.agg(
+        F.sum(F.greatest(F.size(tokens_col("text")), F.lit(0))).alias("n")
     )
-    tot = toks.agg(F.count(F.lit(1)).alias("n"))
     return (
         toks.join(F.broadcast(cands), "item")
         .groupBy("item")
@@ -1467,9 +1471,24 @@ def s26_stream_bigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pass 2: exact per-side recount of candidates only (batch side)
     bgs = bigrams_of(corpus)
-    tots = bgs.groupBy().agg(
-        F.sum(F.lit(1) - F.col("late")).alias("n_e"),
-        F.sum("late").alias("n_l"),
+    # per-side totals WITHOUT the second bigram explode (guide §2.3):
+    # a document with t ≥ 2 tokens emits exactly t − 1 bigrams (and
+    # shorter docs emit none), so Σ(t−1) per side over the raw corpus
+    # IS the bigram total — row-local size arithmetic on the token
+    # array replaces re-building every bigram string corpus-wide just
+    # to count the rows.
+    from mapr_plugins_spark.operators.text import tokens_col as _tc
+
+    tots = (
+        corpus.select(
+            (F.col("doc_id") >= 1000000).cast("int").alias("late"),
+            F.greatest(F.size(_tc("text")) - 1, F.lit(0)).alias("__nb"),
+        )
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("late") == 0, F.col("__nb")).otherwise(0)).alias("n_e"),
+            F.sum(F.when(F.col("late") == 1, F.col("__nb")).otherwise(0)).alias("n_l"),
+        )
     )
     counted = (
         bgs.join(F.broadcast(cands), "bigram")

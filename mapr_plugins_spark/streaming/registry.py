@@ -821,7 +821,17 @@ def s18_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, depth = 64, 4
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     stream = df_stream_chunked(docs, f"{sf_dir}/cms_docs", "doc_id", n_chunks=4)
-    toks = stream.select(F.explode(tokens_col("text")).alias("__k"))
+    # Full-width repartition BEFORE the ×depth portable-hash stage (the
+    # streaming twin of the fan_out inside the batch cms_build, which
+    # cannot be used here — fan_out probes .rdd, unsupported on
+    # streams): each micro-batch is ONE staged file, so the ~4·tokens
+    # md5 draws — the operator's real CPU — otherwise fuse into that
+    # single scan task and run serially regardless of the state
+    # partition count (which only governs the post-shuffle fold).
+    # Cell counts are a commutative sum: partitioning-independent.
+    toks = stream.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(F.explode(tokens_col("text")).alias("__k"))
     cells = with_seeded_hash60(
         toks.select(
             "__k",
@@ -1425,6 +1435,10 @@ def s26_stream_bigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = df_stream_chunked(corpus, f"{sf_dir}/bigram_drift", "doc_id", n_chunks=4)
+    # (a full-width pre-expansion repartition — the s18 fix — was
+    # A/B'd here and measured FLAT: bigram concat is native-cheap
+    # unlike s18's md5 family, so the added per-batch exchange cancels
+    # the parallelism; recorded so round 15 doesn't re-try it)
     routed = bigrams_of(stream).select(
         "late", "bigram", (F.abs(F.hash("bigram")) % n_buckets).cast("int").alias("bucket")
     )
